@@ -1,0 +1,88 @@
+"""Operator surface of the engine — Hive's §2 inventory as Spark pipelines.
+
+Each submodule exposes ``REGISTRY: dict[str, QuerySpec]``; a QuerySpec binds
+the Spark implementation to its DuckDB oracle SQL (None when the operator is
+not SQL-expressible, e.g. probabilistic sketches — the driver then records a
+rows-only check).
+
+Oracle-parity design: the driver hash-compares values across engines, so
+every aggregate output is cast to a fixed DECIMAL type in BOTH engines
+(decimal sums are exact and associative → bit-reproducible regardless of
+partitioning / execution order — crucial because Spark at 100 TB sums in a
+different order than single-threaded DuckDB). Timestamps are emitted as
+DATE or epoch millis to sidestep tz-awareness differences in Arrow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One operator/query: Spark impl + optional DuckDB oracle SQL."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+# Runtime confs a *foreign* SparkSession (the driver's) needs before our
+# queries run. Everything here is runtime-settable (no JVM restart).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+}
+
+_FUNCS_REGISTERED: set[int] = set()
+
+
+def ensure_engine(spark: SparkSession) -> None:
+    """Make any SparkSession behave like an engine session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    key = id(spark)
+    if key not in _FUNCS_REGISTERED:
+        from hive_spark.functions import register_all
+
+        register_all(spark)
+        _FUNCS_REGISTERED.add(key)
+
+
+def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register the testdata tables as temp views on this session and
+    return them. Cheap (metadata only) — safe to call per query."""
+    from hive_spark.session import register_views
+
+    ensure_engine(spark)
+    return register_views(spark, sf_dir)
+
+
+def full_registry() -> dict[str, QuerySpec]:
+    """Merge every submodule's REGISTRY (the SURVEY §2 checklist)."""
+    from hive_spark.operators import (
+        events,
+        funcdemo,
+        relational,
+        text,
+        tpch,
+        vectors,
+    )
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (tpch, relational, funcdemo, text, vectors, events):
+        overlap = out.keys() & mod.REGISTRY.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(mod.REGISTRY)
+    return out

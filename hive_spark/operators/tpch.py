@@ -1,0 +1,328 @@
+"""TPC-H-style analytical queries (adapted to the testdata schema).
+
+Hive ships TPC-H Q18 as a functional test (ref: ql/src/test/queries/
+clientpositive/tpch18.q) and the full TPC-DS corpus as plan tests (ref:
+ql/src/test/queries/clientpositive/perf/). These queries exercise the same
+operator classes: scan→filter→project→hash-agg→sort (Q1), multi-way joins
+with selective dims (Q3/Q5/Q10), semi-join via EXISTS (Q4), and
+HAVING-gated subquery joins (Q18).
+
+Scale design: filters precede joins (Catalyst pushes them into the parquet
+scan), dimension tables broadcast (region/nation/customer are tiny vs a
+100 TB lineitem), aggregates are partial/map-side-combined by Spark's
+HashAggregate, and every money column is summed as DECIMAL so results are
+bit-identical regardless of partition count or AQE re-planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_spark.operators import QuerySpec, views
+
+D2 = "decimal(18,2)"
+D4 = "decimal(9,4)"
+D6 = "decimal(18,6)"
+# exact scales of decimal products — final casts never reduce scale, so no
+# rounding ties can arise between Spark (HALF_UP) and DuckDB (HALF_EVEN)
+DS6 = "decimal(38,6)"
+DS10 = "decimal(38,10)"
+
+
+def _dec2(c):
+    return F.col(c).cast(D2)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan + filter + hash-agg + sort (SURVEY §2.1/2.3/2.5/2.7)."""
+    t = views(spark, sf_dir)
+    disc_price = _dec2("l_extendedprice") * (1 - F.col("l_discount")).cast(D4)
+    charge = disc_price * (1 + F.col("l_tax")).cast(D4)
+    agg = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2("l_quantity")).alias("_sq"),
+            F.sum(_dec2("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast(D2).alias("sum_qty"),
+        F.col("_sbp").cast(D2).alias("sum_base_price"),
+        F.col("_sdp").cast(DS6).alias("sum_disc_price"),
+        F.col("_sc").cast(DS10).alias("sum_charge"),
+        (F.col("_sq").cast("double") / F.col("count_order")).cast(D6).alias("avg_qty"),
+        (F.col("_sbp").cast("double") / F.col("count_order")).cast(D6).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DECIMAL(38,6)) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4)) * CAST(1 + l_tax AS DECIMAL(9,4))) AS DECIMAL(38,10)) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter + 3-way join + agg + top-k.
+
+    customer is broadcast (tiny vs lineitem at scale); the o_orderdate /
+    l_shipdate filters push into the parquet scans before the join.
+    """
+    t = views(spark, sf_dir)
+    cut = F.lit("1997-06-30").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cut)
+    line = t["lineitem"].filter(F.col("l_shipdate") > cut)
+    revenue = _dec2("l_extendedprice") * (1 - F.col("l_discount")).cast(D4)
+    return (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast(DS6).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DECIMAL(38,6)) AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: correlated EXISTS → left-semi join (Hive JoinType LEFTSEMI,
+    ref: ql/.../parse/JoinType.java:26)."""
+    t = views(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        late,
+        (orders.o_orderkey == late.l_orderkey) & (late.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way star join; region/nation/supplier broadcast."""
+    t = views(spark, sf_dir)
+    revenue = _dec2("l_extendedprice") * (1 - F.col("l_discount")).cast(D4)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast(DS6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+agg — every predicate reaches the parquet
+    reader as a pushed filter (verified in tests/test_plans.py)."""
+    t = views(spark, sf_dir)
+    rev = _dec2("l_extendedprice") * F.col("l_discount").cast(D4)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast(DS6).alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4))) AS DECIMAL(38,6)) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: fact-dim join + agg + deterministic top-20."""
+    t = views(spark, sf_dir)
+    revenue = _dec2("l_extendedprice") * (1 - F.col("l_discount")).cast(D4)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast(DS6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (Hive's own functional test, ref: ql/src/test/queries/
+    clientpositive/tpch18.q): HAVING-gated IN-subquery + 3-way join.
+
+    The IN subquery becomes a left-semi join on an aggregated key set —
+    at 100 TB the aggregate is partial/final with AQE sizing the shuffle.
+    """
+    t = views(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    line = t["lineitem"]
+    return (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(line, F.col("o_orderkey") == line.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec2("l_quantity")).cast(D2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_totalprice").cast(D2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "tpch_q1": QuerySpec(q1_pricing_summary, _Q1_SQL, "scan+filter+agg+sort"),
+    "tpch_q3": QuerySpec(q3_shipping_priority, _Q3_SQL, "3-way join + top-k"),
+    "tpch_q4": QuerySpec(q4_order_priority, _Q4_SQL, "correlated EXISTS semi-join"),
+    "tpch_q5": QuerySpec(q5_local_supplier, _Q5_SQL, "6-way star join"),
+    "tpch_q6": QuerySpec(q6_forecast_revenue, _Q6_SQL, "pushdown filter agg"),
+    "tpch_q10": QuerySpec(q10_returned_items, _Q10_SQL, "join+agg+top20"),
+    "tpch_q18": QuerySpec(q18_large_volume, _Q18_SQL, "IN-subquery + HAVING"),
+}
