@@ -117,13 +117,18 @@ def load_tables(
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to
-        # TimestampType at microsecond precision. Detection via the parquet
-        # footer so non-ns files pass through untouched.
+        # Timestamp normalization: ms/us parquet timestamps read natively as
+        # TIMESTAMP_NTZ; TIMESTAMP(NANOS) columns arrive as long (nanosAsLong)
+        # and are converted here to TIMESTAMP_NTZ at microsecond precision,
+        # so every table exposes one timestamp type (matching the DuckDB
+        # oracle's naive timestamps under the UTC session).
         for col, unit in _ns_timestamp_columns(path):
             if unit == "ns":
                 df = df.withColumn(
-                    col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                    col,
+                    F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
                 )
         out[name] = df
     return out
