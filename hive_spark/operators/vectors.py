@@ -1,0 +1,157 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Training-pipeline requirement: approximate-nearest-neighbor over an
+embedding column. Two strategies:
+
+- brute-force cosine top-k — the correctness baseline. O(Q·N); fine for a
+  bounded query set, never for all-pairs at scale.
+- LSH-bucketed top-k — the 100 TB path: deterministic sign-projection
+  buckets (8 bits → 256 buckets) computed in a linear scan, then top-k
+  only *within* a bucket. The shuffle is on the bucket id; no cross join
+  ever materializes N².
+
+Determinism for the DuckDB oracle: per-element products are quantized to
+BIGINT via floor(x*y*1e12). float→double widening and double multiply are
+bit-identical IEEE in every engine, floor is exact, and integer sums are
+associative → the same dot product at any parallelism, with no dependence
+on either engine's double→decimal rounding algorithm. Cross-row sums are
+carried as DECIMAL(38,0) so they cannot overflow at 100 TB row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_spark.operators import QuerySpec, views
+
+# quantized dot(a,b): sum of floor(x*y*1e12) as BIGINT (exact, associative)
+_DOTQ = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _spark_knn(spark: SparkSession, with_buckets: bool) -> DataFrame:
+    dot_qt = _DOTQ.format(a="q.embedding", b="t.embedding")
+    norm = _DOTQ.format(a="embedding", b="embedding")
+    bucket_expr = " + ".join(
+        f"(CASE WHEN aggregate(slice(embedding, {8 * i + 1}, 8), "
+        f"CAST(0 AS BIGINT), (acc, v) -> "
+        f"acc + CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW _emb AS
+        SELECT vec_id, embedding, {norm} AS norm2q, CAST({bucket_expr} AS INT) AS bucket
+        FROM embeddings
+        """
+    )
+    join_cond = "q.vec_id != t.vec_id" + (
+        " AND q.bucket = t.bucket" if with_buckets else ""
+    )
+    return spark.sql(
+        f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   CAST({dot_qt} AS DOUBLE)
+                     / (SQRT(CAST(q.norm2q AS DOUBLE)) * SQRT(CAST(t.norm2q AS DOUBLE)))
+                     AS cosine
+            FROM (SELECT * FROM _emb WHERE vec_id < 5) q
+            JOIN _emb t ON {join_cond}
+        )
+        SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine, rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+        ORDER BY query_id, rnk
+        """
+    )
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for query vectors vec_id<5 vs the full table."""
+    views(spark, sf_dir)
+    return _spark_knn(spark, with_buckets=False)
+
+
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via deterministic sign-projection buckets: neighbors ranked only
+    within the query's bucket (recall<1, cost ~1/256 of brute force)."""
+    views(spark, sf_dir)
+    return _spark_knn(spark, with_buckets=True)
+
+
+# DuckDB twin: list_zip + list_transform + list_sum replicate the same
+# quantized-integer dot; slicing l[a:b] is 1-based inclusive.
+_DUCK_DOTQ = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> "
+    "CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT)))"
+)
+
+
+def _duck_knn(with_buckets: bool) -> str:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(embedding[{8 * i + 1}:{8 * i + 8}], "
+        f"v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT))) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    dot_qt = _DUCK_DOTQ.format(a="q.embedding", b="t.embedding")
+    norm = _DUCK_DOTQ.format(a="embedding", b="embedding")
+    join_cond = "q.vec_id != t.vec_id" + (
+        " AND q.bucket = t.bucket" if with_buckets else ""
+    )
+    return f"""
+WITH emb AS (
+    SELECT vec_id, embedding, {norm} AS norm2q, CAST({bucket_expr} AS INT) AS bucket
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+           CAST({dot_qt} AS DOUBLE)
+             / (SQRT(CAST(q.norm2q AS DOUBLE)) * SQRT(CAST(t.norm2q AS DOUBLE))) AS cosine
+    FROM (SELECT * FROM emb WHERE vec_id < 5) q
+    JOIN emb t ON {join_cond}
+)
+SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math surface: quantized squared-norm totals per label group.
+    Per-row dots widen to DECIMAL(38,0) before the cross-row sum so the
+    total cannot overflow at any realistic row count."""
+    views(spark, sf_dir)
+    norm = _DOTQ.format(a="embedding", b="embedding")
+    return spark.sql(
+        f"""
+        SELECT label, COUNT(*) AS n,
+               SUM(CAST({norm} AS DECIMAL(38,0))) AS sum_norm2q
+        FROM embeddings GROUP BY label ORDER BY label
+        """
+    )
+
+
+_EMB_NORMS_SQL = f"""
+SELECT label, COUNT(*) AS n,
+       SUM(CAST({_DUCK_DOTQ.format(a="embedding", b="embedding")} AS DECIMAL(38,0)))
+           AS sum_norm2q
+FROM embeddings
+GROUP BY label ORDER BY label
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "knn_brute_force": QuerySpec(knn_brute_force, _duck_knn(False)),
+    "knn_lsh_bucketed": QuerySpec(knn_lsh_bucketed, _duck_knn(True)),
+    "embedding_norms": QuerySpec(embedding_norms, _EMB_NORMS_SQL),
+}
