@@ -76,11 +76,12 @@ def full_registry() -> dict[str, QuerySpec]:
         relational,
         text,
         tpch,
+        tpch2,
         vectors,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (tpch, relational, funcdemo, text, vectors, events):
+    for mod in (tpch, tpch2, relational, funcdemo, text, vectors, events):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -167,14 +167,20 @@ SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplie
 
 
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customers with open ('O') orders minus those with pending ('P') ones —
+    # a non-empty difference at every SF (all-nations variants are vacuous)
     t = views(spark, sf_dir)
-    c = t["customer"].select(F.col("c_nationkey").alias("nk"))
-    s = t["supplier"].select(F.col("s_nationkey").alias("nk"))
-    return c.subtract(s).orderBy("nk")  # subtract == EXCEPT DISTINCT
+    o = t["orders"]
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return a.subtract(b).orderBy("o_custkey")  # subtract == EXCEPT DISTINCT
 
 
 _SETOP_EXCEPT_SQL = """
-SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+ORDER BY o_custkey
 """
 
 

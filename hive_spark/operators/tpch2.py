@@ -1,0 +1,312 @@
+"""TPC-H queries 2-22 (remainder), adapted to the testdata schema.
+
+Together with tpch.py this completes the 22-query TPC-H shape catalog that
+Hive's perf corpus exercises (ref: ql/src/test/queries/clientpositive/
+tpch18.q and the TPC-DS plan corpus ql/src/test/queries/clientpositive/
+perf/). Adaptations, forced by the reduced driver schema (FIXTURES.md —
+no partsupp table, no l_commitdate/l_receiptdate/l_shipmode, no
+c_phone/p_container):
+
+- q2/q11/q16/q20: partsupp-based originals re-anchored on lineitem-derived
+  supplier↔part facts (same plan shape: scalar-subquery thresholds,
+  min-per-group join, count-distinct agg).
+- q12: l_shipmode dimension replaced with l_returnflag.
+- q21: commit/receipt lateness replaced with a line-number ordering
+  predicate (same EXISTS + NOT EXISTS anti-join shape).
+- q22: phone-prefix country code replaced with c_nationkey % 10.
+
+Each query is ONE SQL text executed verbatim by BOTH Spark SQL and the
+DuckDB oracle — demonstrating the Hive-parity SQL surface directly (a
+HiveQL user's query text runs unmodified). Money math follows the engine
+decimal protocol (operators/__init__.py): exact decimal sums, ratios via
+double division of exact sums, no mid-stream scale reduction.
+
+Scale notes: every filter is expressed on base columns (pushes into the
+parquet scan); dimension joins (region/nation/supplier/customer/part) are
+under Spark's broadcast threshold at any SF while lineitem/orders shuffle;
+correlated subqueries (q17) decorrelate to aggregate+join under Catalyst;
+EXISTS/NOT EXISTS (q21/q22) become left-semi/anti joins (Hive JoinType
+LEFTSEMI/ANTI, ref ql/.../parse/JoinType.java:26).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_spark.operators import QuerySpec, views
+
+
+def _mk(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))"
+
+_Q2 = """
+WITH cost AS (
+    SELECT l_partkey, s_suppkey, s_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY l_partkey, s_suppkey, s_name, n_name
+),
+best AS (
+    SELECT l_partkey AS pk, MIN(CAST(sum_price AS DOUBLE) / n) AS min_avg
+    FROM cost GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       CAST(CAST(sum_price AS DOUBLE) / n AS DECIMAL(18,6)) AS avg_price
+FROM cost
+JOIN part ON l_partkey = p_partkey
+JOIN best ON pk = l_partkey AND CAST(sum_price AS DOUBLE) / n = min_avg
+WHERE p_size <= 15 AND p_type = 'LARGE'
+ORDER BY p_partkey, s_suppkey
+LIMIT 100
+"""
+
+_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DECIMAL(38,6)) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year, {_REV} AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8 = f"""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                          THEN volume ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS DECIMAL(18,6)) AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           CAST({_REV} AS DECIMAL(30,6)) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_Q9 = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(38,6)) AS sum_profit
+FROM (
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST({_REV} AS DECIMAL(32,6))
+           - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(32,6)) AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%r%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+_Q11 = """
+WITH value_per_part AS (
+    SELECT l_partkey AS p_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+)
+SELECT p_partkey, part_value
+FROM value_per_part
+WHERE CAST(part_value AS DOUBLE) >
+      (SELECT CAST(SUM(part_value) AS DOUBLE) * 0.001 FROM value_per_part)
+ORDER BY part_value DESC, p_partkey
+"""
+
+_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q14 = f"""
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN rev ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+            / CAST(SUM(rev) AS DOUBLE) AS DECIMAL(18,6)) AS promo_revenue
+FROM (
+    SELECT p_type, CAST({_REV} AS DECIMAL(30,6)) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+) x
+"""
+
+_Q15 = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM({_REV}) AS DECIMAL(38,6)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q17 = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+            AS DECIMAL(18,6)) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+_Q19 = f"""
+SELECT CAST(SUM({_REV}) AS DECIMAL(38,6)) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%gear%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+  )
+ORDER BY s_suppkey
+"""
+
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_linenumber > l1.l_linenumber)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+_Q22 = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+FROM (
+    SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+    FROM customer
+    WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+      AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer
+                       WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 2, 3, 4, 5))
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+_SQL = {
+    "tpch_q2": _Q2,
+    "tpch_q7": _Q7,
+    "tpch_q8": _Q8,
+    "tpch_q9": _Q9,
+    "tpch_q11": _Q11,
+    "tpch_q12": _Q12,
+    "tpch_q13": _Q13,
+    "tpch_q14": _Q14,
+    "tpch_q15": _Q15,
+    "tpch_q16": _Q16,
+    "tpch_q17": _Q17,
+    "tpch_q19": _Q19,
+    "tpch_q20": _Q20,
+    "tpch_q21": _Q21,
+    "tpch_q22": _Q22,
+}
+
+REGISTRY: dict[str, QuerySpec] = {
+    name: QuerySpec(_mk(sql), sql, "shared SQL text: Spark + DuckDB")
+    for name, sql in _SQL.items()
+}
