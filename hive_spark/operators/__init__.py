@@ -71,9 +71,11 @@ def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def full_registry() -> dict[str, QuerySpec]:
     """Merge every submodule's REGISTRY (the SURVEY §2 checklist)."""
     from hive_spark.operators import (
+        dml_demo,
         events,
         funcdemo,
         relational,
+        stream_demo,
         text,
         tpch,
         tpch2,
@@ -81,7 +83,7 @@ def full_registry() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (tpch, tpch2, relational, funcdemo, text, vectors, events):
+    for mod in (tpch, tpch2, relational, funcdemo, text, vectors, events, dml_demo, stream_demo):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

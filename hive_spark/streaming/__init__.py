@@ -1,0 +1,232 @@
+"""Structured Streaming surface over the `events` table.
+
+Hive has NO stream processing (SURVEY §2.10) — only transactional ingest
+(ref: streaming/src/java/org/apache/hive/streaming/HiveStreamingConnection
+.java:107) and Kafka table reads with offset pushdown (ref: kafka-handler/
+.../KafkaScanTrimmer.java). This module supplies the north-star streaming
+surface with Spark primitives and composes with the DML layer for
+exactly-once-style upserts:
+
+- file-chunked micro-batch source (the parquet stand-in for a Kafka topic;
+  swap `readStream.format("kafka")` in production — same downstream plan)
+- tumbling-window aggregation with watermark (F.window)
+- cross-batch exact dedup via dropDuplicatesWithinWatermark
+- sessionization via session_window in update mode, upserted per
+  micro-batch into a parquet table through foreachBatch + dml.merge_into —
+  the Spark analog of Hive's streaming-ingest-into-ACID pattern.
+
+Determinism for oracles: every pipeline runs Trigger.AvailableNow over a
+fixed chunking, so the final state equals the batch computation of the
+same expression — which is exactly what the DuckDB oracle checks.
+
+Scale notes: state (window aggs, dedup keys, sessions) is partitioned by
+key across executors by Spark's state store; watermark bounds state size.
+The chunk count models micro-batches, not data volume — at 100 TB the same
+plan reads a Kafka topic with thousands of partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SCRATCH = "/tmp/hive_spark_stream"
+
+# ts is TIMESTAMP (ltz): watermarks reject TIMESTAMP_NTZ; under the UTC
+# session the cast from the tables' NTZ values is epoch-preserving.
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _chunked_source(
+    spark: SparkSession, sf_dir: str, name: str, chunks: int = 6, duplicate: bool = False
+) -> str:
+    """Split events into N parquet chunk files so AvailableNow yields N
+    micro-batches (maxFilesPerTrigger=1). `duplicate=True` writes every
+    chunk twice — an at-least-once source for the dedup demo."""
+    dst = os.path.join(_SCRATCH, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    from hive_spark.session import load_tables
+
+    # load via the session layer so TIMESTAMP(NANOS) parquet is normalized
+    # to TIMESTAMP_NTZ before chunks are written (the stream schema type)
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # deterministic chunking by event_id range, roughly time-ordered so the
+    # watermark advances monotonically like a real stream
+    n = ev.count()
+    per = max(1, n // chunks + 1)
+    rows = ev.withColumn("_chunk", (F.col("event_id") / per).cast("int"))
+    for i in range(chunks):
+        part = rows.filter(F.col("_chunk") == i).drop("_chunk")
+        part.coalesce(1).write.parquet(os.path.join(dst, f"c{i:03d}_a"))
+        if duplicate:
+            part.coalesce(1).write.parquet(os.path.join(dst, f"c{i:03d}_b"))
+    # flatten: move part files up so the dir is one flat file-stream source
+    flat = dst + "_flat"
+    shutil.rmtree(flat, ignore_errors=True)
+    os.makedirs(flat)
+    # FileStreamSource orders files by modification time — sub-second copies
+    # tie and arrive in arbitrary order, which turns in-order chunks into
+    # late data. Stamp strictly increasing mtimes in chunk order.
+    stamp = 1_000_000_000
+    for sub in sorted(os.listdir(dst)):
+        subdir = os.path.join(dst, sub)
+        for f in os.listdir(subdir):
+            if f.endswith(".parquet"):
+                tgt = os.path.join(flat, f"{sub}.parquet")
+                shutil.copy(os.path.join(subdir, f), tgt)
+                os.utime(tgt, (stamp, stamp))
+                stamp += 60
+    shutil.rmtree(dst)
+    return flat
+
+
+def read_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+def _run(query_builder, checkpoint: str):
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    q = query_builder(checkpoint)
+    q.awaitTermination()
+    return q
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-h window counts per event_type, complete mode — final
+    memory-sink table equals the batch windowed aggregation."""
+    src = _chunked_source(spark, sf_dir, "tum")
+    agg = (
+        read_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+    )
+    _run(
+        lambda cp: agg.writeStream.format("memory")
+        .queryName("stream_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start(),
+        os.path.join(_SCRATCH, "cp_tum"),
+    )
+    return (
+        spark.table("stream_tumbling")
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("decimal(28,4)").alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once from an at-least-once source: every chunk arrives twice;
+    dropDuplicatesWithinWatermark(event_id) restores exact counts. Append
+    sink to parquet, then the final table is aggregated."""
+    src = _chunked_source(spark, sf_dir, "ddp", duplicate=True)
+    out = os.path.join(_SCRATCH, f"ddp_out_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    deduped = (
+        read_stream(spark, src)
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _run(
+        lambda cp: deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(),
+        os.path.join(_SCRATCH, "cp_ddp"),
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(28,4)").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def stream_session_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap), append mode: a session emits
+    once the watermark passes its close (session windows support only
+    append in streaming). A far-future sentinel event (user_id = -1) in the
+    final chunk advances the watermark past every real session, and Spark's
+    no-data micro-batch flushes the remaining state — so the appended sink
+    holds exactly the batch session set. The sink is a parquet table
+    (Hive streaming-ingest-into-table analog)."""
+    src = _chunked_source(spark, sf_dir, "ses")
+    # two sentinel chunks: the first advances the watermark past every real
+    # session at its batch END; the second is the batch in which that new
+    # watermark actually evicts+emits the remaining state (emission happens
+    # one batch after advancement — AvailableNow does not run a trailing
+    # no-data batch)
+    for i, when in enumerate(["2100-01-01 00:00:00", "2100-06-01 00:00:00"]):
+        sentinel = spark.createDataFrame(
+            [(int(-1 - i), when, int(-1), "sentinel", 0.0, "{}")],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sdir = os.path.join(src, f"_zs{i}")
+        sentinel.coalesce(1).write.parquet(sdir)
+        for f in os.listdir(sdir):
+            if f.endswith(".parquet"):
+                tgt = os.path.join(src, f"zzz_sentinel{i}.parquet")
+                shutil.copy(os.path.join(sdir, f), tgt)
+                os.utime(tgt, (2_000_000_000 + i * 60, 2_000_000_000 + i * 60))
+        shutil.rmtree(sdir)
+
+    out = os.path.join(_SCRATCH, f"ses_out_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    sessions = (
+        read_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start"),
+            "n_events",
+            F.col("sum_value").cast("decimal(28,4)").alias("sum_value"),
+        )
+    )
+    _run(
+        lambda cp: sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(),
+        os.path.join(_SCRATCH, "cp_ses"),
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
