@@ -74,6 +74,7 @@ def full_registry() -> dict[str, QuerySpec]:
         dml_demo,
         events,
         funcdemo,
+        multimodal,
         relational,
         stream_demo,
         text,
@@ -83,7 +84,8 @@ def full_registry() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (tpch, tpch2, relational, funcdemo, text, vectors, events, dml_demo, stream_demo):
+    for mod in (tpch, tpch2, relational, funcdemo, text, vectors,
+                events, dml_demo, stream_demo, multimodal):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,171 @@
+"""Multimodal (binary) column pipeline over the `documents` table.
+
+Training-data requirement: image/audio/video travel as opaque BINARY
+columns with typed metadata; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas stages over `mapInPandas`.
+
+The container has no image/audio libraries, so the *decode* step is
+stubbed: `_decode_frame()` raises NotImplementedError when a real codec is
+requested and otherwise applies a deterministic byte-level transform. The
+Spark-side plumbing — binary schema, metadata struct, mapInPandas batch
+shapes, partitioning — is real and oracle-verified (the payloads here are
+utf-8 document bytes, so DuckDB can recompute every byte-level feature
+with encode()/substr()/ascii()).
+
+Scale design: mapInPandas streams Arrow batches (no per-row Python), the
+pipeline is a pure linear scan (no shuffle until the final small agg), and
+metadata lives beside the blob so pruning `payload` off a metadata-only
+query drops the heavy column from the parquet scan entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_spark.operators import QuerySpec, views
+
+FRAME_SIZE = 64  # bytes per pseudo-frame for the "video" sampler
+
+
+def _binary_docs(spark: SparkSession) -> DataFrame:
+    """documents.text as a BINARY payload + typed metadata struct — the
+    canonical multimodal layout (blob beside queryable metadata)."""
+    return spark.table("documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.lit("utf8-doc").alias("format"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def _decode_frame(payload: bytes, codec: str) -> bytes:
+    """STUB decode: real codecs need image/audio libs absent from this
+    container. 'raw' passes bytes through (deterministic); anything else is
+    a hard NotImplementedError so callers can't silently get fake pixels."""
+    if codec != "raw":
+        raise NotImplementedError(
+            f"codec {codec!r}: decode requires media libraries not present; "
+            "plug a real decoder here (PIL/ffmpeg) in production"
+        )
+    return payload
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: byte count,
+    head byte, and an order-independent byte checksum per document."""
+    views(spark, sf_dir)
+    docs = _binary_docs(spark)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_decode_frame(b, "raw") for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in payloads],
+                    "head_byte": [b[0] if b else None for b in payloads],
+                    "byte_sum": [sum(b) for b in payloads],
+                }
+            )
+
+    return (
+        docs.mapInPandas(
+            extract, "doc_id bigint, n_bytes int, head_byte int, byte_sum bigint"
+        )
+        .orderBy("doc_id")
+    )
+
+
+# corpus is ASCII, so DuckDB can rebuild the same byte features from text
+_FEATURES_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS head_byte,
+       list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS byte_sum
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: treat each payload as fixed-size frames and keep
+    every 4th frame's offset + first byte (the video keyframe-sampling
+    shape; explode happens inside the Arrow batch, not as a Spark
+    generator, so the blob crosses the JVM<->Python boundary once)."""
+    views(spark, sf_dir)
+    docs = _binary_docs(spark)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "offset": [], "first_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = _decode_frame(payload, "raw")
+                n_frames = len(data) // FRAME_SIZE
+                for idx in range(0, n_frames, 4):
+                    off = idx * FRAME_SIZE
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["first_byte"].append(data[off])
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(
+            sample, "doc_id bigint, frame_idx int, offset int, first_byte int"
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_FRAME_SQL = f"""
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(i * {FRAME_SIZE} AS INT) AS offset,
+       ascii(substr(text, CAST(i AS INT) * {FRAME_SIZE} + 1, 1)) AS first_byte
+FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               0, CAST(floor(octet_length(encode(text)) / {FRAME_SIZE}) AS BIGINT) - 1)) AS i
+    FROM documents
+)
+WHERE i % 4 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+def mm_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation: grouping on the meta struct must not read
+    the payload bytes (column pruning drops the blob from the scan — check
+    tests/test_plans.py asserts ReadSchema excludes it at the source)."""
+    views(spark, sf_dir)
+    docs = _binary_docs(spark)
+    return (
+        docs.groupBy(F.col("meta.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("meta.n_bytes").cast("bigint")).alias("total_bytes"),
+        )
+        .orderBy("lang")
+    )
+
+
+_META_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "mm_features": QuerySpec(mm_features, _FEATURES_SQL),
+    "mm_frame_sample": QuerySpec(mm_frame_sample, _FRAME_SQL),
+    "mm_metadata_prune": QuerySpec(mm_metadata_prune, _META_SQL),
+}

@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions (Hive's cbo/perf golden-plan analog,
+ref: ql/src/test/queries/clientpositive/perf/ — EXPLAIN regression, not
+timing). These encode the 100 TB-scale properties: filters reach the
+parquet scan, small dims broadcast, aggregates are two-phase (map-side
+partial), column pruning drops unused/heavy columns, and no plan carries
+more shuffles than its semantics require."""
+
+import contextlib
+import io
+
+import pytest
+
+from hive_spark.operators import full_registry
+
+
+def explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return full_registry()
+
+
+def test_q6_filter_pushdown(spark, sf_dir, registry):
+    """Selective scan: predicates must be pushed into the parquet reader
+    and only referenced columns read (Hive: PredicatePushDown.java:83 +
+    ColumnPruner — free from Catalyst, but verify it actually fired)."""
+    plan = explain(registry["tpch_q6"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # ReadSchema carries only the 4 needed of 11 lineitem columns
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir, registry):
+    """customer (filtered, small) must broadcast against lineitem — the
+    Hive auto-mapjoin decision (ConvertJoinMapJoin.java:99) via Spark's
+    autoBroadcastJoinThreshold."""
+    plan = explain(registry["tpch_q3"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir, registry):
+    """5-way star join: every dimension side broadcasts; the only
+    all-to-all shuffle is the final aggregate."""
+    plan = explain(registry["tpch_q5"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q1_partial_aggregation(spark, sf_dir, registry):
+    """Two-phase hash aggregation (Hive GroupByDesc modes PARTIAL1/FINAL,
+    ref ql/.../plan/GroupByDesc.java:58): exactly one hash-partitioned
+    exchange between partial and final, one range exchange for the sort."""
+    plan = explain(registry["tpch_q1"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate (") == 2  # partial + final tree nodes
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("rangepartitioning(") == 1
+
+
+def test_dedup_exact_single_data_shuffle(spark, sf_dir, registry):
+    """Exact dedup = digest groupBy: map-side partial counts mean the full
+    text column never shuffles — only digests do."""
+    plan = explain(registry["dedup_exact"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate (") == 4  # 2 aggs x (partial+final)
+    # text column is consumed by md5 before any exchange: no shuffle
+    # partitioning expression or exchange input may carry it
+    for line in plan.splitlines():
+        if "partitioning(" in line:
+            assert "text#" not in line
+
+
+def test_metadata_prune_drops_payload(spark, sf_dir, registry):
+    """Metadata-only multimodal query: the scan must not read doc_id (and
+    the payload exists only as a derived expression, never a stored read)."""
+    plan = explain(registry["mm_metadata_prune"].fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "lang" in read_schema
+    assert "doc_id" not in read_schema
+
+
+def test_semi_anti_join_shapes(spark, sf_dir, registry):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti (Hive JoinType.java:26
+    LEFTSEMI/ANTI) — Catalyst must not degrade these to outer+filter."""
+    q4 = explain(registry["tpch_q4"].fn(spark, sf_dir), "extended")
+    assert "LeftSemi" in q4
+    q21 = explain(registry["tpch_q21"].fn(spark, sf_dir), "extended")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+
+
+def test_qualify_single_window_shuffle(spark, sf_dir, registry):
+    """QUALIFY desugaring: one window over one hash exchange, filter on
+    the rank — no second shuffle for the post-filter."""
+    plan = explain(registry["qualify_topn"].fn(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1  # the window shuffle
+    # rank<=N pre-filters inside each partition before the full window
+    # (Hive TopNKeyOperator analog, ref ql/.../exec/TopNKeyOperator.java:43)
+    assert "WindowGroupLimit" in plan
+
+
+def test_session_confs(spark):
+    """AQE + runtime filters on (Hive's SkewJoinOptimizer / semijoin
+    reduction / ConvertJoinMapJoin equivalents are runtime-enabled)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
