@@ -73,6 +73,7 @@ def full_registry() -> dict[str, QuerySpec]:
     from hive_spark.operators import (
         dml_demo,
         events,
+        extension,
         funcdemo,
         multimodal,
         relational,
@@ -85,7 +86,7 @@ def full_registry() -> dict[str, QuerySpec]:
 
     out: dict[str, QuerySpec] = {}
     for mod in (tpch, tpch2, relational, funcdemo, text, vectors,
-                events, dml_demo, stream_demo, multimodal):
+                events, dml_demo, stream_demo, multimodal, extension):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,166 @@
+"""DDL/catalog + storage-format conformance (SURVEY §2.1/§2.14/§7.4)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_spark import ddl
+
+SCRATCH = "/tmp/hive_spark_ddl"
+
+
+@pytest.fixture(autouse=True)
+def _clean_tables(spark):
+    yield
+    for t in spark.catalog.listTables():
+        if t.name.startswith("ddl_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_create_insert_select_partitioned(spark, sf_dir):
+    loc = f"{SCRATCH}/part_tbl"
+    shutil.rmtree(loc, ignore_errors=True)
+    ddl.create_table(
+        spark,
+        "ddl_part",
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT",
+        partition_by=("o_year",),
+        location=loc,
+    )
+    from hive_spark.operators import views
+
+    views(spark, sf_dir)
+    spark.sql(
+        """
+        INSERT INTO ddl_part
+        SELECT o_orderkey, o_totalprice, year(o_orderdate) AS o_year FROM orders
+        """
+    )
+    # partition dirs exist on disk (Hive partition = one dir per value)
+    years = {d for d in os.listdir(loc) if d.startswith("o_year=")}
+    assert len(years) >= 5
+    # partition pruning: scan of one year reads one partition
+    plan_df = spark.sql("SELECT count(*) FROM ddl_part WHERE o_year = 1997")
+    n_1997 = plan_df.collect()[0][0]
+    assert n_1997 == spark.sql(
+        "SELECT count(*) FROM orders WHERE year(o_orderdate) = 1997"
+    ).collect()[0][0]
+
+
+def test_ctas_and_analyze_feeds_cbo(spark, sf_dir):
+    from hive_spark.operators import views
+
+    views(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS ddl_ctas")
+    ddl.ctas(spark, "ddl_ctas", "SELECT n_nationkey, n_name FROM nation")
+    assert spark.table("ddl_ctas").count() == 25
+    ddl.analyze(spark, "ddl_ctas")
+    stats = ddl.table_stats(spark, "ddl_ctas")
+    assert "Statistics" in stats  # sizeInBytes + rowCount recorded
+    assert "25 rows" in stats["Statistics"]
+
+
+def test_msck_partition_repair(spark):
+    """Partitions written out-of-band are invisible until MSCK repair
+    (Hive: ql/.../ddl/misc/msck/)."""
+    loc = f"{SCRATCH}/msck_tbl"
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS ddl_msck")
+    df = spark.range(10).select(F.col("id"), F.lit(1).alias("p"))
+    df.write.partitionBy("p").parquet(loc)  # out-of-band write
+    ddl.create_table(
+        spark, "ddl_msck", "id BIGINT, p INT", partition_by=("p",), location=loc
+    )
+    assert spark.table("ddl_msck").count() == 0  # catalog knows nothing
+    ddl.repair_partitions(spark, "ddl_msck")
+    assert spark.table("ddl_msck").count() == 10
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """Bucketed tables joined on the bucket key must not re-shuffle
+    (Hive SMB join, SMBMapJoinOperator.java:58 — Spark elides the
+    Exchange when bucketBy specs match)."""
+    import contextlib
+    import io
+
+    from hive_spark.operators import views
+
+    views(spark, sf_dir)
+    for t in ("ddl_bkt_orders", "ddl_bkt_line"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.table("orders").select("o_orderkey", "o_totalprice").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("ddl_bkt_orders")
+    spark.table("lineitem").select("l_orderkey", "l_quantity").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("ddl_bkt_line")
+    # force SMJ (small test tables would broadcast); at fact-fact scale
+    # SMJ is what the planner picks anyway and bucketing elides its shuffle
+    joined = spark.table("ddl_bkt_orders").hint("merge").join(
+        spark.table("ddl_bkt_line"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning" not in plan  # no shuffle on either side
+    assert "Bucketed: true" in plan
+    for t in ("ddl_bkt_orders", "ddl_bkt_line"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_round_trip(spark, sf_dir, fmt):
+    """Storage-format matrix (Hive SerDes: ORC/Parquet/JSON/CSV/Text —
+    SURVEY §2.1): write+read preserves values."""
+    from hive_spark.operators import views
+
+    t = views(spark, sf_dir)
+    src = t["nation"].orderBy("n_nationkey")
+    path = f"{SCRATCH}/fmt_{fmt}"
+    shutil.rmtree(path, ignore_errors=True)
+    back = ddl.round_trip(src, path, fmt).orderBy("n_nationkey")
+    assert [tuple(r) for r in back.collect()] == [tuple(r) for r in src.collect()]
+
+
+def test_text_format_with_regex_serde_pattern(spark, sf_dir):
+    """Hive RegexSerDe analog: text format + regexp_extract projection."""
+    from hive_spark.operators import views
+
+    t = views(spark, sf_dir)
+    path = f"{SCRATCH}/fmt_text"
+    shutil.rmtree(path, ignore_errors=True)
+    t["nation"].select(
+        F.concat_ws("|", "n_nationkey", "n_name", "n_regionkey").alias("value")
+    ).write.mode("overwrite").text(path)
+    back = (
+        spark.read.text(path)
+        .select(
+            F.regexp_extract("value", r"^(\d+)\|([^|]*)\|(\d+)$", 1)
+            .cast("int")
+            .alias("n_nationkey"),
+            F.regexp_extract("value", r"^(\d+)\|([^|]*)\|(\d+)$", 2).alias("n_name"),
+            F.regexp_extract("value", r"^(\d+)\|([^|]*)\|(\d+)$", 3)
+            .cast("int")
+            .alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
+    )
+    assert [tuple(r) for r in back.collect()] == [
+        tuple(r) for r in t["nation"].orderBy("n_nationkey").collect()
+    ]
+
+
+def test_show_describe_surface(spark, sf_dir):
+    """SHOW TABLES / DESCRIBE — catalog introspection parity."""
+    from hive_spark.operators import views
+
+    views(spark, sf_dir)
+    tables = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+    assert {"nation", "orders", "lineitem"} <= tables
+    desc = {r.col_name: r.data_type for r in spark.sql("DESCRIBE nation").collect()}
+    assert desc["n_nationkey"] == "int"
