@@ -72,6 +72,7 @@ def full_registry() -> dict[str, QuerySpec]:
     """Merge every submodule's REGISTRY (the SURVEY §2 checklist)."""
     from hive_spark.operators import (
         dml_demo,
+        edges,
         events,
         extension,
         funcdemo,
@@ -86,7 +87,7 @@ def full_registry() -> dict[str, QuerySpec]:
 
     out: dict[str, QuerySpec] = {}
     for mod in (tpch, tpch2, relational, funcdemo, text, vectors,
-                events, dml_demo, stream_demo, multimodal, extension):
+                events, dml_demo, stream_demo, multimodal, extension, edges):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

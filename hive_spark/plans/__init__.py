@@ -1,0 +1,140 @@
+"""Plan-level engine components: the pieces Catalyst does NOT provide.
+
+SURVEY §4 bottom line: of Hive's ~45 rewrites all but four are Catalyst/AQE
+built-ins. This package implements the custom remainder that is practical
+and useful at 100 TB:
+
+- plan fingerprinting (canonical hash of the optimized logical plan)
+- query-results cache keyed on plan fingerprint (Hive QueryResultsCache,
+  ref: ql/src/java/org/apache/hadoop/hive/ql/cache/results/
+  QueryResultsCache.java:83 — cross-query answer reuse)
+- materialized views with exact-plan rewrite (the exact-match subset of
+  Hive's Calcite MV rewrite, ref: ql/.../optimizer/calcite/rules/views/
+  HiveMaterializedViewsRegistry.java; containment rewrite is documented
+  out of scope)
+- salted two-stage aggregation for skewed group keys (Hive
+  SkewJoinOptimizer/GroupByOperator skew path, ref: ql/.../optimizer/
+  SkewJoinOptimizer.java:78 — for *joins* AQE handles skew at runtime,
+  but a skewed groupBy key still needs salting)
+
+Fingerprint determinism: Spark renumbers expression IDs (#123) per plan,
+so the canonical form strips them; everything else of the optimized plan
+(operators, expressions, literals, scan locations) participates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EXPR_ID = re.compile(r"#\d+L?")
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Canonical md5 of the *optimized* logical plan (stable across
+    sessions for the same query over the same tables)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return hashlib.md5(_EXPR_ID.sub("#x", plan).encode()).hexdigest()
+
+
+class ResultsCache:
+    """Cross-query results cache: fingerprint -> parquet snapshot.
+
+    `get_or_compute(df)` returns the cached relation when an identical
+    optimized plan was materialized before (Hive QueryResultsCache.java:83
+    semantics: exact-plan match, no staleness tracking — caller owns
+    invalidation via `clear()`, same as Hive's cache on ACID write).
+    """
+
+    def __init__(self, spark: SparkSession, root: str = "/tmp/hive_spark_qcache"):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, fp: str) -> str:
+        return os.path.join(self.root, fp)
+
+    def lookup(self, df: DataFrame) -> DataFrame | None:
+        p = self._path(plan_fingerprint(df))
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            return self.spark.read.parquet(p)
+        return None
+
+    def get_or_compute(self, df: DataFrame) -> tuple[DataFrame, bool]:
+        """Returns (result, was_hit)."""
+        hit = self.lookup(df)
+        if hit is not None:
+            return hit, True
+        p = self._path(plan_fingerprint(df))
+        df.write.mode("overwrite").parquet(p)
+        return self.spark.read.parquet(p), False
+
+    def clear(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
+
+
+class MaterializedViews:
+    """MV registry with exact-plan rewrite.
+
+    `create(name, df)` materializes the defining query; `rewrite(df)`
+    serves any query whose optimized plan equals a registered definition
+    from the materialization instead of the base tables. This is the
+    exact-match subset of Hive's MV rewrite (HiveMaterializedViewsRegistry
+    + Calcite containment rules); containment/aggregate-rollup rewrites
+    are a non-goal (SURVEY §7.8).
+    """
+
+    def __init__(self, spark: SparkSession, root: str = "/tmp/hive_spark_mv"):
+        self.spark = spark
+        self.root = root
+        self._by_fp: dict[str, str] = {}
+        os.makedirs(root, exist_ok=True)
+
+    def create(self, name: str, df: DataFrame) -> None:
+        path = os.path.join(self.root, name)
+        df.write.mode("overwrite").parquet(path)
+        self._by_fp[plan_fingerprint(df)] = path
+
+    def refresh(self, name: str, df: DataFrame) -> None:
+        """Full rebuild (Hive's incremental rebuild rules are out of
+        scope; REBUILD here = recompute, still correct)."""
+        self.create(name, df)
+
+    def rewrite(self, df: DataFrame) -> tuple[DataFrame, bool]:
+        """Returns (possibly-rewritten df, used_mv)."""
+        path = self._by_fp.get(plan_fingerprint(df))
+        if path is None:
+            return df, False
+        return self.spark.read.parquet(path), True
+
+
+def salted_agg_count(
+    df: DataFrame, key: str, salt: int = 16, agg_col: str | None = None
+) -> DataFrame:
+    """Two-stage salted aggregation for a skewed group key: stage 1 groups
+    on (key, salt) so a hot key spreads over `salt` reducers; stage 2
+    merges the partials. Result is identical to a direct groupBy (counts
+    and decimal sums are associative); the shuffle skew disappears.
+
+    At 100 TB: use when one key holds >~1/shuffle-partitions of the rows
+    (Hive's GroupByOperator hash-flush + skew 2-MR-job plan analog,
+    ref ql/.../parse/SemanticAnalyzer.java:7014 genGroupByPlanMapAggr2MR).
+    """
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), salt))
+    aggs1 = [F.count(F.lit(1)).alias("_n")]
+    aggs2 = [F.sum("_n").alias("n")]
+    if agg_col is not None:
+        aggs1.append(F.sum(F.col(agg_col).cast("decimal(30,4)")).alias("_s"))
+        aggs2.append(F.sum("_s").cast("decimal(38,4)").alias(f"sum_{agg_col}"))
+    return (
+        salted.groupBy(key, "_salt")
+        .agg(*aggs1)
+        .groupBy(key)
+        .agg(*aggs2)
+    )
