@@ -80,6 +80,7 @@ def full_registry() -> dict[str, QuerySpec]:
         relational,
         stream_demo,
         text,
+        text2,
         tpch,
         tpch2,
         vectors,
@@ -87,7 +88,8 @@ def full_registry() -> dict[str, QuerySpec]:
 
     out: dict[str, QuerySpec] = {}
     for mod in (tpch, tpch2, relational, funcdemo, text, vectors,
-                events, dml_demo, stream_demo, multimodal, extension, edges):
+                events, dml_demo, stream_demo, multimodal, extension, edges,
+                text2):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

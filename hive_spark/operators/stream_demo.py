@@ -38,7 +38,58 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.stream_session_upsert(spark, sf_dir)
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: streaming events inner-join the
+    static customer dimension (stateless per micro-batch — each batch
+    joins against the broadcast static side; the 100 TB pattern for
+    dimension enrichment in ingest pipelines). Final parquet sink content
+    equals the batch join."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hive_spark.streaming import _SCRATCH, _chunked_source, _run, read_stream
+
+    views(spark, sf_dir)
+    src = _chunked_source(spark, sf_dir, "ssj")
+    out = os.path.join(_SCRATCH, f"ssj_out_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    customer = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = read_stream(spark, src).join(customer, "user_id", "inner")
+    _run(
+        lambda cp: enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(),
+        os.path.join(_SCRATCH, "cp_ssj"),
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(28,4)").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+_SSJ_SQL = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "stream_static_join": QuerySpec(stream_static_join, _SSJ_SQL),
     "stream_tumbling": QuerySpec(stream_tumbling, _TUMBLING_SQL),
     "stream_dedup": QuerySpec(stream_dedup, _DEDUP_SQL),
     "stream_session": QuerySpec(stream_session, _SESSION_SQL),
