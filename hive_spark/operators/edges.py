@@ -130,7 +130,77 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+# grouping__id bit order (SURVEY §7 hard list): leftmost GROUP BY column is
+# the MOST significant bit (Hive ≥2.3 and Spark agree; pinned vs DuckDB's
+# per-column GROUPING() composed explicitly).
+_GROUPING_ID_SPARK = """
+SELECT r_name, n_name, CAST(grouping_id() AS INT) AS gid,
+       COUNT(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name GROUPING SETS ((r_name, n_name), (r_name), ())
+ORDER BY gid, r_name, n_name
+"""
+
+_GROUPING_ID_DUCK = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+       COUNT(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+ORDER BY gid, r_name, n_name
+"""
+
+
+# xpath family (Hive UDFXPath*, SURVEY §2.11 JSON/URL/XML) over synthesized
+# XML; DuckDB has no xpath so the oracle recomputes via regexp/arithmetic.
+_XPATH_SPARK = """
+WITH x AS (
+    SELECT n_nationkey,
+           concat('<nation><id>', CAST(n_nationkey AS STRING),
+                  '</id><region>', CAST(n_regionkey AS STRING),
+                  '</region></nation>') AS xml
+    FROM nation
+)
+SELECT n_nationkey,
+       xpath_int(xml, '/nation/id') AS id_val,
+       xpath_int(xml, '/nation/region') AS region_val,
+       CAST(xpath_boolean(xml, '/nation/id > 10') AS BOOLEAN) AS id_gt_10,
+       size(xpath(xml, '/nation/*')) AS n_children
+FROM x ORDER BY n_nationkey
+"""
+
+_XPATH_DUCK = """
+SELECT n_nationkey,
+       n_nationkey AS id_val,
+       n_regionkey AS region_val,
+       n_nationkey > 10 AS id_gt_10,
+       2 AS n_children
+FROM nation ORDER BY n_nationkey
+"""
+
+
+# VARIANT (semi-structured, Hive VariantTypeInfo / serde2/variant — new):
+# Spark 4 parse_json/variant_get vs DuckDB native JSON operators.
+_VARIANT_SPARK = """
+SELECT event_type,
+       SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k,
+       COUNT(CASE WHEN variant_get(parse_json(props), '$.k', 'bigint') > 50
+                  THEN 1 END) AS n_big
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+_VARIANT_DUCK = """
+SELECT event_type,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       COUNT(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 END) AS n_big
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "edge_grouping_id": QuerySpec(_mk(_GROUPING_ID_SPARK), _GROUPING_ID_DUCK),
+    "func_xpath": QuerySpec(_mk(_XPATH_SPARK), _XPATH_DUCK),
+    "edge_variant": QuerySpec(_mk(_VARIANT_SPARK), _VARIANT_DUCK),
     "edge_null_safe_join": QuerySpec(_mk(_NULL_SAFE_SPARK), _NULL_SAFE_DUCK),
     "edge_nulls_last_order": QuerySpec(_mk(_NULLS_LAST_SPARK), _NULLS_LAST_DUCK),
     "edge_exact_percentile": QuerySpec(_mk(_PCTL_SPARK), _PCTL_DUCK),
