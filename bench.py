@@ -31,13 +31,18 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q9",
+    "tpch_q13",
     "tpch_q18",
+    "tpch_q21",
     "window_rank",
     "agg_rollup",
     "events_session",
+    "events_tumbling",
     "text_stats",
     "dedup_minhash_lsh",
     "knn_lsh_bucketed",
+    "mm_features",
 ]
 
 

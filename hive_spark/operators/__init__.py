@@ -59,13 +59,29 @@ def ensure_engine(spark: SparkSession) -> None:
         _FUNCS_REGISTERED.add(key)
 
 
+_VIEWS_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# sf_dir whose views are CURRENTLY registered per session — table NAMES
+# resolve to the last registration, so a cache hit is only valid while
+# this session's active dir matches (queries alternate dirs: entry runs
+# sf0.001, correctness runs sf0.01, possibly in one session).
+_ACTIVE_SF: dict[int, str] = {}
+
+
 def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register the testdata tables as temp views on this session and
-    return them. Cheap (metadata only) — safe to call per query."""
+    return them. Memoized while sf_dir stays the active registration:
+    registration reads parquet footers for every table, which adds up
+    across a 100-query registry run."""
     from hive_spark.session import register_views
 
+    sid = id(spark)
+    if _ACTIVE_SF.get(sid) == sf_dir:
+        return _VIEWS_CACHE[(sid, sf_dir)]
     ensure_engine(spark)
-    return register_views(spark, sf_dir)
+    out = register_views(spark, sf_dir)
+    _VIEWS_CACHE[(sid, sf_dir)] = out
+    _ACTIVE_SF[sid] = sf_dir
+    return out
 
 
 def full_registry() -> dict[str, QuerySpec]:
