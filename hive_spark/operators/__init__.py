@@ -92,6 +92,7 @@ def full_registry() -> dict[str, QuerySpec]:
         events,
         extension,
         funcdemo,
+        misc,
         multimodal,
         relational,
         stream_demo,
@@ -105,7 +106,7 @@ def full_registry() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
     for mod in (tpch, tpch2, relational, funcdemo, text, vectors,
                 events, dml_demo, stream_demo, multimodal, extension, edges,
-                text2):
+                text2, misc):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,116 @@
+"""Remaining inventory odds and ends.
+
+- approx sketches: Hive registers the DataSketches family under `ds_*`
+  prefixes (ref: ql/src/java/org/apache/hadoop/hive/ql/exec/
+  DataSketchesFunctions.java, registered FunctionRegistry.java:581) and
+  rewrites count(distinct)->ds_hll under a CBO rule
+  (HiveRewriteToDataSketchesRules.java). The Spark-native intent carriers
+  are approx_count_distinct (HLL++) and approx_percentile — probabilistic,
+  so the driver records a rows-only check; the unit test bounds the error
+  against exact values.
+- virtual columns (ref: ql/.../metadata/VirtualColumn.java:46-70 —
+  INPUT__FILE__NAME, ROW__POSITION...): Spark input_file_name() and the
+  _metadata hidden struct; oracle via DuckDB read_parquet(filename=true).
+- UNIONTYPE<...> (ref: serde UnionTypeInfo.java): no Spark union type —
+  emulated as a (tag, struct) pair per SURVEY §1.2, with tag-dispatched
+  extraction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_spark.operators import QuerySpec, views
+
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count + approximate percentile per returnflag
+    (the ds_hll / ds_kll capability, Spark-native)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               approx_count_distinct(l_orderkey, 0.01) AS approx_orders,
+               approx_percentile(l_quantity, 0.5, 1000) AS approx_median_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+def virtual_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INPUT__FILE__NAME / ROW-metadata virtual columns: per-file counts
+    (basename only, so the oracle is path-independent)."""
+    views(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name"),
+            F.col("_metadata.file_name").alias("meta_file_name"),
+        )
+        .groupBy("file_name", "meta_file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("file_name")
+    )
+
+
+_VIRTUAL_SQL = """
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       regexp_extract(filename, '([^/]+)$', 1) AS meta_file_name,
+       COUNT(*) AS n_rows
+FROM read_parquet('{sf}/nation.parquet', filename=true)
+GROUP BY 1, 2 ORDER BY file_name
+"""
+
+
+def uniontype_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIONTYPE<int, string> as (tag, payload-struct): even keys carry an
+    int, odd keys a string; extraction dispatches on the tag (the
+    create_union/extract_union surface, SURVEY §1.2)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH u AS (
+            SELECT n_nationkey,
+                   CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END AS tag,
+                   named_struct(
+                       'i', CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey END,
+                       's', CASE WHEN n_nationkey % 2 = 1 THEN n_name END
+                   ) AS payload
+            FROM nation
+        )
+        SELECT n_nationkey, tag,
+               CASE WHEN tag = 0 THEN CAST(payload.i AS STRING)
+                    ELSE payload.s END AS extracted
+        FROM u ORDER BY n_nationkey
+        """
+    )
+
+
+_UNION_SQL = """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END AS tag,
+       CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_regionkey AS VARCHAR)
+            ELSE n_name END AS extracted
+FROM nation ORDER BY n_nationkey
+"""
+
+
+def _virtual_oracle_factory(sql_template: str):
+    """Oracle SQL runs verbatim (no per-run templating), and
+    read_parquet(filename=true) needs a literal path — so the oracle is
+    pinned to the driver's correctness dir (sf0.01)."""
+    return sql_template.format(sf="/root/testdata/sf0.01")
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "agg_approx_sketches": QuerySpec(
+        approx_sketches, None, "probabilistic (HLL/KLL) — rows-only"
+    ),
+    "virtual_columns": QuerySpec(
+        virtual_columns, _virtual_oracle_factory(_VIRTUAL_SQL)
+    ),
+    "uniontype_emulation": QuerySpec(uniontype_emulation, _UNION_SQL),
+}

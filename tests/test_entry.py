@@ -25,5 +25,8 @@ def test_queries_and_oracles_aligned():
     assert len(q) >= 50, f"registry too small: {len(q)}"
     assert set(o) <= set(q)
     missing = set(q) - set(o)
-    # only murmur-hash sketch ops may skip the oracle
-    assert all("minhash" in m or "simhash" in m or "lsh" in m for m in missing), missing
+    # only probabilistic sketch ops may skip the oracle
+    assert all(
+        "minhash" in m or "simhash" in m or "lsh" in m or "approx" in m
+        for m in missing
+    ), missing
