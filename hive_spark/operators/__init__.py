@@ -34,6 +34,8 @@ class QuerySpec:
 # queries run. Everything here is runtime-settable (no JVM restart).
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # Hive NULL-on-error semantics (div/0, bad casts) vs Spark 4 ANSI default
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -88,7 +88,20 @@ ORDER BY c_mktsegment, event_type
 """
 
 
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return streaming.stream_custom_state(spark, sf_dir)
+
+
+_CUSTOM_STATE_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "stream_custom_state": QuerySpec(stream_custom_state, _CUSTOM_STATE_SQL),
     "stream_static_join": QuerySpec(stream_static_join, _SSJ_SQL),
     "stream_tumbling": QuerySpec(stream_tumbling, _TUMBLING_SQL),
     "stream_dedup": QuerySpec(stream_dedup, _DEDUP_SQL),

@@ -62,6 +62,10 @@ def get_session(
         .master(master)
         # -- determinism / oracle parity --------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # Hive semantics: x/0 -> NULL, invalid cast -> NULL, silent overflow
+        # (Spark 4 defaults ANSI=true, which ERRORS on all three — a real
+        # behavior divergence for any query over dirty data)
+        .config("spark.sql.ansi.enabled", "false")
         # -- optimizer: everything Hive's Optimizer.java does, built in --
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

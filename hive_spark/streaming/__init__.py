@@ -230,3 +230,61 @@ def stream_session_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .orderBy("user_id", "session_start")
     )
+
+
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals maintained in explicit GroupState across micro-batches
+    (the escape hatch for operators session_window/window can't express —
+    Hive has no analog at all, SURVEY §2.10). Each batch emits the user's
+    updated running total; the LAST emission per user equals the batch
+    aggregate, which is what the oracle checks."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _chunked_source(spark, sf_dir, "cst")
+
+    def track(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact cents: float values have 2 decimals
+            total += int(round(pdf["value"].sum() * 100))
+        state.update((n, total))
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
+        )
+
+    updates: dict[int, tuple] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            updates[r.user_id] = (r.user_id, r.n_events, r.total_cents)
+
+    q = (
+        read_stream(spark, src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+            stateStructType="n bigint, total bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run(
+        lambda cp: q.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start(),
+        os.path.join(_SCRATCH, "cp_cst"),
+    )
+    return (
+        spark.createDataFrame(
+            sorted(updates.values()),
+            "user_id bigint, n_events bigint, total_cents bigint",
+        )
+        .orderBy("user_id")
+    )

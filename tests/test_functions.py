@@ -191,3 +191,14 @@ def test_null_ordering_helpers(spark):
         "SELECT x FROM VALUES (1), (NULL), (2) t(x) ORDER BY x ASC NULLS LAST"
     ).collect()
     assert [r.x for r in rows] == [1, 2, None]
+
+
+def test_division_by_zero_yields_null(spark):
+    """Hive (and non-ANSI Spark) return NULL for x/0, 0/0, pmod(x,0) —
+    not an error, unlike ANSI engines (pinned: the engine keeps
+    spark.sql.ansi.enabled at its Hive-compatible default)."""
+    row = spark.sql(
+        "SELECT 1/0 AS a, 0/0 AS b, 1 div 0 AS c, pmod(5, 0) AS d, 5 % 0 AS e"
+    ).collect()[0]
+    assert row.a is None and row.b is None and row.c is None
+    assert row.d is None and row.e is None

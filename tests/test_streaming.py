@@ -10,3 +10,10 @@ from tests.oracle_check import compare
 def test_stream_oracle(spark, sf_dir, name):
     spec = stream_demo.REGISTRY[name]
     compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+
+
+def test_custom_state_final_equals_batch(spark, sf_dir):
+    from hive_spark.operators.stream_demo import REGISTRY
+
+    spec = REGISTRY["stream_custom_state"]
+    compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
