@@ -1,0 +1,188 @@
+"""Hive canonical qtest fixtures, synthesized (FIXTURES.md §B / SURVEY §5).
+
+Hive's golden-file tests run over a handful of canonical tables — src
+(string kv), srcpart (partitioned), alltypes (every primitive, heavy
+NULLs). This module synthesizes deterministic equivalents, writes them as
+parquet, and replays classic qtest query shapes against a DuckDB oracle
+over the same files — the engine-side adoption of Hive's test strategy
+(ref: ql/src/test/queries/clientpositive/, data/files/datasets/src/
+load.hive.sql:1, .../srcpart/load.hive.sql:1-16,
+.../alltypesorc/load.hive.sql:1-14).
+"""
+
+import os
+import shutil
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SCRATCH = "/tmp/hive_spark_qtest"
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    """src(key string, value string) 500 rows with dup keys;
+    srcpart = src x (ds, hr) partitions; alltypes with ~1/3 NULLs."""
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH)
+
+    src = spark.range(500).select(
+        F.concat(F.lit(""), (F.col("id") * 7 % 499).cast("string")).alias("key"),
+        F.concat(F.lit("val_"), (F.col("id") * 7 % 499).cast("string")).alias("value"),
+    )
+    src.write.parquet(f"{SCRATCH}/src")
+
+    srcpart = (
+        src.crossJoin(
+            spark.createDataFrame(
+                [("2008-04-08", "11"), ("2008-04-08", "12"),
+                 ("2008-04-09", "11"), ("2008-04-09", "12")],
+                "ds string, hr string",
+            )
+        )
+    )
+    srcpart.write.partitionBy("ds", "hr").parquet(f"{SCRATCH}/srcpart")
+
+    alltypes = spark.range(1000).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 128 - 64).cast("tinyint")).alias("ctinyint"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise((F.col("id") * 13 % 30000).cast("smallint")).alias("csmallint"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise((F.col("id") * 104729 % 1000003).cast("int")).alias("cint"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") * 2654435761).cast("bigint")).alias("cbigint"),
+        F.when(F.col("id") % 3 == 1, None)
+        .otherwise((F.col("id") % 97).cast("double") / 7).alias("cdouble"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 50).cast("string"))).alias("cstring1"),
+        F.when(F.col("id") % 2 == 0, None)
+        .otherwise(F.col("id") % 2 == 1).alias("cboolean1"),
+    )
+    alltypes.write.parquet(f"{SCRATCH}/alltypes")
+
+    con = duckdb.connect()
+    for t in ("src", "alltypes"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SCRATCH}/{t}/*.parquet')"
+        )
+    con.execute(
+        "CREATE VIEW srcpart AS SELECT * FROM read_parquet("
+        f"'{SCRATCH}/srcpart/*/*/*.parquet', hive_partitioning=true)"
+    )
+    for t in ("src", "alltypes"):
+        spark.read.parquet(f"{SCRATCH}/{t}").createOrReplaceTempView(f"q_{t}")
+    spark.read.parquet(f"{SCRATCH}/srcpart").createOrReplaceTempView("q_srcpart")
+    yield con
+
+
+def _cmp(spark, con, spark_sql, duck_sql=None):
+    from tests.oracle_check import _rows
+
+    sdf = spark.sql(spark_sql)
+    cur = con.sql(duck_sql or spark_sql.replace("q_src", "src").replace(
+        "q_alltypes", "alltypes").replace("q_srcpart", "srcpart"))
+    assert sorted(sdf.columns) == sorted(cur.columns)
+    a = _rows([tuple(r) for r in sdf.collect()], sdf.columns)
+    b = _rows(cur.fetchall(), cur.columns)
+    assert a == b, f"mismatch: {a[:3]} vs {b[:3]}"
+
+
+def test_src_groupby_join(spark, fixtures):
+    """The classic qtest shape: self-join on string key + group-by
+    (string keys compare/join with dup handling)."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT a.key, COUNT(*) AS n
+           FROM q_src a JOIN q_src b ON a.key = b.key
+           GROUP BY a.key ORDER BY n DESC, a.key LIMIT 20""",
+        """SELECT a.key, COUNT(*) AS n
+           FROM src a JOIN src b ON a.key = b.key
+           GROUP BY a.key ORDER BY n DESC, a.key LIMIT 20""",
+    )
+
+
+def test_srcpart_partition_pruning(spark, fixtures):
+    """Static partition predicate (Hive PartitionPruner): one (ds, hr)
+    pair scanned, values correct."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT ds, hr, COUNT(*) AS n, MIN(key) AS min_key
+           FROM q_srcpart WHERE ds = '2008-04-08' AND hr = '11'
+           GROUP BY ds, hr ORDER BY ds, hr""",
+        """SELECT ds, hr, COUNT(*) AS n, MIN(key) AS min_key
+           FROM srcpart WHERE ds = '2008-04-08' AND hr = '11'
+           GROUP BY ds, hr ORDER BY ds, hr""",
+    )
+    # plan-level: only one of four partitions survives pruning
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.sql(
+            "SELECT COUNT(*) FROM q_srcpart WHERE ds = '2008-04-08' AND hr = '11'"
+        ).explain(True)
+    assert "2008-04-09" not in buf.getvalue()
+
+
+def test_alltypes_null_semantics(spark, fixtures):
+    """NULL-heavy aggregation parity across every primitive (Hive
+    alltypesorc exercises NULL handling through the vectorized path)."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT COUNT(*) AS n_rows,
+                  COUNT(ctinyint) AS n_tiny,
+                  COUNT(csmallint) AS n_small,
+                  COUNT(cint) AS n_int,
+                  COUNT(cbigint) AS n_big,
+                  SUM(CAST(cint AS BIGINT)) AS sum_int,
+                  MIN(cstring1) AS min_str,
+                  COUNT(CASE WHEN cboolean1 THEN 1 END) AS n_true
+           FROM q_alltypes""",
+        """SELECT COUNT(*) AS n_rows,
+                  COUNT(ctinyint) AS n_tiny,
+                  COUNT(csmallint) AS n_small,
+                  COUNT(cint) AS n_int,
+                  COUNT(cbigint) AS n_big,
+                  SUM(CAST(cint AS BIGINT)) AS sum_int,
+                  MIN(cstring1) AS min_str,
+                  COUNT(CASE WHEN cboolean1 THEN 1 END) AS n_true
+           FROM alltypes""",
+    )
+
+
+def test_string_number_coercion_on_src(spark, fixtures):
+    """Hive compares string keys to numbers numerically (qtest staple:
+    WHERE key < 100 on a string column)."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT key, value FROM q_src WHERE key < 100
+           ORDER BY CAST(key AS INT), value""",
+        """SELECT key, value FROM src WHERE CAST(key AS INT) < 100
+           ORDER BY CAST(key AS INT), value""",
+    )
+
+
+def test_dynamic_partition_pruning_join(spark, fixtures):
+    """DPP shape: fact (srcpart) joined to a filtered dim — Hive's
+    DynamicPartitionPruningOptimization (ref ql/.../optimizer/
+    DynamicPartitionPruningOptimization.java:96); Spark DPP handles the
+    runtime pruning, results must match the oracle."""
+    _cmp(
+        spark,
+        fixtures,
+        """WITH dim AS (SELECT '2008-04-08' AS ds)
+           SELECT p.ds, COUNT(*) AS n
+           FROM q_srcpart p JOIN dim d ON p.ds = d.ds
+           GROUP BY p.ds ORDER BY p.ds""",
+        """WITH dim AS (SELECT '2008-04-08' AS ds)
+           SELECT p.ds, COUNT(*) AS n
+           FROM srcpart p JOIN dim d ON p.ds = d.ds
+           GROUP BY p.ds ORDER BY p.ds""",
+    )
