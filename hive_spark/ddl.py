@@ -19,6 +19,8 @@ StatsRulesProcFactory selectivities).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 STORAGE_FORMATS = ("parquet", "orc", "json", "csv", "text")
@@ -74,6 +76,43 @@ def table_stats(spark: SparkSession, name: str) -> dict[str, str]:
         if r.col_name and r.data_type:
             out[r.col_name.strip()] = str(r.data_type).strip()
     return out
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction (Hive: ALTER TABLE ... CONCATENATE + the
+    background compactor, ref ql/src/java/org/apache/hadoop/hive/ql/txn/
+    compactor/Compactor.java): rewrite a parquet dir into
+    ceil(total_bytes / target) files. Returns the new file count.
+
+    The 100 TB story: streaming/micro-batch sinks accumulate small files
+    that wreck scan parallelism and NameNode/listing costs; periodic
+    compaction keeps file sizes near the scan split size so one task
+    reads one file."""
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._compact"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    return n_files
 
 
 def round_trip(

@@ -164,3 +164,36 @@ def test_show_describe_surface(spark, sf_dir):
     assert {"nation", "orders", "lineitem"} <= tables
     desc = {r.col_name: r.data_type for r in spark.sql("DESCRIBE nation").collect()}
     assert desc["n_nationkey"] == "int"
+
+
+def test_compaction_merges_small_files(spark, sf_dir):
+    """Hive compactor analog: 32 tiny files -> 1, data unchanged."""
+    from hive_spark.operators import views
+
+    t = views(spark, sf_dir)
+    path = f"{SCRATCH}/compact_tbl"
+    shutil.rmtree(path, ignore_errors=True)
+    t["orders"].repartition(32).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 32
+    before = t["orders"].count()
+    n_files = ddl.compact(spark, path)
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_after == n_files == 1
+    assert spark.read.parquet(path).count() == before
+
+
+def test_parameterized_sql(spark, sf_dir):
+    """PREPARE/EXECUTE equivalent: named-parameter spark.sql (Hive
+    PrepareStatementParser.g surface, SURVEY §2.14)."""
+    from hive_spark.operators import views
+
+    views(spark, sf_dir)
+    df = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = :status",
+        args={"status": "F"},
+    )
+    direct = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F'"
+    )
+    assert df.collect() == direct.collect()
