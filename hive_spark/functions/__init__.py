@@ -143,3 +143,49 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("field", _py_field, T.IntegerType())
     spark.udf.register("likeany", _py_likeany, T.BooleanType())
     spark.udf.register("likeall", _py_likeall, T.BooleanType())
+
+
+# ---------------------------------------------------------------------------
+# Column-builder helpers for gap functions whose signatures SQL UDFs can't
+# express (field-name / file-path parameters resolve at plan-build time)
+# ---------------------------------------------------------------------------
+
+
+def sort_array_by(col, field: str, ascending: bool = True):
+    """Hive sort_array_by(array<struct>, fieldName) (ref: ql/.../udf/
+    generic/GenericUDFSortArrayByField.java): array_sort with a comparator
+    on the named struct field, built JVM-side (no Python in the path)."""
+    from pyspark.sql import functions as F
+
+    sign = 1 if ascending else -1
+
+    def cmp(a, b):
+        return (
+            F.when(a[field] < b[field], -1 * sign)
+            .when(a[field] > b[field], 1 * sign)
+            .otherwise(0)
+        )
+
+    return F.array_sort(col, cmp)
+
+
+def in_file(col, path: str):
+    """Hive in_file(str, filename) (ref: ql/.../udf/generic/
+    GenericUDFInFile.java): membership against a line-per-value file.
+    The file is read once at plan build and shipped as a literal set —
+    the broadcast-hash-set shape, correct for the dimension-file sizes
+    this function is meant for."""
+    with open(path) as f:
+        values = [line.rstrip("\n") for line in f]
+    return col.isin(*values) if values else col.isNull() & col.isNotNull()
+
+
+def surrogate_key():
+    """Hive surrogate_key() (ref: ql/.../udf/generic/
+    GenericUDFSurrogateKey.java): unique 64-bit id per written row.
+    monotonically_increasing_id gives (partition_id << 33 | row_in_
+    partition) — unique across the job, not consecutive (same contract
+    as Hive's writeId/taskId/rowId packing)."""
+    from pyspark.sql import functions as F
+
+    return F.monotonically_increasing_id()

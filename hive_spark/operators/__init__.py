@@ -96,6 +96,7 @@ def full_registry() -> dict[str, QuerySpec]:
         funcdemo,
         misc,
         multimodal,
+        pipeline,
         relational,
         stream_demo,
         text,
@@ -108,7 +109,7 @@ def full_registry() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
     for mod in (tpch, tpch2, relational, funcdemo, text, vectors,
                 events, dml_demo, stream_demo, multimodal, extension, edges,
-                text2, misc):
+                text2, misc, pipeline):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -202,3 +202,43 @@ def test_division_by_zero_yields_null(spark):
     ).collect()[0]
     assert row.a is None and row.b is None and row.c is None
     assert row.d is None and row.e is None
+
+
+def test_sort_array_by(spark):
+    from pyspark.sql import functions as F
+
+    from hive_spark.functions import sort_array_by
+
+    df = spark.sql(
+        """SELECT array(named_struct('k', 3, 'v', 'c'),
+                        named_struct('k', 1, 'v', 'a'),
+                        named_struct('k', 2, 'v', 'b')) AS arr"""
+    ).select(sort_array_by(F.col("arr"), "k").alias("s"))
+    row = df.collect()[0]
+    assert [x.k for x in row.s] == [1, 2, 3]
+    desc = df.sparkSession.sql(
+        """SELECT array(named_struct('k', 1), named_struct('k', 3),
+                        named_struct('k', 2)) AS arr"""
+    ).select(sort_array_by(F.col("arr"), "k", ascending=False).alias("s"))
+    assert [x.k for x in desc.collect()[0].s] == [3, 2, 1]
+
+
+def test_in_file(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hive_spark.functions import in_file
+
+    p = tmp_path / "allow.txt"
+    p.write_text("AFRICA\nEUROPE\n")
+    views_df = spark.createDataFrame(
+        [("AFRICA",), ("ASIA",), ("EUROPE",)], "name string"
+    )
+    kept = views_df.filter(in_file(F.col("name"), str(p))).collect()
+    assert sorted(r.name for r in kept) == ["AFRICA", "EUROPE"]
+
+
+def test_surrogate_key_unique(spark):
+    from hive_spark.functions import surrogate_key
+
+    df = spark.range(10000).repartition(8).select(surrogate_key().alias("sk"))
+    assert df.select("sk").distinct().count() == 10000
