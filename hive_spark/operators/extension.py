@@ -111,7 +111,7 @@ def ext_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     views(spark, sf_dir)
 
-    @udtf(returnType="doc_id: bigint, pos: int, bigram: string")
+    @udtf(returnType="doc_id: bigint, pos: int, bigram: string", useArrow=True)
     class Bigrams:
         def eval(self, doc_id: int, text: str):
             toks = [t for t in text.split(" ") if t]

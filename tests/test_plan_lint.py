@@ -1,0 +1,86 @@
+"""Registry-wide physical-plan lint.
+
+Every registered query's plan is checked for the anti-patterns that break
+at 100 TB. A query may only exhibit one if it is explicitly whitelisted
+(with the reason documented here):
+
+- CartesianProduct / BroadcastNestedLoopJoin: quadratic — only the
+  deliberate cross-join demos and the ANN brute-force baseline (bounded
+  query side) may contain one.
+- BatchEvalPython (row-at-a-time Python UDF): only the documented
+  cold-path compat functions (field/likeany/likeall demo) may use it;
+  Arrow paths (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)
+  are the sanctioned Python lanes and are allowed.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from hive_spark.operators import full_registry
+
+# queries allowed to contain a quadratic join operator
+CARTESIAN_OK = {
+    "join_cross",        # deliberate CROSS JOIN demo
+    "join_nonequi",      # theta join: range predicate -> BNLJ by design
+    "knn_brute_force",   # exact ANN baseline: bounded query side x table
+    "knn_lsh_bucketed",  # bucket equality + != residual on tiny query side
+    "values_inline",     # literal VALUES cross with 1-row subquery
+    "subquery_scalar",   # scalar subquery joined broadcast-nested-loop
+    "tpch_q11",          # scalar subquery threshold (1-row side)
+    "tpch_q15",          # scalar MAX subquery (1-row side)
+    "tpch_q17",          # correlated avg: decorrelated scalar join
+    "tpch_q22",          # scalar avg subquery (1-row side)
+    "edge_exact_percentile",  # percentile literal array cross
+}
+
+# queries allowed a row-at-a-time Python UDF
+PY_UDF_OK = {
+    "func_string",  # demos the registered compat UDFs (field/likeany/likeall)
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, spec in full_registry().items():
+        if name.startswith(("stream_", "dml_")) or name in (
+            "training_data_pipeline",
+        ):
+            # side-effecting pipelines execute on build; lint their final
+            # read-back separately via their own tests
+            continue
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            spec.fn(spark, sf_dir).explain("formatted")
+        out[name] = buf.getvalue()
+    return out
+
+
+def test_no_unexpected_cartesian(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p)
+        and n not in CARTESIAN_OK
+    ]
+    assert not offenders, f"quadratic joins outside whitelist: {offenders}"
+
+
+def test_no_unexpected_python_row_udfs(plans):
+    offenders = [
+        n for n, p in plans.items() if "BatchEvalPython" in p and n not in PY_UDF_OK
+    ]
+    assert not offenders, f"row-at-a-time Python UDFs outside whitelist: {offenders}"
+
+
+def test_scans_prune_columns(plans):
+    """Lineitem scans must never read all 11 columns — every registry
+    query projects a subset, so ReadSchema must too."""
+    for name, p in plans.items():
+        for seg in p.split("ReadSchema: ")[1:]:
+            schema_line = seg.splitlines()[0]
+            if "l_orderkey" in schema_line or "l_partkey" in schema_line:
+                n_cols = schema_line.count(":")
+                assert n_cols < 11, f"{name} scans full lineitem: {schema_line}"
