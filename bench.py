@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_lsh_bucketed",
     "mm_features",
+    "training_data_pipeline",
 ]
 
 
