@@ -110,3 +110,27 @@ def test_session_confs(spark):
     assert (
         spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
     )
+
+
+def test_nested_schema_pruning_on_stored_structs(spark, sf_dir, registry):
+    """Nested-column pruning (Hive HiveRelFieldTrimmer incl. nested —
+    Catalyst nested-schema pruning): reading one struct field from a
+    STORED struct column must scan only that subfield."""
+    import shutil
+
+    from hive_spark.operators import views
+
+    t = views(spark, sf_dir)
+    path = "/tmp/hive_spark_nested"
+    shutil.rmtree(path, ignore_errors=True)
+    import pyspark.sql.functions as F
+
+    t["customer"].select(
+        "c_custkey",
+        F.struct("c_name", "c_acctbal", "c_mktsegment").alias("info"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path).select("c_custkey", "info.c_mktsegment")
+    plan = explain(df)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "c_mktsegment" in read_schema
+    assert "c_acctbal" not in read_schema, f"nested pruning failed: {read_schema}"
