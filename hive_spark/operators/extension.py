@@ -22,8 +22,6 @@ expression elsewhere in the engine is one.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession

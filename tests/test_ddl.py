@@ -197,3 +197,21 @@ def test_parameterized_sql(spark, sf_dir):
         "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F'"
     )
     assert df.collect() == direct.collect()
+
+
+def test_analyze_stats_reach_cbo_costs(spark, sf_dir):
+    """EXPLAIN COST must show real rowCount after ANALYZE — the signal
+    Spark's CBO join reordering consumes (Hive: StatsRulesProcFactory
+    selectivities over metastore column stats)."""
+    from hive_spark.operators import views
+
+    views(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS ddl_stats")
+    ddl.ctas(spark, "ddl_stats", "SELECT * FROM nation")
+    ddl.analyze(spark, "ddl_stats")
+    cost = "\n".join(
+        r.plan for r in spark.sql(
+            "EXPLAIN COST SELECT n_regionkey, COUNT(*) FROM ddl_stats GROUP BY 1"
+        ).collect()
+    )
+    assert "rowCount=25" in cost.replace(" ", "").replace("25.0", "25"), cost[:500]
