@@ -150,7 +150,70 @@ GROUP BY label ORDER BY label
 """
 
 
+_COS_T = 0.9  # near-dup threshold
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: per-vector cluster assignment =
+    min vec_id among same-bucket vectors with cosine >= threshold
+    (including itself). O(N) output; candidate pairs only within sign
+    buckets (identical/near-identical vectors share buckets by
+    construction, so exact dups always merge). Quantized-integer dots ->
+    fully DuckDB-oracle-checked. The synthetic corpus has no near-dups
+    (max pairwise cosine ~0.44), so on raw data every vector keeps itself
+    — the merge path is exercised by the constructed-duplicates test."""
+    views(spark, sf_dir)
+    _spark_knn(spark, with_buckets=True)  # registers _emb with norm2q+bucket
+    dot = _DOTQ.format(a="a.embedding", b="b.embedding")
+    return spark.sql(
+        f"""
+        SELECT a.vec_id,
+               MIN(CASE WHEN CAST({dot} AS DOUBLE)
+                             / (SQRT(CAST(a.norm2q AS DOUBLE))
+                                * SQRT(CAST(b.norm2q AS DOUBLE))) >= {_COS_T}
+                        THEN b.vec_id END) AS cluster_id,
+               CAST(a.vec_id = MIN(CASE WHEN CAST({dot} AS DOUBLE)
+                             / (SQRT(CAST(a.norm2q AS DOUBLE))
+                                * SQRT(CAST(b.norm2q AS DOUBLE))) >= {_COS_T}
+                        THEN b.vec_id END) AS BOOLEAN) AS kept
+        FROM _emb a JOIN _emb b ON a.bucket = b.bucket
+        GROUP BY a.vec_id
+        ORDER BY a.vec_id
+        """
+    )
+
+
+def _duck_dedup_cosine() -> str:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(embedding[{8 * i + 1}:{8 * i + 8}], "
+        f"v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT))) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    dot = _DUCK_DOTQ.format(a="a.embedding", b="b.embedding")
+    norm = _DUCK_DOTQ.format(a="embedding", b="embedding")
+    return f"""
+WITH emb AS (
+    SELECT vec_id, embedding, {norm} AS norm2q, CAST({bucket_expr} AS INT) AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id,
+       MIN(CASE WHEN CAST({dot} AS DOUBLE)
+                     / (SQRT(CAST(a.norm2q AS DOUBLE))
+                        * SQRT(CAST(b.norm2q AS DOUBLE))) >= {_COS_T}
+                THEN b.vec_id END) AS cluster_id,
+       a.vec_id = MIN(CASE WHEN CAST({dot} AS DOUBLE)
+                     / (SQRT(CAST(a.norm2q AS DOUBLE))
+                        * SQRT(CAST(b.norm2q AS DOUBLE))) >= {_COS_T}
+                THEN b.vec_id END) AS kept
+FROM emb a JOIN emb b ON a.bucket = b.bucket
+GROUP BY a.vec_id
+ORDER BY a.vec_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _duck_dedup_cosine()),
     "knn_brute_force": QuerySpec(knn_brute_force, _duck_knn(False)),
     "knn_lsh_bucketed": QuerySpec(knn_lsh_bucketed, _duck_knn(True)),
     "embedding_norms": QuerySpec(embedding_norms, _EMB_NORMS_SQL),

@@ -25,3 +25,30 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     # every LSH neighbor pair is a valid (query, neighbor) pair by id
     for r in lsh_rows:
         assert r.query_id != r.neighbor_id
+
+
+def test_embedding_cosine_dedup_merges_duplicates(spark, sf_dir):
+    """Constructed exact duplicates (vec_id + 100000) must merge into the
+    original's cluster; raw vectors keep themselves (no near-dups in the
+    corpus)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark.operators import _ACTIVE_SF, views
+
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    emb.unionAll(
+        emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    ).createOrReplaceTempView("embeddings")
+    try:
+        rows = {
+            r.vec_id: r for r in vectors.dedup_embedding_cosine(spark, sf_dir).collect()
+        }
+        originals = [v for v in rows if v < 100000]
+        assert originals
+        for v in originals:
+            assert rows[v + 100000].cluster_id == rows[v].cluster_id == v
+            assert rows[v].kept and not rows[v + 100000].kept
+    finally:
+        _ACTIVE_SF.pop(id(spark), None)
+        views(spark, sf_dir)
