@@ -252,7 +252,52 @@ ORDER BY user_id
 """
 
 
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour, day, and month
+    granularities in ONE pass via GROUPING SETS over pre-computed time
+    buckets — the multi-resolution rollup a time-series store maintains,
+    expressed as a single scan + one grouping-sets aggregate (Spark
+    expands the sets map-side; no re-reads per granularity). Pair with
+    plans.MaterializedViews.refresh_partitions for the continuous part."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day'
+                    ELSE 'month' END AS grain,
+               unix_millis(CAST(coalesce(h, d, m) AS TIMESTAMP)) AS bucket_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_value
+        FROM (
+            SELECT value,
+                   date_trunc('HOUR', ts) AS h,
+                   date_trunc('DAY', ts) AS d,
+                   date_trunc('MONTH', ts) AS m
+            FROM events
+        )
+        GROUP BY GROUPING SETS ((h), (d), (m))
+        ORDER BY grain, bucket_ms
+        """
+    )
+
+
+_HYPERTABLE_SQL = """
+SELECT grain, bucket_ms, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_value
+FROM (
+    SELECT 'hour' AS grain, epoch_ms(date_trunc('hour', ts)) AS bucket_ms, value FROM events
+    UNION ALL
+    SELECT 'day', epoch_ms(date_trunc('day', ts)), value FROM events
+    UNION ALL
+    SELECT 'month', epoch_ms(date_trunc('month', ts)), value FROM events
+)
+GROUP BY grain, bucket_ms
+ORDER BY grain, bucket_ms
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "events_hypertable_rollup": QuerySpec(events_hypertable_rollup, _HYPERTABLE_SQL),
     "events_tumbling": QuerySpec(events_tumbling, _TUMBLING_SQL),
     "events_sliding": QuerySpec(events_sliding, _SLIDING_SQL),
     "events_session": QuerySpec(events_session, _SESSION_SQL),
