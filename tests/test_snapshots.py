@@ -1,0 +1,52 @@
+"""Versioned tables: time travel + snapshot isolation + retention."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_spark import snapshots
+from hive_spark.operators import views
+
+PATH = "/tmp/hive_spark_snap/tbl"
+
+
+def test_time_travel_versions(spark, sf_dir):
+    shutil.rmtree("/tmp/hive_spark_snap", ignore_errors=True)
+    t = views(spark, sf_dir)
+    v0 = snapshots.write_version(t["nation"], PATH)
+    v1 = snapshots.write_version(
+        t["nation"].withColumn("n_name", F.lower("n_name")), PATH
+    )
+    v2 = snapshots.write_version(t["nation"].filter("n_regionkey = 0"), PATH)
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert snapshots.current_version(PATH) == 2
+
+    # latest == v2
+    assert snapshots.read_table(spark, PATH).count() == 5
+    # VERSION AS OF 0: original rows
+    first = snapshots.read_table(spark, PATH, 0)
+    assert first.count() == 25
+    assert first.filter("n_name = lower(n_name)").count() == 0
+    # VERSION AS OF 1: lowercased
+    assert snapshots.read_table(spark, PATH, 1).filter(
+        "n_name = lower(n_name)"
+    ).count() == 25
+
+
+def test_snapshot_isolation_from_writers(spark, sf_dir):
+    """A reader that pinned v1 still sees v1 after two more writes."""
+    t = views(spark, sf_dir)
+    pinned = snapshots.read_table(spark, PATH, 1)
+    snapshots.write_version(t["region"], PATH)
+    snapshots.write_version(t["region"], PATH)
+    assert pinned.count() == 25  # still nation-v1, not region
+
+
+def test_retention_expires_old_versions(spark):
+    dropped = snapshots.expire(PATH, keep_last=2)
+    assert dropped  # something was expired
+    vs = snapshots.versions(PATH)
+    assert len(vs) == 2
+    with pytest.raises(FileNotFoundError, match="expired"):
+        snapshots.read_table(spark, PATH, dropped[0])
