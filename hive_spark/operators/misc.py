@@ -98,6 +98,69 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+def mv_rollup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV containment rewrite, end-to-end: materialize an aggregate MV on
+    lineitem grouped by (l_returnflag, l_linestatus), then answer a
+    COARSER query — filtered on one group key, grouped by the other — from
+    the MV alone (ref: ql/.../optimizer/calcite/rules/views/
+    HiveMaterializedViewRule.java aggregate-rollup rules). The oracle runs
+    the same query against the BASE table, so a hash match proves the
+    rollup derivation (sum<-sum, count<-sum, max<-max re-merge) is sound.
+
+    At scale: the MV has |flag|x|status| ~ 6 rows; the rewrite replaces a
+    full fact scan + shuffle with a 6-row parquet read."""
+    v = views(spark, sf_dir)
+    from hive_spark.plans import AggregateMV
+
+    base = v["lineitem"].select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    mv = AggregateMV(
+        spark,
+        f"li_flag_status_{os.path.basename(os.path.normpath(sf_dir))}",
+        base,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "s_qty": ("sum", "qty"),
+            "c_qty": ("count", "qty"),
+            "n": ("count", "*"),
+            "mx": ("max", "qty"),
+        },
+    )
+    out = mv.answer(
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "qty"),
+            "cnt_qty": ("count", "qty"),
+            "n_rows": ("count", "*"),
+            "max_qty": ("max", "qty"),
+        },
+        where=F.col("l_linestatus") == "F",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("decimal(38,2)").alias("sum_qty"),
+        "cnt_qty",
+        "n_rows",
+        F.col("max_qty").cast("decimal(18,2)").alias("max_qty"),
+    ).orderBy("l_returnflag")
+
+
+_MV_ROLLUP_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       COUNT(l_quantity) AS cnt_qty,
+       COUNT(*) AS n_rows,
+       CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_qty
+FROM lineitem
+WHERE l_linestatus = 'F'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def _virtual_oracle_factory(sql_template: str):
     """Oracle SQL runs verbatim (no per-run templating), and
     read_parquet(filename=true) needs a literal path — so the oracle is
@@ -113,4 +176,9 @@ REGISTRY: dict[str, QuerySpec] = {
         virtual_columns, _virtual_oracle_factory(_VIRTUAL_SQL)
     ),
     "uniontype_emulation": QuerySpec(uniontype_emulation, _UNION_SQL),
+    "mv_rollup_containment": QuerySpec(
+        mv_rollup_containment,
+        _MV_ROLLUP_SQL,
+        "aggregate MV answers a coarser filtered rollup; oracle = base table",
+    ),
 }

@@ -149,6 +149,116 @@ class MaterializedViews:
         return self.spark.read.parquet(path), True
 
 
+class AggregateMV:
+    """Aggregate materialized view with CONTAINMENT (rollup) rewrite —
+    the aggregate-matching subset of Hive's Calcite-based MV rewrite
+    (ref: ql/.../optimizer/calcite/rules/views/
+    HiveMaterializedViewRule.java — MaterializedViewAggregateRule family:
+    a query whose GROUP BY keys are a subset of the MV's keys and whose
+    aggregates are derivable from the MV's partials is answered from the
+    MV instead of the base table).
+
+    The MV stores one row per combination of ``group_keys`` with partial
+    aggregates declared in ``measures``: ``{out_name: (fn, col)}`` with
+    fn in {sum, count, min, max} (count col may be "*"). Derivability:
+
+    - sum(c)   <- SUM of the MV's sum(c) partial
+    - count(*) <- SUM of the MV's count(*) partial
+    - count(c) <- SUM of the MV's count(c) partial
+    - min/max  <- MIN/MAX of the same MV partial (idempotent re-merge)
+    - avg(c)   <- SUM(sum(c)) / SUM(count(c)) — needs both partials
+
+    Filters are accepted only over group keys (they select whole MV rows,
+    so they commute with the rollup; a predicate over a non-key column
+    would need base-table rows the MV has already collapsed — rejected).
+
+    At 100 TB this turns a full fact-table scan + shuffle into a scan of
+    an MV that is orders of magnitude smaller, and the rollup itself into
+    a near-free aggregation; the group-key filter prune reaches the MV's
+    parquet scan via ordinary pushdown.
+    """
+
+    _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        base_df: DataFrame,
+        group_keys: list[str],
+        measures: dict[str, tuple[str, str]],
+        root: str = "/tmp/hive_spark_aggmv",
+    ):
+        for out, (fn, col) in measures.items():
+            if fn not in self._MERGE:
+                raise ValueError(f"{out}: non-derivable aggregate {fn!r}")
+            if col == "*" and fn != "count":
+                raise ValueError(f"{out}: '*' only valid for count")
+        self.spark = spark
+        self.group_keys = list(group_keys)
+        self.measures = dict(measures)
+        self.path = os.path.join(root, name)
+        aggs = []
+        for out, (fn, col) in measures.items():
+            expr = F.count(F.lit(1)) if (fn, col) == ("count", "*") else getattr(F, fn)(col)
+            aggs.append(expr.alias(out))
+        base_df.groupBy(*group_keys).agg(*aggs).write.mode("overwrite").parquet(self.path)
+
+    def _find_partial(self, fn: str, col: str) -> str | None:
+        for out, spec in self.measures.items():
+            if spec == (fn, col):
+                return out
+        return None
+
+    def can_answer(
+        self, group_by: list[str], aggs: dict[str, tuple[str, str]]
+    ) -> bool:
+        if not set(group_by) <= set(self.group_keys):
+            return False
+        for fn, col in aggs.values():
+            if fn == "avg":
+                if self._find_partial("sum", col) is None or self._find_partial(
+                    "count", col
+                ) is None:
+                    return False
+            elif fn not in self._MERGE or self._find_partial(fn, col) is None:
+                return False
+        return True
+
+    def answer(
+        self,
+        group_by: list[str],
+        aggs: dict[str, tuple[str, str]],
+        where: F.Column | None = None,
+    ) -> DataFrame:
+        """Answer ``base.where(...).groupBy(group_by).agg(aggs)`` from the
+        MV. ``aggs`` is stated against the BASE table ({out: (fn, col)});
+        ``where`` must reference group keys only (validated)."""
+        if not self.can_answer(group_by, aggs):
+            raise ValueError("query is not contained in this MV")
+        mv = self.spark.read.parquet(self.path)
+        if where is not None:
+            refs = {
+                t for t in re.findall(r"'?([A-Za-z_][A-Za-z0-9_]*)'?", str(where._jc))
+            }
+            bad = refs & ({f.name for f in mv.schema.fields} - set(self.group_keys))
+            if bad:
+                raise ValueError(f"filter touches non-group-key columns: {bad}")
+            mv = mv.filter(where)
+        merged = []
+        for out, (fn, col) in aggs.items():
+            if fn == "avg":
+                s = self._find_partial("sum", col)
+                c = self._find_partial("count", col)
+                merged.append(
+                    (F.sum(s).cast("double") / F.sum(c)).alias(out)
+                )
+            else:
+                partial = self._find_partial(fn, col)
+                merged.append(getattr(F, self._MERGE[fn])(partial).alias(out))
+        return mv.groupBy(*group_by).agg(*merged)
+
+
 def salted_agg_count(
     df: DataFrame, key: str, salt: int = 16, agg_col: str | None = None
 ) -> DataFrame:

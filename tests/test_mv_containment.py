@@ -1,0 +1,115 @@
+"""Aggregate-MV containment rewrite (Hive MaterializedViewAggregateRule
+family, ref ql/.../optimizer/calcite/rules/views/HiveMaterializedViewRule
+.java): rollup answers from the MV must equal direct aggregation over the
+base table, and non-derivable queries must be rejected, not silently
+answered wrong."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_spark.operators import views
+from hive_spark.plans import AggregateMV
+
+
+@pytest.fixture(scope="module")
+def mv(spark, sf_dir, tmp_path_factory):
+    base = views(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    return base, AggregateMV(
+        spark,
+        "t_lineitem",
+        base,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "s_qty": ("sum", "qty"),
+            "c_qty": ("count", "qty"),
+            "n": ("count", "*"),
+            "mn_price": ("min", "price"),
+            "mx_price": ("max", "price"),
+        },
+        root=str(tmp_path_factory.mktemp("aggmv")),
+    )
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_rollup_matches_base(mv):
+    base, m = mv
+    got = m.answer(
+        ["l_returnflag"],
+        {"sum_qty": ("sum", "qty"), "n_rows": ("count", "*"),
+         "mx": ("max", "price")},
+    )
+    want = base.groupBy("l_returnflag").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("price").alias("mx"),
+    )
+    assert _rows(got.select("l_returnflag", "sum_qty", "n_rows", "mx"),
+                 "l_returnflag") == _rows(want, "l_returnflag")
+
+
+def test_avg_derived_from_sum_and_count(mv):
+    base, m = mv
+    got = _rows(m.answer(["l_linestatus"], {"avg_qty": ("avg", "qty")}),
+                "l_linestatus")
+    want = _rows(
+        base.groupBy("l_linestatus").agg(
+            (F.sum("qty").cast("double") / F.count("qty")).alias("avg_qty")
+        ),
+        "l_linestatus",
+    )
+    assert got == want
+
+
+def test_group_key_filter_commutes(mv):
+    base, m = mv
+    got = m.answer(
+        ["l_returnflag"],
+        {"n_rows": ("count", "*")},
+        where=F.col("l_linestatus") == "F",
+    )
+    want = (
+        base.filter(F.col("l_linestatus") == "F")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    assert _rows(got, "l_returnflag") == _rows(want, "l_returnflag")
+
+
+def test_rejects_uncontained_queries(mv):
+    _, m = mv
+    # group key outside the MV's keys
+    assert not m.can_answer(["l_shipmode"], {"n": ("count", "*")})
+    # aggregate with no stored partial
+    assert not m.can_answer(["l_returnflag"], {"s": ("sum", "price")})
+    # avg needs BOTH sum and count partials; price has min/max only
+    assert not m.can_answer(["l_returnflag"], {"a": ("avg", "price")})
+    # non-derivable aggregate function
+    assert not m.can_answer(["l_returnflag"], {"d": ("count_distinct", "qty")})
+    with pytest.raises(ValueError, match="not contained"):
+        m.answer(["l_shipmode"], {"n": ("count", "*")})
+
+
+def test_rejects_filter_on_collapsed_column(mv):
+    _, m = mv
+    with pytest.raises(ValueError, match="non-group-key"):
+        m.answer(
+            ["l_returnflag"],
+            {"n_rows": ("count", "*")},
+            where=F.col("s_qty") > 0,
+        )
+
+
+def test_registry_query_runs(spark, sf_dir):
+    from hive_spark.operators.misc import mv_rollup_containment
+
+    out = mv_rollup_containment(spark, sf_dir).collect()
+    assert len(out) == 3  # A / N / R
+    assert {r.l_returnflag for r in out} == {"A", "N", "R"}

@@ -33,6 +33,7 @@ CARTESIAN_OK = {
     "tpch_q17",          # correlated avg: decorrelated scalar join
     "tpch_q22",          # scalar avg subquery (1-row side)
     "edge_exact_percentile",  # percentile literal array cross
+    "text_tfidf_topk",   # corpus-size scalar (1-row n_docs) cross
 }
 
 # queries allowed a row-at-a-time Python UDF

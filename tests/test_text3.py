@@ -1,0 +1,76 @@
+"""TF-IDF keyword extraction + inverted index: oracle parity, semantic
+invariants, and the plan shapes that make them scale (broadcast vocab,
+WindowGroupLimit top-k, exchange reuse)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_spark.operators import text3
+from tests.oracle_check import compare
+
+
+def explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(text3.REGISTRY))
+def test_text3_oracle(spark, sf_dir, name):
+    spec = text3.REGISTRY[name]
+    compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+
+
+def test_tfidf_topk_invariants(spark, sf_dir):
+    out = text3.text_tfidf_topk(spark, sf_dir)
+    # at most 5 keywords per doc, ranks dense from 1
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rk").alias("mx"), F.min("rk").alias("mn")
+    )
+    bad = per_doc.filter(
+        (F.col("n") > 5) | (F.col("mx") != F.col("n")) | (F.col("mn") != 1)
+    ).count()
+    assert bad == 0
+    # score is monotone non-increasing within a doc (rank order is real)
+    w = out.select(
+        "doc_id", "rk", "score",
+        F.lag("score").over(
+            __import__("pyspark.sql", fromlist=["Window"]).Window
+            .partitionBy("doc_id").orderBy("rk")
+        ).alias("prev"),
+    )
+    assert w.filter(F.col("prev") < F.col("score")).count() == 0
+
+
+def test_tfidf_plan_broadcasts_vocab_and_limits_window(spark, sf_dir):
+    plan = explain(text3.text_tfidf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # vocab (df) side broadcast, hinted
+    assert "WindowGroupLimit" in plan  # top-k pushdown, no full sort per doc
+
+
+def test_inverted_index_reuses_window_exchange(spark, sf_dir):
+    plan = explain(text3.text_inverted_index(spark, sf_dir))
+    # tf groupBy + window-on-term + final ORDER BY = 3 exchanges; the
+    # term-grouped aggregate must NOT add a fourth (it rides the window's
+    # hashpartitioning(tok))
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(")
+        and ") Exchange" in line
+    )
+    assert n_exchanges == 3, plan
+
+
+def test_inverted_index_postings_head_bounded(spark, sf_dir):
+    out = text3.text_inverted_index(spark, sf_dir)
+    too_long = out.filter(F.size(F.split("postings_head", ",")) > 8).count()
+    assert too_long == 0
+    # head length == min(doc_freq, 8)
+    bad = out.filter(
+        F.size(F.split("postings_head", ","))
+        != F.least(F.col("doc_freq"), F.lit(8))
+    ).count()
+    assert bad == 0
