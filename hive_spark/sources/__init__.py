@@ -36,6 +36,10 @@ CONNECTORS = {
         "org.apache.iceberg.spark.SparkCatalog",
         "iceberg/iceberg-handler/.../HiveIcebergStorageHandler.java:232",
     ),
+    # NOTE: avro (and rcfile/sequencefile/textfile) ARE served through the
+    # bundled hive-serde jars via a hive-catalog session — see
+    # hive_formats.py. This entry gates only the spark-avro DataSource
+    # (`spark.read.format("avro")`), whose connector jar is absent.
     "avro": (
         "org.apache.spark.sql.avro.AvroFileFormat",
         "serde/src/java/org/apache/hadoop/hive/serde2/avro/",
