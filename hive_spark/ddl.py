@@ -132,3 +132,91 @@ def round_trip(
     if read_options:
         reader = reader.options(**read_options)
     return reader.load(path)
+
+
+# ---------------------------------------------------------------------------
+# Constraints (Hive: ALTER TABLE ... ADD CONSTRAINT pk/fk/unique/not-null/
+# check [RELY|NORELY] [VALIDATE|NOVALIDATE], ref: ql/.../ddl/table/
+# constraint/AlterTableAddConstraintAnalyzer.java + metastore
+# SQLPrimaryKey/SQLForeignKey/SQLCheckConstraint thrift structs).
+#
+# Hive constraints are INFORMATIONAL (NOVALIDATE): the engine never
+# enforces them on write; RELY lets the CBO use them (join elimination,
+# distinct removal). This mirror keeps the same split: a registry carries
+# the metadata for planners/tools, and validate() runs the scan-shaped
+# checks on demand — each a single aggregation or broadcast anti-join,
+# which is the only shape that survives a 100 TB fact table.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Constraint:
+    kind: str  # primary_key | unique | not_null | check | foreign_key
+    table: str
+    cols: tuple[str, ...]
+    rely: bool = False
+    check_expr: str | None = None  # for kind == "check"
+    ref_table: str | None = None  # for kind == "foreign_key"
+    ref_cols: tuple[str, ...] = ()
+
+
+@dataclass
+class ConstraintRegistry:
+    constraints: list[Constraint] = field(default_factory=list)
+
+    def add(self, c: Constraint) -> None:
+        if c.kind not in ("primary_key", "unique", "not_null", "check", "foreign_key"):
+            raise ValueError(f"unknown constraint kind: {c.kind}")
+        self.constraints.append(c)
+
+    def for_table(self, table: str) -> list[Constraint]:
+        return [c for c in self.constraints if c.table == table]
+
+    def validate(
+        self, spark: SparkSession, tables: dict[str, DataFrame]
+    ) -> dict[str, int]:
+        """Run every constraint's check; returns {description: violations}.
+        Zero everywhere == the metadata is safe to RELY on."""
+        from pyspark.sql import functions as F
+
+        out: dict[str, int] = {}
+        for c in self.constraints:
+            df = tables[c.table]
+            key = f"{c.kind}({c.table}.{','.join(c.cols)})"
+            if c.kind in ("primary_key", "unique"):
+                # one aggregation: key -> count > 1 (PK additionally
+                # rejects NULL keys)
+                dup = (
+                    df.groupBy(*c.cols)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > 1)
+                    .count()
+                )
+                nulls = 0
+                if c.kind == "primary_key":
+                    nulls = df.filter(
+                        " OR ".join(f"`{col}` IS NULL" for col in c.cols)
+                    ).count()
+                out[key] = dup + nulls
+            elif c.kind == "not_null":
+                out[key] = df.filter(F.col(c.cols[0]).isNull()).count()
+            elif c.kind == "check":
+                out[f"check({c.table}:{c.check_expr})"] = df.filter(
+                    f"NOT ({c.check_expr})"
+                ).count()
+            elif c.kind == "foreign_key":
+                # broadcast anti-join against the (small) referenced keys
+                parent = tables[c.ref_table].select(
+                    *[F.col(rc).alias(cc) for rc, cc in zip(c.ref_cols, c.cols)]
+                ).dropDuplicates()
+                orphans = (
+                    df.filter(
+                        " AND ".join(f"`{col}` IS NOT NULL" for col in c.cols)
+                    )
+                    .join(F.broadcast(parent), list(c.cols), "left_anti")
+                    .count()
+                )
+                out[f"fk({c.table}.{','.join(c.cols)} -> {c.ref_table})"] = orphans
+        return out

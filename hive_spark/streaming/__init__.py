@@ -170,6 +170,70 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: click
+    events join purchase events of the same user that land within 30
+    minutes. Both sides are watermarked and the range condition is on the
+    event-time columns, so Spark bounds the join state (a click's state is
+    droppable once the purchase-side watermark passes click_ts + 30 min);
+    matches emit eagerly in append mode. Hive has no analog — this is the
+    north-star capability a Kafka-fed funnel analysis needs, and at 100 TB
+    the state store shards by user_id across executors.
+
+    Cross-engine exactness: timestamps are µs-precision on the Spark side
+    (session layer floors ns -> µs), so the oracle compares epoch_us
+    values, not raw ns timestamps."""
+    src = _chunked_source(spark, sf_dir, "s2j")
+    out = os.path.join(_SCRATCH, f"s2j_out_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    clicks = (
+        read_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.unix_micros(F.col("ts")).alias("c_us"),
+        )
+        .withWatermark("click_ts", "90 days")
+    )
+    buys = (
+        read_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.unix_micros(F.col("ts")).alias("p_us"),
+        )
+        .withWatermark("purchase_ts", "90 days")
+    )
+    pairs = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user_id", F.expr("(p_us - c_us) div 1000").alias("ms_to_purchase"))
+    _run(
+        lambda cp: pairs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(),
+        os.path.join(_SCRATCH, "cp_s2j"),
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("ms_to_purchase").alias("min_ms_to_purchase"),
+            F.max("ms_to_purchase").alias("max_ms_to_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def stream_session_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-min gap), append mode: a session emits
     once the watermark passes its close (session windows support only
