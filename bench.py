@@ -40,6 +40,8 @@ HEADLINE = [
     "events_session",
     "events_tumbling",
     "text_stats",
+    "text_tfidf_topk",
+    "text_inverted_index",
     "dedup_minhash_lsh",
     "knn_lsh_bucketed",
     "mm_features",

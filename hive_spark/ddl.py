@@ -78,6 +78,52 @@ def table_stats(spark: SparkSession, name: str) -> dict[str, str]:
     return out
 
 
+def sort_cluster(
+    df: DataFrame, path: str, cols: tuple[str, ...], n_files: int = 8
+) -> None:
+    """Range-cluster a table on write (Hive: CLUSTERED BY + SORTED BY,
+    ref ql/.../parse/BaseSemanticAnalyzer.java tableSortCols; ORC row
+    index ref ql/.../io/orc/ — min/max per stride enables skipping).
+
+    `repartitionByRange` gives each output file a DISJOINT key range and
+    `sortWithinPartitions` tightens every parquet row-group's min/max to
+    a narrow slice, so a selective predicate prunes to the few row groups
+    whose [min,max] intersect it — the difference between reading ~1/N of
+    a 100 TB table and all of it. Parquet pushdown uses these stats
+    automatically; nothing else to wire. The cost is one range shuffle at
+    write time (sampling pass + exchange), paid once, amortized over
+    every subsequent selective read."""
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def row_groups_matching(
+    path: str, column: str, lo, hi
+) -> tuple[int, int]:
+    """(matching, total) parquet row groups whose [min,max] stats
+    intersect [lo, hi] — the groups a pushed-down range predicate must
+    actually read. Measures what the clustered layout buys."""
+    import pyarrow.parquet as pq
+
+    total = matching = 0
+    ds = pq.ParquetDataset(path)
+    for frag in ds.fragments:
+        md = frag.metadata
+        idx = {c: i for i, c in enumerate(frag.physical_schema.names)}[column]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or st.min is None:
+                matching += 1  # no stats -> reader must scan it
+            elif not (st.max < lo or st.min > hi):
+                matching += 1
+    return matching, total
+
+
 def compact(
     spark: SparkSession,
     path: str,
