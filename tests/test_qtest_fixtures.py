@@ -186,3 +186,80 @@ def test_dynamic_partition_pruning_join(spark, fixtures):
            FROM srcpart p JOIN dim d ON p.ds = d.ds
            GROUP BY p.ds ORDER BY p.ds""",
     )
+
+
+def test_outer_join_on_vs_where_filter(spark, fixtures):
+    """Hive qtest join_filters.q semantics: a right-side predicate in the
+    ON clause of a LEFT JOIN preserves unmatched left rows (filter before
+    join), while the same predicate in WHERE turns the join inner. Both
+    placements must match the oracle exactly."""
+    on_clause = """SELECT a.key, b.value
+           FROM {src} a LEFT JOIN {src} b
+             ON a.key = b.key AND b.value > 'val_3'
+           ORDER BY a.key, b.value"""
+    where_clause = """SELECT a.key, b.value
+           FROM {src} a LEFT JOIN {src} b ON a.key = b.key
+           WHERE b.value > 'val_3'
+           ORDER BY a.key, b.value"""
+    for tpl in (on_clause, where_clause):
+        _cmp(
+            spark,
+            fixtures,
+            tpl.format(src="q_src"),
+            tpl.format(src="src"),
+        )
+    # the two placements differ: ON keeps every left row
+    n_on = spark.sql(on_clause.format(src="q_src")).count()
+    n_where = spark.sql(where_clause.format(src="q_src")).count()
+    assert n_on > n_where
+
+
+def test_lateral_view_outer(spark, fixtures):
+    """Hive lateral_view_outer.q: LATERAL VIEW OUTER explode keeps the
+    parent row (with NULL) when the generated array is empty; the inner
+    variant drops it."""
+    outer = spark.sql(
+        """SELECT key, tok
+           FROM (SELECT key,
+                        CASE WHEN key < '2' THEN split(value, '_')
+                             ELSE array() END AS arr
+                 FROM q_src) t
+           LATERAL VIEW OUTER explode(arr) e AS tok
+           ORDER BY key, tok"""
+    )
+    duck = fixtures.sql(
+        """SELECT key, unnest(
+                 CASE WHEN key < '2' THEN str_split(value, '_')
+                      ELSE [NULL] END) AS tok
+           FROM src ORDER BY key, tok"""
+    )
+    from tests.oracle_check import _rows
+
+    assert _rows([tuple(r) for r in outer.collect()], outer.columns) == _rows(
+        duck.fetchall(), [d[0] for d in duck.description]
+    )
+    inner = spark.sql(
+        """SELECT key, tok
+           FROM (SELECT key,
+                        CASE WHEN key < '2' THEN split(value, '_')
+                             ELSE array() END AS arr
+                 FROM q_src) t
+           LATERAL VIEW explode(arr) e AS tok"""
+    )
+    assert inner.count() < outer.count()
+
+
+def test_cube_grouping_id_on_srcpart(spark, fixtures):
+    """Hive groupby_cube1.q analog: CUBE over the partition columns with
+    grouping_id — Spark and DuckDB agree on both the rollup rows and the
+    grouping-bit order (GROUPING returns the same bitmask)."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT ds, hr, GROUPING_ID(ds, hr) AS gid, COUNT(*) AS n
+           FROM q_srcpart GROUP BY CUBE(ds, hr)
+           ORDER BY gid, ds, hr""",
+        """SELECT ds, hr, GROUPING(ds, hr) AS gid, COUNT(*) AS n
+           FROM srcpart GROUP BY CUBE(ds, hr)
+           ORDER BY gid, ds, hr""",
+    )
