@@ -161,6 +161,40 @@ ORDER BY l_returnflag
 """
 
 
+def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via width_bucket (Hive GenericUDFWidthBucket,
+    ref udf/generic/GenericUDFWidthBucket.java; the deterministic sibling
+    of histogram_numeric, whose adaptive bins are estimator-dependent and
+    so live under the rows-only sketch entry). One scan, one groupBy on a
+    10-value key — trivially parallel at any scale."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT width_bucket(l_extendedprice, 900.0D, 105000.0D, 10) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                 AS sum_price
+        FROM lineitem
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+# DuckDB lacks width_bucket; the emulation folds the same constants and
+# applies the same IEEE double ops (subtract, divide, floor), so buckets
+# are bit-identical
+_WIDTH_BUCKET_SQL = """
+SELECT CASE WHEN l_extendedprice < 900.0 THEN 0
+            WHEN l_extendedprice >= 105000.0 THEN 11
+            ELSE CAST(FLOOR((l_extendedprice - 900.0) / ((105000.0 - 900.0) / 10))
+                      AS BIGINT) + 1 END AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _virtual_oracle_factory(sql_template: str):
     """Oracle SQL runs verbatim (no per-run templating), and
     read_parquet(filename=true) needs a literal path — so the oracle is
@@ -176,6 +210,11 @@ REGISTRY: dict[str, QuerySpec] = {
         virtual_columns, _virtual_oracle_factory(_VIRTUAL_SQL)
     ),
     "uniontype_emulation": QuerySpec(uniontype_emulation, _UNION_SQL),
+    "agg_width_bucket_histogram": QuerySpec(
+        agg_width_bucket_histogram,
+        _WIDTH_BUCKET_SQL,
+        "equal-width histogram, width_bucket vs folded-constant emulation",
+    ),
     "mv_rollup_containment": QuerySpec(
         mv_rollup_containment,
         _MV_ROLLUP_SQL,
