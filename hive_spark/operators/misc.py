@@ -195,6 +195,32 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a pathologically skewed key (lang:
+    5 values over the whole corpus — exactly the shape where one reducer
+    gets ~1/5 of 100 TB). The salted plan must produce BIT-IDENTICAL
+    results to the direct groupBy (counts and decimal sums are
+    associative), which is what the oracle checks; the skew-spreading
+    itself is asserted in tests/test_plans.py."""
+    v = views(spark, sf_dir)
+    from hive_spark.plans import salted_agg_count
+
+    out = salted_agg_count(v["documents"], "lang", salt=16, agg_col="n_chars")
+    return out.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("sum_n_chars").cast("decimal(38,4)").alias("sum_chars"),
+    ).orderBy("lang")
+
+
+_SALTED_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS sum_chars
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
 def _virtual_oracle_factory(sql_template: str):
     """Oracle SQL runs verbatim (no per-run templating), and
     read_parquet(filename=true) needs a literal path — so the oracle is
@@ -210,6 +236,11 @@ REGISTRY: dict[str, QuerySpec] = {
         virtual_columns, _virtual_oracle_factory(_VIRTUAL_SQL)
     ),
     "uniontype_emulation": QuerySpec(uniontype_emulation, _UNION_SQL),
+    "agg_salted_skew": QuerySpec(
+        agg_salted_skew,
+        _SALTED_SQL,
+        "salted two-stage agg on skewed key == direct groupBy, bit-exact",
+    ),
     "agg_width_bucket_histogram": QuerySpec(
         agg_width_bucket_histogram,
         _WIDTH_BUCKET_SQL,

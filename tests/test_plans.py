@@ -134,3 +134,29 @@ def test_nested_schema_pruning_on_stored_structs(spark, sf_dir, registry):
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "c_mktsegment" in read_schema
     assert "c_acctbal" not in read_schema, f"nested pruning failed: {read_schema}"
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """All four physical join strategies are reachable by hint (Hive:
+    MAPJOIN hint + hive.auto.convert.join picks mapjoin vs common-merge
+    join, ref ql/.../optimizer/MapJoinProcessor.java; at 100 TB choosing
+    the wrong side to build/broadcast is the difference between a plan
+    that runs and one that OOMs)."""
+    from hive_spark.operators import views
+
+    views(spark, sf_dir)
+    q = """SELECT /*+ {hint} */ c.c_custkey, n.n_name
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+
+    def plan(hint):
+        return (
+            spark.sql(q.format(hint=hint))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "BroadcastHashJoin" in plan("BROADCAST(n)")
+    assert "ShuffledHashJoin" in plan("SHUFFLE_HASH(n)")
+    assert "SortMergeJoin" in plan("MERGE(n)")
+    assert "CartesianProduct" in plan("SHUFFLE_REPLICATE_NL(n)")
