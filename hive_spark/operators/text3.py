@@ -133,6 +133,103 @@ ORDER BY tok
 """
 
 
+_PAIRS_SPARK = """
+WITH d AS (SELECT doc_id, lang, source,
+                  array_distinct(filter(split(text, ' '), x -> x != '')) AS toks
+           FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(size(filter(a.toks, x -> array_contains(b.toks, x))) AS DOUBLE)
+      / (size(a.toks) + size(b.toks)
+         - size(filter(a.toks, x -> array_contains(b.toks, x)))) >= 0.8
+"""
+
+_PAIRS_DUCK = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+      / (len(a.toks) + len(b.toks)
+         - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) >= 0.8
+"""
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters: min-label propagation over the
+    blocked-Jaccard pair graph until fixpoint — the missing step between
+    pairwise near-dup detection and actual dedup decisions (A~B and B~C
+    must collapse into ONE cluster even when A!~C directly).
+
+    This is the engine's iterative-algorithm shape (Pregel-style): each
+    round is one shuffle join (edges x labels) + one groupBy(min), and
+    the loop stops when a 1-row convergence count hits zero. Rounds =
+    graph diameter; near-dup clusters are dense, so 2-3 rounds in
+    practice. `localCheckpoint` truncates the growing lineage each round
+    (on a cluster: `checkpoint` to durable storage instead). The oracle
+    computes the same fixpoint declaratively with a recursive CTE —
+    min over the reachable set per node."""
+    views(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    pairs = spark.sql(_PAIRS_SPARK)
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst")
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "doc_id")
+            .filter("new != label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("connected components did not converge in 20 rounds")
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+_CC_SQL = f"""
+WITH RECURSIVE d AS (SELECT doc_id, lang, source,
+                            list_distinct(list_filter(string_split(text, ' '),
+                                                      x -> x != '')) AS toks
+                     FROM documents),
+pairs AS ({_PAIRS_DUCK}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM nodes
+  UNION
+  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_tfidf_topk": QuerySpec(
         text_tfidf_topk,
@@ -143,5 +240,10 @@ REGISTRY: dict[str, QuerySpec] = {
         text_inverted_index,
         _INVIDX_SQL,
         "term -> (df, total_tf, postings head); groupBy reuses window exchange",
+    ),
+    "dedup_connected_components": QuerySpec(
+        dedup_connected_components,
+        _CC_SQL,
+        "iterative min-label propagation == recursive-CTE fixpoint",
     ),
 }

@@ -74,3 +74,21 @@ def test_inverted_index_postings_head_bounded(spark, sf_dir):
         != F.least(F.col("doc_freq"), F.lit(8))
     ).count()
     assert bad == 0
+
+
+def test_cc_clusters_are_transitive(spark, sf_dir):
+    """Every near-dup edge must connect docs in the SAME cluster, and each
+    cluster's id must be its minimum member (the canonical keeper)."""
+    from hive_spark.operators.text3 import _PAIRS_SPARK, dedup_connected_components
+
+    cc = dedup_connected_components(spark, sf_dir)
+    pairs = spark.sql(_PAIRS_SPARK)
+    a = cc.withColumnRenamed("doc_id", "id_a").withColumnRenamed("cluster_id", "ca")
+    b = cc.withColumnRenamed("doc_id", "id_b").withColumnRenamed("cluster_id", "cb")
+    split_edges = pairs.join(a, "id_a").join(b, "id_b").filter("ca != cb").count()
+    assert split_edges == 0
+    bad_reps = (
+        cc.groupBy("cluster_id").agg(F.min("doc_id").alias("mn"))
+        .filter("cluster_id != mn").count()
+    )
+    assert bad_reps == 0
