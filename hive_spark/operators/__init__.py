@@ -98,6 +98,7 @@ def full_registry() -> dict[str, QuerySpec]:
         multimodal,
         pipeline,
         relational,
+        sampling,
         stream_demo,
         text,
         text2,
@@ -111,7 +112,7 @@ def full_registry() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
     for mod in (tpch, tpch2, relational, funcdemo, text, vectors,
                 events, dml_demo, stream_demo, multimodal, extension, edges,
-                text2, text3, misc, pipeline, timeseries):
+                text2, text3, sampling, misc, pipeline, timeseries):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
