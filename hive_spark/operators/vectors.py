@@ -212,8 +212,71 @@ ORDER BY a.vec_id
 """
 
 
+_N_CENTROIDS = 8
+
+
+def knn_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: partition the vector space by assigning every
+    embedding to its nearest centroid (inner-product metric, FAISS
+    IndexIVFFlat/METRIC_INNER_PRODUCT shape). Centroids here are the
+    first K vectors — the training-free seed a k-means refinement would
+    iterate from (each refinement round = this same assignment + a
+    centroid-mean groupBy); the ASSIGNMENT is the operator that must
+    scale, and it is one broadcast of K tiny centroids against a linear
+    scan — no N² anywhere. Downstream ANN probes then search only the
+    target cell (see knn_lsh_bucketed for the bucketed-search analog).
+
+    Inner-product comparisons stay in quantized integers (exact at any
+    parallelism); argmax ties break on centroid id."""
+    views(spark, sf_dir)
+    dq = _DOTQ.format(a="e.embedding", b="c.cemb")
+    return spark.sql(
+        f"""
+        WITH c AS (SELECT vec_id AS cid, embedding AS cemb
+                   FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+        assign AS (
+          SELECT e.vec_id, c.cid, {dq} AS dq,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {dq} DESC, c.cid) AS rk
+          FROM embeddings e CROSS JOIN c
+        )
+        SELECT cid AS centroid,
+               COUNT(*) AS n_vectors,
+               MIN(vec_id) AS min_vec,
+               CAST(SUM(CAST(dq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dot_sum
+        FROM assign WHERE rk = 1
+        GROUP BY cid ORDER BY cid
+        """
+    )
+
+
+def _duck_ivf_assign() -> str:
+    dq = _DUCK_DOTQ.format(a="e.embedding", b="c.cemb")
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cemb
+           FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT e.vec_id, c.cid, {dq} AS dq,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dq} DESC, c.cid) AS rk
+  FROM embeddings e CROSS JOIN c
+)
+SELECT cid AS centroid,
+       COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec,
+       CAST(SUM(CAST(dq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dot_sum
+FROM assign WHERE rk = 1
+GROUP BY cid ORDER BY cid
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _duck_dedup_cosine()),
+    "knn_ivf_assign": QuerySpec(
+        knn_ivf_assign,
+        _duck_ivf_assign(),
+        "IVF cell assignment: broadcast K centroids x linear scan, exact argmax",
+    ),
     "knn_brute_force": QuerySpec(knn_brute_force, _duck_knn(False)),
     "knn_lsh_bucketed": QuerySpec(knn_lsh_bucketed, _duck_knn(True)),
     "embedding_norms": QuerySpec(embedding_norms, _EMB_NORMS_SQL),

@@ -34,6 +34,7 @@ CARTESIAN_OK = {
     "tpch_q22",          # scalar avg subquery (1-row side)
     "edge_exact_percentile",  # percentile literal array cross
     "text_tfidf_topk",   # corpus-size scalar (1-row n_docs) cross
+    "knn_ivf_assign",    # K tiny centroids broadcast against the scan
 }
 
 # queries allowed a row-at-a-time Python UDF
