@@ -465,11 +465,11 @@ _WINDOW_FRAMES_SQL = """
 SELECT l_orderkey, l_linenumber, l_suppkey,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
            PARTITION BY l_suppkey
-           ORDER BY CAST(epoch(l_shipdate) AS BIGINT), l_orderkey, l_linenumber
+           ORDER BY epoch_us(l_shipdate) // 1000000, l_orderkey, l_linenumber
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
            PARTITION BY l_suppkey
-           ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+           ORDER BY epoch_us(l_shipdate) // 1000000
            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS qty_7d
 FROM lineitem
 ORDER BY l_orderkey, l_linenumber

@@ -270,6 +270,69 @@ GROUP BY cid ORDER BY cid
 """
 
 
+def kmeans_refine(
+    spark: SparkSession, sf_dir: str, k: int = _N_CENTROIDS, rounds: int = 5
+) -> DataFrame:
+    """SPHERICAL k-means over the embedding table — the refinement loop
+    the IVF quantizer seeds (`knn_ivf_assign` is exactly one E-step).
+    Each round: assignment (broadcast K centroids x linear scan,
+    integer-exact argmax of x·c) then new centroids as per-cell means
+    normalized to unit length (one groupBy over exploded dimensions;
+    the normalized mean is argmax of the within-cell dot objective under
+    ||c||=1, which is what makes the loop monotone — unnormalized means
+    would shrink the dots and break Lloyd's guarantee for the
+    inner-product metric). Centroid means are float averages, so this is
+    NOT cross-engine oracle-able — correctness is pinned by the
+    convergence property instead (objective non-decreasing round over
+    round; see tests). Returns the final (vec_id, centroid) assignment."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+
+    def _unit(vec: list[float]) -> list[float]:
+        n = math.sqrt(sum(v * v for v in vec)) or 1.0
+        return [v / n for v in vec]
+
+    centroids = [
+        _unit(list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    assign = None
+    for _ in range(rounds):
+        c_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid int, cemb array<double>"
+        )
+        dq = _DOTQ.format(a="e.embedding", b="c.cemb")
+        e = emb.alias("e")
+        c = F.broadcast(c_df).alias("c")
+        scored = e.crossJoin(c).select(
+            "e.vec_id", "c.cid", F.expr(dq).alias("dq"), "e.embedding"
+        )
+        w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+            "vec_id"
+        ).orderBy(F.desc("dq"), F.asc("cid"))
+        assign = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter("rk = 1")
+            .select("vec_id", "cid", "dq", "embedding")
+        )
+        new_c = (
+            assign.select("cid", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cid", F.expr("transform(dm, x -> x.m)").alias("cemb"))
+            .orderBy("cid")
+            .collect()
+        )
+        centroids = [_unit(list(r.cemb)) for r in new_c]
+    return assign.select("vec_id", F.col("cid").alias("centroid"), "dq")
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _duck_dedup_cosine()),
     "knn_ivf_assign": QuerySpec(

@@ -52,3 +52,24 @@ def test_embedding_cosine_dedup_merges_duplicates(spark, sf_dir):
     finally:
         _ACTIVE_SF.pop(id(spark), None)
         views(spark, sf_dir)
+
+
+def test_kmeans_objective_non_decreasing(spark, sf_dir):
+    """Lloyd's algorithm invariant: the within-cluster inner-product
+    objective cannot get worse round over round (each E-step picks the
+    argmax cell, each M-step recenters). Checked over three depths."""
+    from pyspark.sql import functions as F
+
+    from hive_spark.operators.vectors import kmeans_refine
+
+    objectives = []
+    for rounds in (1, 3, 5):
+        assign = kmeans_refine(spark, sf_dir, rounds=rounds)
+        obj = assign.agg(F.sum(F.col("dq").cast("decimal(38,0)")).alias("o")).collect()[0].o
+        objectives.append(int(obj))
+    assert objectives[0] <= objectives[1] <= objectives[2], objectives
+    # assignment is total and unique
+    assign = kmeans_refine(spark, sf_dir, rounds=2)
+    n_vec = spark.table("embeddings").count()
+    assert assign.count() == n_vec
+    assert assign.select("vec_id").distinct().count() == n_vec
