@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hive_spark import streaming
 from hive_spark.operators import QuerySpec, views
-from hive_spark.operators.events import _SESSION_SQL, _TUMBLING_SQL
+from hive_spark.operators.events import _SESSION_SQL, _SLIDING_SQL, _TUMBLING_SQL
 
 
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,6 +31,11 @@ SELECT event_type, COUNT(*) AS n,
 FROM events
 GROUP BY event_type ORDER BY event_type
 """
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return streaming.stream_sliding_counts(spark, sf_dir)
 
 
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +130,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_custom_state": QuerySpec(stream_custom_state, _CUSTOM_STATE_SQL),
     "stream_static_join": QuerySpec(stream_static_join, _SSJ_SQL),
     "stream_tumbling": QuerySpec(stream_tumbling, _TUMBLING_SQL),
+    "stream_sliding": QuerySpec(stream_sliding, _SLIDING_SQL),
     "stream_dedup": QuerySpec(stream_dedup, _DEDUP_SQL),
     "stream_session": QuerySpec(stream_session, _SESSION_SQL),
 }

@@ -138,6 +138,42 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-h windows on a 30-min slide over the stream — each event
+    feeds two windows; the window copies are generated in the project
+    BEFORE the single stateful shuffle, so slide overlap costs map-side
+    row duplication, not extra state passes. Complete-mode final table
+    equals the batch sliding aggregation."""
+    src = _chunked_source(spark, sf_dir, "sld")
+    agg = (
+        read_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+    )
+    _run(
+        lambda cp: agg.writeStream.format("memory")
+        .queryName("stream_sliding")
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start(),
+        os.path.join(_SCRATCH, "cp_sld"),
+    )
+    return (
+        spark.table("stream_sliding")
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start"),
+            "n_events",
+            F.col("sum_value").cast("decimal(28,4)").alias("sum_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once from an at-least-once source: every chunk arrives twice;
     dropDuplicatesWithinWatermark(event_id) restores exact counts. Append
