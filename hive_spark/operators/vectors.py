@@ -270,6 +270,93 @@ GROUP BY cid ORDER BY cid
 """
 
 
+def kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL k-means refinement round (E-step -> quantized M-step ->
+    E-step) inside the oracle gate: centroid components are integer
+    means of 1e-6-quantized values with explicit floor division (Spark
+    DIV truncates toward zero while DuckDB // floors — on negative sums
+    they differ, so neither is used), and both E-steps compare quantized
+    integer dots. Everything is exact at any parallelism, which is what
+    lets a clustering ROUND — not just the assignment — hash-match across
+    engines. The iterated float version is `kmeans_refine`."""
+    views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH c0 AS (SELECT vec_id AS cid, embedding AS cemb
+                    FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+        a1 AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     aggregate(zip_with(e.embedding, c.cemb, (x, y) ->
+                       CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)),
+                       CAST(0 AS BIGINT), (acc, v) -> acc + v) DESC, c.cid) AS rk
+            FROM embeddings e CROSS JOIN c0 c) t WHERE rk = 1
+        ),
+        dims AS (
+          SELECT cid, pos AS dim,
+                 CAST(floor(CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+                            / COUNT(*)) AS BIGINT) AS cq
+          FROM a1 LATERAL VIEW posexplode(embedding) t AS pos, val
+          GROUP BY cid, pos
+        ),
+        c1 AS (SELECT cid, transform(array_sort(collect_list(struct(dim, cq))), x -> x.cq) AS cq
+               FROM dims GROUP BY cid),
+        a2 AS (
+          SELECT vec_id, cid, dq2 FROM (
+            SELECT e.vec_id, c.cid,
+                   aggregate(zip_with(e.embedding, c.cq, (x, y) ->
+                     CAST(floor(CAST(x AS DOUBLE) * y) AS BIGINT)),
+                     CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dq2,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     aggregate(zip_with(e.embedding, c.cq, (x, y) ->
+                       CAST(floor(CAST(x AS DOUBLE) * y) AS BIGINT)),
+                       CAST(0 AS BIGINT), (acc, v) -> acc + v) DESC, c.cid) AS rk
+            FROM embeddings e CROSS JOIN c1 c) t WHERE rk = 1
+        )
+        SELECT cid AS centroid, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec,
+               CAST(SUM(CAST(dq2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dot_sum
+        FROM a2 GROUP BY cid ORDER BY cid
+        """
+    )
+
+
+_KMEANS_ROUND_SQL = f"""
+WITH c0 AS (SELECT vec_id AS cid, embedding AS cemb
+            FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+a1 AS (
+  SELECT vec_id, cid, embedding FROM (
+    SELECT e.vec_id, c.cid, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(list_zip(e.embedding, c.cemb), z ->
+               CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) DESC,
+             c.cid) AS rk
+    FROM embeddings e CROSS JOIN c0 c) t WHERE rk = 1
+),
+dims AS (
+  SELECT cid, g.i AS dim,
+         CAST(floor(CAST(SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS cq
+  FROM a1, LATERAL (SELECT unnest(generate_series(1, len(a1.embedding))) AS i) g
+  GROUP BY cid, g.i
+),
+c1 AS (SELECT cid, list(cq ORDER BY dim) AS cq FROM dims GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid, dq2 FROM (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(list_zip(e.embedding, c.cq), z ->
+             CAST(floor(CAST(z[1] AS DOUBLE) * z[2]) AS BIGINT))) AS dq2,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(list_zip(e.embedding, c.cq), z ->
+               CAST(floor(CAST(z[1] AS DOUBLE) * z[2]) AS BIGINT))) DESC, c.cid) AS rk
+    FROM embeddings e CROSS JOIN c1 c) t WHERE rk = 1
+)
+SELECT cid AS centroid, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec,
+       CAST(SUM(CAST(dq2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dot_sum
+FROM a2 GROUP BY cid ORDER BY cid
+"""
+
+
 def kmeans_refine(
     spark: SparkSession, sf_dir: str, k: int = _N_CENTROIDS, rounds: int = 5
 ) -> DataFrame:
@@ -339,6 +426,11 @@ REGISTRY: dict[str, QuerySpec] = {
         knn_ivf_assign,
         _duck_ivf_assign(),
         "IVF cell assignment: broadcast K centroids x linear scan, exact argmax",
+    ),
+    "kmeans_one_round": QuerySpec(
+        kmeans_one_round,
+        _KMEANS_ROUND_SQL,
+        "full E-M-E clustering round, integer-quantized, bit-exact",
     ),
     "knn_brute_force": QuerySpec(knn_brute_force, _duck_knn(False)),
     "knn_lsh_bucketed": QuerySpec(knn_lsh_bucketed, _duck_knn(True)),

@@ -35,6 +35,7 @@ CARTESIAN_OK = {
     "edge_exact_percentile",  # percentile literal array cross
     "text_tfidf_topk",   # corpus-size scalar (1-row n_docs) cross
     "knn_ivf_assign",    # K tiny centroids broadcast against the scan
+    "kmeans_one_round",  # same centroid-broadcast shape, twice
 }
 
 # queries allowed a row-at-a-time Python UDF
