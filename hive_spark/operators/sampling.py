@@ -130,6 +130,56 @@ GROUP BY lang ORDER BY lang
 """
 
 
+_BIN = 8192  # chars per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing plan: assign each doc to the fixed-size training
+    bin its running offset falls in (per language, deterministic doc_id
+    order) — the step between a curated corpus and fixed-context training
+    batches. A doc whose span crosses the boundary belongs to its START
+    bin (the consumer pads or splits; this op computes the partition
+    plan). One window + one groupBy, both on the stratum key; integer
+    DIV keeps bin ids exact (offsets are non-negative, so Spark's
+    truncating DIV and DuckDB's flooring // agree)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH r AS (
+          SELECT lang, doc_id, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) - n_chars
+                   AS start_off
+          FROM documents
+        )
+        SELECT lang, start_off DIV {_BIN} AS bin,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS chars_packed,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM r
+        GROUP BY lang, start_off DIV {_BIN}
+        ORDER BY lang, bin
+        """
+    )
+
+
+_PACK_SQL = f"""
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) - n_chars AS start_off
+  FROM documents
+)
+SELECT lang, start_off // {_BIN} AS bin,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS chars_packed,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM r
+GROUP BY lang, start_off // {_BIN}
+ORDER BY lang, bin
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "sample_hash_deterministic": QuerySpec(
         sample_hash_deterministic,
@@ -145,5 +195,10 @@ REGISTRY: dict[str, QuerySpec] = {
         sample_token_budget,
         _BUDGET_SQL,
         "take docs per language until the size budget is crossed",
+    ),
+    "pack_sequences": QuerySpec(
+        pack_sequences,
+        _PACK_SQL,
+        "fixed-size training-bin assignment from running offsets",
     ),
 }
