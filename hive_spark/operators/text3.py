@@ -230,6 +230,54 @@ SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: scan the corpus for documents containing
+    denylisted phrases (here: the leading 3-gram of the first three docs,
+    standing in for an eval-set shingle list) and measure what scrubbing
+    them removes. The plan is the scale shape that matters: the denylist
+    broadcasts (eval shingle lists are tiny next to a corpus) against ONE
+    linear scan; per-hit char deltas come from exact substring replace,
+    so the oracle hash-matches. For large denylists, swap the contains
+    join for the inverted-index bucket join (`text_inverted_index`)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH deny AS (
+          SELECT doc_id AS bench_id,
+                 array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 3), ' ')
+                   AS phrase
+          FROM documents WHERE doc_id < 3
+        )
+        SELECT /*+ BROADCAST(deny) */ d.bench_id, d.phrase,
+               COUNT(*) AS n_docs_hit,
+               SUM(CAST(doc_id >= 3 AS INT)) AS n_other_docs,
+               SUM(CAST(length(t.text) - length(replace(t.text, d.phrase, ''))
+                        AS BIGINT)) AS chars_removed
+        FROM deny d JOIN documents t ON instr(t.text, d.phrase) > 0
+        GROUP BY d.bench_id, d.phrase
+        ORDER BY d.bench_id
+        """
+    )
+
+
+_DECON_SQL = """
+WITH deny AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:3], ' ')
+           AS phrase
+  FROM documents WHERE doc_id < 3
+)
+SELECT d.bench_id, d.phrase,
+       COUNT(*) AS n_docs_hit,
+       SUM(CAST(doc_id >= 3 AS INT)) AS n_other_docs,
+       SUM(CAST(length(t.text) - length(replace(t.text, d.phrase, '')) AS BIGINT))
+         AS chars_removed
+FROM deny d JOIN documents t ON strpos(t.text, d.phrase) > 0
+GROUP BY d.bench_id, d.phrase
+ORDER BY d.bench_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_tfidf_topk": QuerySpec(
         text_tfidf_topk,
@@ -245,5 +293,10 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup_connected_components,
         _CC_SQL,
         "iterative min-label propagation == recursive-CTE fixpoint",
+    ),
+    "text_decontaminate": QuerySpec(
+        text_decontaminate,
+        _DECON_SQL,
+        "denylist n-gram scan: broadcast phrases x corpus, exact hit/char counts",
     ),
 }

@@ -36,6 +36,7 @@ CARTESIAN_OK = {
     "text_tfidf_topk",   # corpus-size scalar (1-row n_docs) cross
     "knn_ivf_assign",    # K tiny centroids broadcast against the scan
     "kmeans_one_round",  # same centroid-broadcast shape, twice
+    "text_decontaminate",  # tiny denylist broadcast, contains-join
 }
 
 # queries allowed a row-at-a-time Python UDF
