@@ -22,7 +22,7 @@ def test_entry_runs(spark):
 def test_queries_and_oracles_aligned():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    assert len(q) >= 110, f"registry too small: {len(q)}"
+    assert len(q) >= 120, f"registry too small: {len(q)}"
     assert set(o) <= set(q)
     missing = set(q) - set(o)
     # only probabilistic sketch ops may skip the oracle
