@@ -230,6 +230,60 @@ SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality gate (the Gopher-rule family): per doc,
+    the fraction of trigram occurrences that are repeats of an earlier
+    trigram. High repetition marks boilerplate/spam. The ratio never
+    materializes as a float — the keep decision is an integer
+    cross-multiplication ((n_tri - n_distinct) * 50 <= n_tri, i.e. <=2%
+    repeats — sized to the corpus's repetition tail), so the gate is bit-exact at any parallelism. One explode +
+    one two-agg groupBy on doc_id; trigram generation is a per-row array
+    transform, no shuffle of its own."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id, filter(split(text, ' '), x -> x != '') AS t
+          FROM documents
+        ),
+        tri AS (
+          SELECT doc_id,
+                 explode(transform(sequence(1, size(t) - 2),
+                                   i -> concat_ws(' ', slice(t, i, 3)))) AS g
+          FROM toks WHERE size(t) >= 3
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tri,
+               COUNT(DISTINCT g) AS n_distinct,
+               CAST((COUNT(*) - COUNT(DISTINCT g)) * 50 <= COUNT(*) AS INT) AS keep
+        FROM tri
+        GROUP BY doc_id
+        ORDER BY doc_id
+        """
+    )
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id,
+       COUNT(*) AS n_tri,
+       COUNT(DISTINCT g) AS n_distinct,
+       CAST((COUNT(*) - COUNT(DISTINCT g)) * 50 <= COUNT(*) AS INT) AS keep
+FROM tri
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: scan the corpus for documents containing
     denylisted phrases (here: the leading 3-gram of the first three docs,
@@ -298,5 +352,10 @@ REGISTRY: dict[str, QuerySpec] = {
         text_decontaminate,
         _DECON_SQL,
         "denylist n-gram scan: broadcast phrases x corpus, exact hit/char counts",
+    ),
+    "text_repetition_filter": QuerySpec(
+        text_repetition_filter,
+        _REPETITION_SQL,
+        "repeated-trigram quality gate, integer cross-multiplied (no float ratio)",
     ),
 }
