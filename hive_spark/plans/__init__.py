@@ -203,6 +203,11 @@ class AggregateMV:
             expr = F.count(F.lit(1)) if (fn, col) == ("count", "*") else getattr(F, fn)(col)
             aggs.append(expr.alias(out))
         base_df.groupBy(*group_keys).agg(*aggs).write.mode("overwrite").parquet(self.path)
+        # canonical analyzed plan of the base relation — what try_rewrite
+        # structurally matches incoming aggregate children against
+        self._base_canon = _EXPR_ID.sub(
+            "#x", base_df._jdf.queryExecution().analyzed().toString()
+        )
 
     def _find_partial(self, fn: str, col: str) -> str | None:
         for out, spec in self.measures.items():
@@ -224,6 +229,81 @@ class AggregateMV:
             elif fn not in self._MERGE or self._find_partial(fn, col) is None:
                 return False
         return True
+
+    _FN_MAP = {"Sum": "sum", "Count": "count", "Min": "min", "Max": "max",
+               "Average": "avg"}
+
+    def try_rewrite(self, df: DataFrame) -> DataFrame | None:
+        """TRANSPARENT containment rewrite: inspect an arbitrary incoming
+        DataFrame's analyzed plan and, when it is an Aggregate (optionally
+        over a group-key Filter) on this MV's exact base relation with
+        derivable aggregates, answer it from the MV — the py4j analog of
+        Hive's Calcite rule firing without the caller asking. Returns
+        None when the query is not contained (caller runs it as-is).
+
+        Matching is structural: the aggregate child's canonical plan must
+        equal the MV base's (expression ids stripped), group keys must be
+        attribute references within the MV's keys, aggregate inputs must
+        be base columns with stored partials (count(1)/count(*) -> the
+        row-count partial), and a Filter may reference group keys only."""
+        jplan = df._jdf.queryExecution().analyzed()
+        if jplan.getClass().getSimpleName() != "Aggregate":
+            return None
+        child = jplan.child()
+        where = None
+        if child.getClass().getSimpleName() == "Filter":
+            cond = child.condition()
+            it = cond.references().iterator()
+            refs = set()
+            while it.hasNext():
+                refs.add(it.next().name())
+            if not refs <= set(self.group_keys):
+                return None
+            where = cond.sql()
+            child = child.child()
+        if _EXPR_ID.sub("#x", child.toString()) != self._base_canon:
+            return None
+
+        def _col(sql: str) -> str:
+            return sql.strip("`")
+
+        g = jplan.groupingExpressions()
+        group_by = []
+        for i in range(g.size()):
+            expr = g.apply(i)
+            if expr.getClass().getSimpleName() != "AttributeReference":
+                return None
+            group_by.append(expr.name())
+
+        aggs: dict[str, tuple[str, str]] = {}
+        a = jplan.aggregateExpressions()
+        for i in range(a.size()):
+            ne = a.apply(i)
+            cls = ne.getClass().getSimpleName()
+            if cls == "AttributeReference":
+                continue  # a group key echoed in the select list
+            if cls != "Alias":
+                return None
+            agg_expr = ne.child()
+            if agg_expr.getClass().getSimpleName() != "AggregateExpression":
+                return None
+            fn_obj = agg_expr.aggregateFunction()
+            fn = self._FN_MAP.get(fn_obj.getClass().getSimpleName())
+            if fn is None:
+                return None
+            kids = fn_obj.children()
+            if kids.size() != 1:
+                return None
+            col = _col(kids.apply(0).sql())
+            if fn == "count" and col == "1":
+                col = "*"
+            aggs[ne.name()] = (fn, col)
+
+        if not self.can_answer(group_by, aggs):
+            return None
+        return self.answer(
+            group_by, aggs, where=F.expr(where) if where is not None else None
+        )
 
     def answer(
         self,

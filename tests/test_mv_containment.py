@@ -113,3 +113,65 @@ def test_registry_query_runs(spark, sf_dir):
     out = mv_rollup_containment(spark, sf_dir).collect()
     assert len(out) == 3  # A / N / R
     assert {r.l_returnflag for r in out} == {"A", "N", "R"}
+
+
+def test_try_rewrite_plain_rollup(spark, mv):
+    base, m = mv
+    q = base.groupBy("l_returnflag").agg(
+        F.sum("qty").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    rewritten = m.try_rewrite(q)
+    assert rewritten is not None
+    assert _rows(rewritten.select("l_returnflag", "sq", "n"), "l_returnflag") == _rows(
+        q, "l_returnflag"
+    )
+    # and it actually reads the MV relation (partial columns s_qty/n),
+    # not the base lineitem scan
+    plan = rewritten._jdf.queryExecution().optimizedPlan().toString()
+    assert "s_qty" in plan and "l_quantity" not in plan
+
+
+def test_try_rewrite_filtered_and_avg(spark, mv):
+    base, m = mv
+    q = (
+        base.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_returnflag")
+        .agg(F.avg("qty").alias("aq"), F.max("price").alias("mx"))
+    )
+    rewritten = m.try_rewrite(q)
+    assert rewritten is not None
+    want = (
+        base.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.sum("qty").cast("double") / F.count("qty")).alias("aq"),
+            F.max("price").alias("mx"),
+        )
+    )
+    assert _rows(rewritten.select("l_returnflag", "aq", "mx"), "l_returnflag") == _rows(
+        want, "l_returnflag"
+    )
+
+
+def test_try_rewrite_declines_uncontained(spark, sf_dir, mv):
+    base, m = mv
+    # filter on a non-group-key column
+    assert m.try_rewrite(
+        base.filter(F.col("qty") > 10).groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    ) is None
+    # aggregate with no stored partial (sum of price)
+    assert m.try_rewrite(
+        base.groupBy("l_returnflag").agg(F.sum("price").alias("sp"))
+    ) is None
+    # different base relation entirely
+    other = views(spark, sf_dir)["orders"].select(
+        F.col("o_orderstatus").alias("l_returnflag"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("qty"),
+    )
+    assert m.try_rewrite(
+        other.groupBy("l_returnflag").agg(F.sum("qty").alias("s"))
+    ) is None
+    # not an aggregate at all
+    assert m.try_rewrite(base.select("qty")) is None
