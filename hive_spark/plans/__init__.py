@@ -246,10 +246,17 @@ class AggregateMV:
         attribute references within the MV's keys, aggregate inputs must
         be base columns with stored partials (count(1)/count(*) -> the
         row-count partial), and a Filter may reference group keys only."""
+        def _unalias(node):
+            # a temp view registered over the same relation adds
+            # SubqueryAlias/View wrappers; names don't change the relation
+            while node.getClass().getSimpleName() in ("SubqueryAlias", "View"):
+                node = node.child()
+            return node
+
         jplan = df._jdf.queryExecution().analyzed()
         if jplan.getClass().getSimpleName() != "Aggregate":
             return None
-        child = jplan.child()
+        child = _unalias(jplan.child())
         where = None
         if child.getClass().getSimpleName() == "Filter":
             cond = child.condition()
@@ -260,12 +267,14 @@ class AggregateMV:
             if not refs <= set(self.group_keys):
                 return None
             where = cond.sql()
-            child = child.child()
+            child = _unalias(child.child())
         if _EXPR_ID.sub("#x", child.toString()) != self._base_canon:
             return None
 
         def _col(sql: str) -> str:
-            return sql.strip("`")
+            # SQL-text plans qualify attributes (`li_slim`.`qty`); the MV
+            # matches on the bare column name
+            return sql.replace("`", "").split(".")[-1]
 
         g = jplan.groupingExpressions()
         group_by = []

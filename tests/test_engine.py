@@ -1,0 +1,61 @@
+"""Engine facade: SQL in, DataFrame out, with MV rewrite and results
+cache applied in Hive's order (compile -> rewrite -> cache -> execute)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_path_factory):
+    e = Engine(spark, sf_dir, cache_root=str(tmp_path_factory.mktemp("qc")))
+    base = spark.table("lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    base.createOrReplaceTempView("li_slim")
+    e.create_aggregate_mv(
+        "eng_mv",
+        base,
+        ["l_returnflag", "l_linestatus"],
+        {"s": ("sum", "qty"), "c": ("count", "qty"), "n": ("count", "*")},
+    )
+    return e
+
+
+def test_sql_served_from_mv(spark, engine):
+    q = """SELECT l_returnflag, SUM(qty) AS s, COUNT(*) AS n
+           FROM li_slim GROUP BY l_returnflag"""
+    assert engine.explain_rewrite(q)
+    got = {tuple(r) for r in engine.sql(q).collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want
+
+
+def test_uncontained_sql_runs_as_written(engine):
+    q = "SELECT l_returnflag, MAX(qty) AS m FROM li_slim GROUP BY l_returnflag"
+    assert not engine.explain_rewrite(q)  # no max partial in the MV
+    assert engine.sql(q).count() == 3
+
+
+def test_results_cache_round_trip(spark, engine):
+    q = "SELECT l_linestatus, COUNT(*) AS n FROM li_slim GROUP BY l_linestatus"
+    before = dict(engine.stats)
+    first = engine.sql(q, use_cache=True)
+    again = engine.sql(q, use_cache=True)
+    # second run: same post-rewrite fingerprint -> served from the cache
+    assert engine.stats["cache_hits"] == before["cache_hits"] + 1
+    # this rollup is ALSO MV-contained (l_linestatus is a key, count(*)
+    # stored) — both runs go through the rewrite first
+    assert engine.stats["mv_hits"] >= before["mv_hits"] + 2
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in first.collect()}
+
+
+def test_script_roundtrip(engine):
+    out = engine.script(
+        """SET spark.sql.shuffle.partitions=8;
+           SELECT COUNT(*) AS n FROM li_slim;"""
+    )
+    assert out.results[-1].collect()[0].n > 0
