@@ -263,3 +263,52 @@ def test_cube_grouping_id_on_srcpart(spark, fixtures):
            FROM srcpart GROUP BY CUBE(ds, hr)
            ORDER BY gid, ds, hr""",
     )
+
+
+def test_group_order_by_ordinal(spark, fixtures):
+    """Hive groupby/orderby position aliases (hive.groupby.position.alias,
+    HiveConf): GROUP BY 1 / ORDER BY 2 resolve to select-list positions in
+    both engines."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT substr(key, 1, 1) AS k1, COUNT(*) AS n
+           FROM q_src GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""",
+        """SELECT substr(key, 1, 1) AS k1, COUNT(*) AS n
+           FROM src GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""",
+    )
+
+
+def test_union_remove_aggregate(spark, fixtures):
+    """Hive union_remove_*.q family: aggregate over a UNION ALL of
+    branches collapses correctly (Hive had a dedicated optimizer to
+    remove the union stage; Catalyst plans it as one scan set)."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT key, SUM(n) AS total FROM (
+             SELECT key, COUNT(*) AS n FROM q_src GROUP BY key
+             UNION ALL
+             SELECT key, 1 AS n FROM q_src WHERE value > 'val_45'
+           ) u GROUP BY key ORDER BY total DESC, key LIMIT 15""",
+        """SELECT key, SUM(n) AS total FROM (
+             SELECT key, COUNT(*) AS n FROM src GROUP BY key
+             UNION ALL
+             SELECT key, 1 AS n FROM src WHERE value > 'val_45'
+           ) u GROUP BY key ORDER BY total DESC, key LIMIT 15""",
+    )
+
+
+def test_group_by_array_key(spark, fixtures):
+    """Complex-type group keys (Hive groups by array/struct since
+    HIVE-9project): arrays compare element-wise as grouping keys."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT split(value, '_') AS parts, COUNT(*) AS n
+           FROM q_src GROUP BY split(value, '_')
+           ORDER BY n DESC, parts[1] LIMIT 10""",
+        """SELECT string_split(value, '_') AS parts, COUNT(*) AS n
+           FROM src GROUP BY string_split(value, '_')
+           ORDER BY n DESC, parts[2] LIMIT 10""",
+    )
