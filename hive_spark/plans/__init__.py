@@ -230,6 +230,40 @@ class AggregateMV:
                 return False
         return True
 
+    def refresh_incremental(self, appended_df: DataFrame) -> None:
+        """Incremental rebuild from APPENDED base rows only (Hive:
+        ql/.../optimizer/calcite/rules/views/
+        HiveAggregateInsertIncrementalRewritingRule.java — sound exactly
+        when the base is insert-only since the last refresh): aggregate
+        the delta into partials, union with the stored partials, and
+        merge with the partial-merge rules (sum/count partials re-SUM,
+        min/max re-MIN/MAX). Cost is sized to the DELTA plus the MV — at
+        100 TB that is the difference between touching yesterday's
+        insertions and rescanning the decade. avg needs no special case:
+        it is derived at ANSWER time from sum+count partials, which merge
+        exactly."""
+        aggs = []
+        for out, (fn, col) in self.measures.items():
+            expr = (
+                F.count(F.lit(1)) if (fn, col) == ("count", "*") else getattr(F, fn)(col)
+            )
+            aggs.append(expr.alias(out))
+        delta = appended_df.groupBy(*self.group_keys).agg(*aggs)
+        stored = self.spark.read.parquet(self.path)
+        merged_aggs = [
+            getattr(F, self._MERGE[fn])(out).alias(out)
+            for out, (fn, col) in self.measures.items()
+        ]
+        merged = (
+            stored.unionByName(delta).groupBy(*self.group_keys).agg(*merged_aggs)
+        )
+        staging = self.path + "._refresh"
+        merged.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        shutil.rmtree(self.path)
+        shutil.move(staging, self.path)
+
     _FN_MAP = {"Sum": "sum", "Count": "count", "Min": "min", "Max": "max",
                "Average": "avg"}
 

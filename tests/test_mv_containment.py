@@ -175,3 +175,31 @@ def test_try_rewrite_declines_uncontained(spark, sf_dir, mv):
     ) is None
     # not an aggregate at all
     assert m.try_rewrite(base.select("qty")) is None
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, sf_dir, tmp_path):
+    base = views(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        "l_orderkey",
+    )
+    old = base.filter("l_orderkey % 4 != 0").drop("l_orderkey")
+    delta = base.filter("l_orderkey % 4 = 0").drop("l_orderkey")
+    measures = {
+        "s": ("sum", "qty"), "c": ("count", "qty"), "n": ("count", "*"),
+        "mn": ("min", "qty"), "mx": ("max", "qty"),
+    }
+    inc = AggregateMV(spark, "inc", old, ["l_returnflag"], measures,
+                      root=str(tmp_path))
+    inc.refresh_incremental(delta)
+    full = AggregateMV(spark, "full", base.drop("l_orderkey"),
+                       ["l_returnflag"], measures, root=str(tmp_path))
+    q = {"s": ("sum", "qty"), "n": ("count", "*"), "a": ("avg", "qty"),
+         "mn": ("min", "qty"), "mx": ("max", "qty")}
+    got = _rows(inc.answer(["l_returnflag"], q), "l_returnflag")
+    want = _rows(full.answer(["l_returnflag"], q), "l_returnflag")
+    assert got == want
+    # a second refresh on an already-refreshed MV stays exact (type
+    # widening is capped, merge rules are idempotent over new deltas)
+    inc.refresh_incremental(delta.limit(0))
+    assert _rows(inc.answer(["l_returnflag"], q), "l_returnflag") == want
