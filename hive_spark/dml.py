@@ -100,7 +100,18 @@ def merge_into(
     target = spark.read.parquet(target_path)
     tcols = target.columns
 
-    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    # Per-row id BEFORE the join: Hive keys the cardinality check on
+    # ROW__ID, not column values — two identical (legal, multiset) target
+    # rows each matching one source row must NOT be counted together.
+    # Residual approximation: monotonically_increasing_id is assigned at
+    # scan time, so a task retry re-reading a split reassigns ids; within
+    # the single action below that is benign (ids are used only to group
+    # this evaluation's rows), unlike a cross-stage shuffle key.
+    t = (
+        target.withColumn("_t_present", F.lit(True))
+        .withColumn("_t_rid", F.monotonically_increasing_id())
+        .alias("t")
+    )
     s = source.withColumn("_s_present", F.lit(True)).alias("s")
     joined = t.join(s, on, "full_outer")
 
@@ -112,9 +123,8 @@ def merge_into(
         # multiple source rows (enforce_constraint, FunctionRegistry.java:312)
         from pyspark.sql import Window
 
-        key = [F.col(f"t.{c}") for c in tcols]
         n_matches = F.count(F.when(s_marker, F.lit(1))).over(
-            Window.partitionBy(*key)
+            Window.partitionBy(F.col("t._t_rid"))
         )
         guard = F.when(
             t_marker & (n_matches > 1),

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hive_spark.hqlscript import ScriptResult, run_script
+from hive_spark.hqlscript import ScriptResult, rewrite_statement, run_script
 from hive_spark.operators import ensure_engine, views
 from hive_spark.plans import AggregateMV, ResultsCache
 
@@ -65,7 +65,7 @@ class Engine:
         """One statement. MV rewrite always consults the registry;
         `use_cache=True` additionally serves/stores by plan fingerprint
         (reads only — statements without a result shape skip both)."""
-        df = self.spark.sql(text)
+        df = self.spark.sql(rewrite_statement(self.spark, text))
         if not df.columns:  # DDL/DML — execute as-is, never cache
             return df
         df, mv_hit = self._rewrite(df)
@@ -79,7 +79,7 @@ class Engine:
 
     def explain_rewrite(self, text: str) -> bool:
         """True when the MV registry would serve this statement."""
-        df = self.spark.sql(text)
+        df = self.spark.sql(rewrite_statement(self.spark, text))
         return df.columns != [] and self._rewrite(df)[1]
 
     def script(self, text: str) -> ScriptResult:

@@ -47,9 +47,10 @@ _SQL_UDFS: list[str] = [
     f"""CREATE OR REPLACE TEMPORARY FUNCTION mask_show_last_n(s STRING, n INT) RETURNS STRING
         RETURN concat({_MASK_EXPR.format(s='substr(s, 1, greatest(length(s) - n, 0))')},
                       substr(s, greatest(length(s) - n, 0) + 1))""",
-    # mask_hash: hex digest of the value (ref: GenericUDFMaskHash.java uses md5)
+    # mask_hash: hex digest of the value (ref: GenericUDFMaskHash.java uses
+    # DigestUtils.sha256Hex; sha512Hex under hive.masking.algo=sha512)
     """CREATE OR REPLACE TEMPORARY FUNCTION mask_hash(s STRING) RETURNS STRING
-        RETURN md5(s)""",
+        RETURN sha2(s, 256)""",
     # -- date/time ----------------------------------------------------------
     # floor_<unit> family -> date_trunc (ref: FunctionRegistry.java:636-648)
     """CREATE OR REPLACE TEMPORARY FUNCTION floor_year(t TIMESTAMP) RETURNS TIMESTAMP

@@ -20,6 +20,19 @@ Command mapping:
 - ``!shell`` / ``dfs``   -> rejected (side effects a query engine
                             should not silently run)
 - everything else        -> spark.sql(stmt); SELECT results returned
+
+Statement rewrites applied before spark.sql (the HiveQL-only surface):
+- ``t FOR SYSTEM_VERSION AS OF n`` / ``FOR SYSTEM_TIME AS OF 'ts'``
+  (grammar ref: parser/.../FromClauseParser.g:220-224) resolve through
+  `hive_spark.snapshots` for tables registered via `register_versioned`
+- DataSketches names (ref: ql/.../exec/DataSketchesFunctions.java):
+  ``ds_hll_estimate(ds_hll_sketch(x))`` -> ``approx_count_distinct(x)``,
+  ``ds_kll_quantile(ds_kll_sketch(x), q)`` -> ``approx_percentile(x, q)``
+  — the estimate-of-sketch composition, answered by Spark's native
+  sketch aggregates (same HLL family, error bounds tested)
+- ``likeany(c, p...)`` / ``likeall(c, p...)`` fold into JVM-side
+  ``LIKE`` OR/AND chains (ref: GenericUDFLikeAny.java) — the Python
+  UDF registration stays only as the dynamic-arity fallback
 """
 
 from __future__ import annotations
@@ -70,6 +83,187 @@ def split_statements(text: str) -> list[str]:
     return out
 
 
+# -- versioned-table registry for time-travel SQL ---------------------------
+# name -> snapshots-layout path (see hive_spark.snapshots). Session-global
+# like Hive's metastore table->storage-handler mapping.
+VERSIONED_TABLES: dict[str, str] = {}
+
+
+def register_versioned(name: str, path: str) -> None:
+    """Expose a snapshots.py versioned table to SQL time-travel syntax."""
+    VERSIONED_TABLES[name] = path
+
+
+_SYS_VER = re.compile(
+    r"\b([A-Za-z_]\w*)\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+)", re.I
+)
+_SYS_TIME = re.compile(
+    r"\b([A-Za-z_]\w*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+'([^']+)'", re.I
+)
+
+
+def _version_as_of_time(path: str, ts: str) -> int:
+    """Latest version committed at or before `ts` (UTC) — versions carry
+    their pointer-flip mtime, the Iceberg snapshot-timestamp analog."""
+    import datetime
+    import os
+
+    from hive_spark import snapshots
+
+    cutoff = datetime.datetime.fromisoformat(ts).replace(
+        tzinfo=datetime.timezone.utc
+    )
+    best = None
+    for v in snapshots.versions(path):
+        mtime = datetime.datetime.fromtimestamp(
+            os.path.getmtime(os.path.join(path, f"v{v:05d}")),
+            tz=datetime.timezone.utc,
+        )
+        if mtime <= cutoff:
+            best = v
+    if best is None:
+        raise ValueError(f"no version of {path} existed at {ts}")
+    return best
+
+
+def _rewrite_time_travel(spark: SparkSession, stmt: str) -> str:
+    """Replace `t FOR SYSTEM_VERSION/SYSTEM_TIME AS OF ...` with a temp
+    view pinned to that snapshot (FromClauseParser.g:220-224 surface)."""
+    from hive_spark import snapshots
+
+    def _sub_ver(m: re.Match) -> str:
+        name, ver = m.group(1), int(m.group(2))
+        path = VERSIONED_TABLES.get(name)
+        if path is None:
+            return m.group(0)  # not a versioned table — leave for Spark
+        view = f"{name}__sysver_{ver}"
+        snapshots.read_table(spark, path, ver).createOrReplaceTempView(view)
+        return view
+
+    def _sub_time(m: re.Match) -> str:
+        name, ts = m.group(1), m.group(2)
+        path = VERSIONED_TABLES.get(name)
+        if path is None:
+            return m.group(0)
+        ver = _version_as_of_time(path, ts)
+        view = f"{name}__sysver_{ver}"
+        snapshots.read_table(spark, path, ver).createOrReplaceTempView(view)
+        return view
+
+    return _SYS_TIME.sub(_sub_time, _SYS_VER.sub(_sub_ver, stmt))
+
+
+# -- HiveQL-only call folding ------------------------------------------------
+
+def _matching_paren(s: str, i: int) -> int:
+    """Index of the ')' closing the '(' at s[i] (quote-aware)."""
+    depth, quote = 0, None
+    for j in range(i, len(s)):
+        ch = s[j]
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced parens in {s[i:i+60]!r}")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument list on top-level commas (quote-aware)."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf).strip())
+    return out
+
+
+def _fold_calls(stmt: str, fname: str, fold) -> str:
+    """Replace every `fname(args...)` with fold(args) (balanced-paren
+    scan, so nested calls like cast(x AS float) survive)."""
+    pat = re.compile(r"\b" + fname + r"\s*\(", re.I)
+    while True:
+        m = pat.search(stmt)
+        if m is None:
+            return stmt
+        open_i = stmt.index("(", m.start())
+        close_i = _matching_paren(stmt, open_i)
+        args = _split_args(stmt[open_i + 1 : close_i])
+        stmt = stmt[: m.start()] + fold(args) + stmt[close_i + 1 :]
+
+
+def _fold_ds_hll(args: list[str]) -> str:
+    inner = args[0]
+    m = re.match(r"ds_hll_sketch\s*\((.*)\)\s*$", inner, re.I | re.S)
+    if m is None:  # estimate of a stored sketch column — unsupported
+        raise ValueError(
+            "ds_hll_estimate supports the ds_hll_estimate(ds_hll_sketch(x)) "
+            "composition only (no serialized-sketch storage)"
+        )
+    # rsd 0.016 ~ the DataSketches HLL default lgK=12 accuracy
+    # (ref: DataSketchesFunctions.java DEFAULT_LG_K); Spark's default
+    # rsd 0.05 is visibly coarser than what Hive users expect from ds_*.
+    return f"approx_count_distinct({m.group(1)}, 0.016)"
+
+
+def _fold_ds_kll(args: list[str]) -> str:
+    m = re.match(r"ds_kll_sketch\s*\((.*)\)\s*$", args[0], re.I | re.S)
+    if m is None:
+        raise ValueError(
+            "ds_kll_quantile supports the ds_kll_quantile(ds_kll_sketch(x), q) "
+            "composition only"
+        )
+    return f"approx_percentile({m.group(1)}, {args[1]})"
+
+
+def _fold_like_chain(op: str):
+    def fold(args: list[str]) -> str:
+        val, pats = args[0], args[1:]
+        joined = f" {op} ".join(f"({val}) LIKE {p}" for p in pats)
+        return f"({joined})"
+
+    return fold
+
+
+def rewrite_statement(spark: SparkSession, stmt: str) -> str:
+    """All HiveQL-text rewrites this engine applies before spark.sql."""
+    stmt = _rewrite_time_travel(spark, stmt)
+    if re.search(r"\bds_hll_estimate\s*\(", stmt, re.I):
+        stmt = _fold_calls(stmt, "ds_hll_estimate", _fold_ds_hll)
+    if re.search(r"\bds_kll_quantile\s*\(", stmt, re.I):
+        stmt = _fold_calls(stmt, "ds_kll_quantile", _fold_ds_kll)
+    if re.search(r"\blikeany\s*\(", stmt, re.I):
+        stmt = _fold_calls(stmt, "likeany", _fold_like_chain("OR"))
+    if re.search(r"\blikeall\s*\(", stmt, re.I):
+        stmt = _fold_calls(stmt, "likeall", _fold_like_chain("AND"))
+    return stmt
+
+
 @dataclass
 class ScriptResult:
     results: list[DataFrame] = field(default_factory=list)  # SELECT outputs
@@ -102,7 +296,7 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             except Exception:
                 pass  # hive-only knob: recorded above, nothing to set
             continue
-        df = spark.sql(stmt)
+        df = spark.sql(rewrite_statement(spark, stmt))
         if df.columns:  # statements with a result shape (SELECT/SHOW/...)
             res.results.append(df)
     return res

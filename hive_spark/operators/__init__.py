@@ -86,6 +86,94 @@ def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Driver output-protocol normalization.
+#
+# The driver hash-compares PANDAS-converted frames (spark ``toPandas()`` vs
+# DuckDB ``.df()``), where physical types leak into the hashed strings even
+# when every value matches (CORRECTNESS_r01: 21/50 failed with zero value
+# differences):
+#   - Spark DECIMAL -> object Decimals ('138014.00'); DuckDB DECIMAL ->
+#     float64 ('138014.0')
+#   - DuckDB SUM(int) -> HUGEINT -> float64 ('19525.0'); Spark -> int64
+#   - Spark DATE -> datetime.date ('1996-07-26'); DuckDB DATE ->
+#     datetime64 ('1996-07-26 00:00:00')
+# The fix is a final-select adapter applied to BOTH engines at the driver
+# contract boundary (__spark_entry__): internal math stays decimal-exact
+# (associative, partitioning-independent — the 100 TB requirement), only
+# the last projection converges on types whose pandas string forms agree:
+# DOUBLE, BIGINT, TIMESTAMP. Identical exact decimals cast to identical
+# doubles on both engines, so the hash stays value-faithful.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# `date` must match only in TYPE position (whole string, or followed by
+# `>`/`,` in array/map nests) — a struct FIELD named `date` prints as
+# `struct<date:...>` (followed by `:`) and must not be rewritten.
+_SPARK_TYPE_FIX = [
+    (_re.compile(r"decimal\(\s*\d+\s*,\s*-?\d+\s*\)"), "double"),
+    (_re.compile(r"\bdate\b(?=[>,]|$)"), "timestamp_ntz"),
+]
+
+_DUCK_TYPE_FIX = [
+    (_re.compile(r"DECIMAL\(\s*\d+\s*,\s*\d+\s*\)"), "DOUBLE"),
+    (_re.compile(r"\bHUGEINT\b"), "BIGINT"),
+    (_re.compile(r"\bDATE\b"), "TIMESTAMP"),
+]
+
+
+def normalize_spark_output(df: DataFrame):
+    """Cast final DECIMAL->DOUBLE and DATE->TIMESTAMP_NTZ (recursing into
+    array/struct type strings); no-op when nothing needs converting."""
+    from pyspark.sql import functions as F
+
+    cols, changed = [], False
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        ns = s
+        for pat, rep in _SPARK_TYPE_FIX:
+            ns = pat.sub(rep, ns)
+        c = df[f.name]
+        if ns != s:
+            c = c.cast(ns)
+            changed = True
+        cols.append(c.alias(f.name))
+    return df.select(*cols) if changed else df
+
+
+def normalize_oracle_sql(sql: str, describe_con) -> str:
+    """Wrap an oracle query so DECIMAL/HUGEINT/DATE outputs become
+    DOUBLE/BIGINT/TIMESTAMP. ``describe_con`` is a DuckDB connection with
+    the testdata views registered (schema-only bind, no data scan)."""
+    body = sql.strip().rstrip(";")
+    try:
+        desc = describe_con.sql(f"DESCRIBE {body}").fetchall()
+    except Exception:
+        return sql
+    items, changed = [], False
+    for row in desc:
+        name, typ = row[0], row[1]
+        nt = typ
+        for pat, rep in _DUCK_TYPE_FIX:
+            nt = pat.sub(rep, nt)
+        if _re.fullmatch(r"DECIMAL\(\s*\d+\s*,\s*\d+\s*\)", typ):
+            # Straight DECIMAL->DOUBLE in DuckDB multiplies the int128
+            # mantissa by 10^-scale in floating point — off by 1 ulp from
+            # the correctly-rounded value Spark's BigDecimal.doubleValue
+            # produces. String round-trip (strtod) is correctly rounded.
+            items.append(f'CAST(CAST("{name}" AS VARCHAR) AS DOUBLE) AS "{name}"')
+            changed = True
+        elif nt != typ:
+            items.append(f'CAST("{name}" AS {nt}) AS "{name}"')
+            changed = True
+        else:
+            items.append(f'"{name}"')
+    if not changed:
+        return sql
+    return f"SELECT {', '.join(items)} FROM ({body}) __norm"
+
+
 def full_registry() -> dict[str, QuerySpec]:
     """Merge every submodule's REGISTRY (the SURVEY §2 checklist)."""
     from hive_spark.operators import (
@@ -94,6 +182,7 @@ def full_registry() -> dict[str, QuerySpec]:
         events,
         extension,
         funcdemo,
+        hql_demo,
         misc,
         multimodal,
         pipeline,
@@ -112,7 +201,7 @@ def full_registry() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
     for mod in (tpch, tpch2, relational, funcdemo, text, vectors,
                 events, dml_demo, stream_demo, multimodal, extension, edges,
-                text2, text3, sampling, misc, pipeline, timeseries):
+                text2, text3, sampling, misc, pipeline, timeseries, hql_demo):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from hive_spark import dml
 from hive_spark.operators import QuerySpec, views
 
-_SCRATCH = "/tmp/hive_spark_dml"
+_SCRATCH = f"/tmp/hive_spark_dml_{os.getpid()}"  # pid-unique: concurrent sessions must not collide
 
 
 def _copy(spark: SparkSession, sf_dir: str, table: str, name: str) -> str:

@@ -1,0 +1,158 @@
+"""SQL-text Hive ETL shapes end-to-end through the script runner.
+
+Hive's multi-insert (``FROM t INSERT OVERWRITE ... INSERT ...``, grammar
+ref: parser/src/java/org/apache/hadoop/hive/ql/parse/HiveParser.g:2565,
+plan fan-out ql/.../parse/SemanticAnalyzer.java:11468 genBodyPlan) and
+``SELECT TRANSFORM ... USING`` (ref: ql/.../exec/ScriptOperator.java:61)
+are SQL-TEXT features a real Hive ETL script uses verbatim. Spark SQL
+parses both natively, so `hqlscript.run_script` executes such a script
+unmodified — this module pins that end-to-end: one scan fanned to two
+sinks, a TRANSFORM pipe stage over one sink, and an oracle-checked
+read-back summary.
+
+Scale notes: the multi-insert fan-out re-reads the scan per sink in
+Spark (no shared-scan operator); for the 100 TB path the scan is a
+column-pruned, filter-pushed parquet read per sink, which AQE handles
+independently — or callers use dml.multi_insert (cached single scan).
+TRANSFORM forks one external process per task, streaming rows through
+stdin/stdout exactly like Hive's ScriptOperator — throughput is bounded
+by the pipe, so it is a cold-path integration feature, never a hot-path
+operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_spark.operators import QuerySpec, views
+
+_THRESHOLD = 200000.0
+
+
+def etl_multi_insert_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a .q-style ETL script: orders fanned into hi/lo sinks by price,
+    then a TRANSFORM('cat') pipe over the hi sink; return a per-sink
+    summary (count + exact decimal sum) read back from the sinks."""
+    import os
+    import shutil
+    import tempfile
+
+    from hive_spark.hqlscript import run_script
+
+    views(spark, sf_dir)
+    # external LOCATIONs so reruns (or a crashed previous run) can never
+    # collide with a stale managed-table directory in the warehouse
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"hive_spark_etl_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    script = f"""
+    -- one scan, two sinks (HiveParser.g:2565 multi-insert shape)
+    DROP TABLE IF EXISTS etl_hi;
+    DROP TABLE IF EXISTS etl_lo;
+    CREATE TABLE etl_hi (o_orderkey BIGINT, o_totalprice DOUBLE)
+      USING parquet LOCATION '{root}/etl_hi';
+    CREATE TABLE etl_lo (o_orderkey BIGINT, o_totalprice DOUBLE)
+      USING parquet LOCATION '{root}/etl_lo';
+    FROM orders
+    INSERT OVERWRITE TABLE etl_hi
+      SELECT o_orderkey, o_totalprice WHERE o_totalprice >= {_THRESHOLD}
+    INSERT OVERWRITE TABLE etl_lo
+      SELECT o_orderkey, o_totalprice WHERE o_totalprice < {_THRESHOLD};
+    """
+    run_script(spark, script)
+    # TRANSFORM pipe stage (ScriptOperator.java:61): identity filter via
+    # /bin/cat, read back through the default tab-delimited serde
+    transformed = spark.sql(
+        """SELECT TRANSFORM (o_orderkey)
+           USING 'cat' AS (o_orderkey_s STRING)
+           FROM etl_hi"""
+    )
+    transformed.createOrReplaceTempView("etl_hi_piped")
+    return spark.sql(
+        """
+        SELECT 'hi' AS sink, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM etl_hi
+        UNION ALL
+        SELECT 'lo' AS sink, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM etl_lo
+        UNION ALL
+        SELECT 'piped' AS sink, COUNT(*) AS n,
+               CAST(SUM(CAST(o_orderkey_s AS BIGINT)) AS DECIMAL(18,2)) AS total
+        FROM etl_hi_piped
+        """
+    )
+
+
+_ORACLE = f"""
+SELECT 'hi' AS sink, COUNT(*) AS n,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+FROM orders WHERE o_totalprice >= {_THRESHOLD}
+UNION ALL
+SELECT 'lo' AS sink, COUNT(*) AS n,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+FROM orders WHERE o_totalprice < {_THRESHOLD}
+UNION ALL
+SELECT 'piped' AS sink, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS DECIMAL(18,2)) AS total
+FROM orders WHERE o_totalprice >= {_THRESHOLD}
+"""
+
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`FOR SYSTEM_VERSION AS OF` SQL text over a snapshots.py versioned
+    table (grammar ref: FromClauseParser.g:220-224; Iceberg handler ref:
+    HiveIcebergStorageHandler.java:232): v0 = full nation, v1 = nation
+    minus region 0; both versions queried BY SQL TEXT and unioned."""
+    import os
+    import shutil
+    import tempfile
+
+    from hive_spark import snapshots
+    from hive_spark.hqlscript import register_versioned, run_script
+
+    v = views(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"hive_spark_tt_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    snapshots.write_version(v["nation"], path)
+    snapshots.write_version(v["nation"].filter("n_regionkey <> 0"), path)
+    register_versioned("nation_versioned", path)
+    out = run_script(
+        spark,
+        """
+        SELECT 'v0' AS snap, n_regionkey, COUNT(*) AS n,
+               SUM(n_nationkey) AS ksum
+        FROM nation_versioned FOR SYSTEM_VERSION AS OF 0
+        GROUP BY n_regionkey;
+        SELECT 'latest' AS snap, n_regionkey, COUNT(*) AS n,
+               SUM(n_nationkey) AS ksum
+        FROM nation_versioned FOR SYSTEM_VERSION AS OF 1
+        GROUP BY n_regionkey;
+        """,
+    )
+    return out.results[0].unionByName(out.results[1])
+
+
+_TT_ORACLE = """
+SELECT 'v0' AS snap, n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS ksum
+FROM nation GROUP BY n_regionkey
+UNION ALL
+SELECT 'latest' AS snap, n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS ksum
+FROM nation WHERE n_regionkey <> 0 GROUP BY n_regionkey
+"""
+
+REGISTRY: dict[str, QuerySpec] = {
+    "hql_etl_multi_insert": QuerySpec(
+        fn=etl_multi_insert_transform,
+        oracle=_ORACLE,
+        doc="SQL-text multi-insert + TRANSFORM pipe via run_script, "
+        "read-back summary (HiveParser.g:2565, ScriptOperator.java:61)",
+    ),
+    "hql_time_travel": QuerySpec(
+        fn=time_travel_read,
+        oracle=_TT_ORACLE,
+        doc="FOR SYSTEM_VERSION AS OF via SQL text over snapshots.py "
+        "(FromClauseParser.g:220-224)",
+    ),
+}

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from hive_spark.operators import QuerySpec, views
 
-_SCRATCH = "/tmp/hive_spark_pipeline"
+_SCRATCH = f"/tmp/hive_spark_pipeline_{os.getpid()}"  # pid-unique: concurrent sessions must not collide
 
 _STOPWORDS = ("the", "a", "of", "and", "to")
 

@@ -444,8 +444,11 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = t["lineitem"].withColumn(
         "ship_epoch", F.unix_seconds(F.col("l_shipdate").cast("timestamp"))
     )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata
+    # (dup rows at sf0.1) — l_quantity completes a total order so the
+    # ROWS-frame running sum is deterministic across engines/partitions
     w_rows = W.partitionBy("l_suppkey").orderBy(
-        "ship_epoch", "l_orderkey", "l_linenumber"
+        "ship_epoch", "l_orderkey", "l_linenumber", "l_quantity"
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
     w_range = W.partitionBy("l_suppkey").orderBy("ship_epoch").rangeBetween(-7 * 86400, 0)
     q = F.col("l_quantity").cast(D2)
@@ -465,7 +468,7 @@ _WINDOW_FRAMES_SQL = """
 SELECT l_orderkey, l_linenumber, l_suppkey,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
            PARTITION BY l_suppkey
-           ORDER BY epoch_us(l_shipdate) // 1000000, l_orderkey, l_linenumber
+           ORDER BY epoch_us(l_shipdate) // 1000000, l_orderkey, l_linenumber, l_quantity
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
            PARTITION BY l_suppkey

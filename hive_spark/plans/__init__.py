@@ -300,7 +300,20 @@ class AggregateMV:
                 refs.add(it.next().name())
             if not refs <= set(self.group_keys):
                 return None
+            # SQL-text plans qualify attributes in .sql() output
+            # (li_slim.l_linestatus, or backticked); the qualifier does
+            # not resolve against the MV relation — rebuild the predicate
+            # over bare attribute names. Only prefixes directly before a
+            # KNOWN reference name are stripped, so literals like 'a.b'
+            # survive unless they end in a reference name (accepted edge).
             where = cond.sql()
+            for rname in sorted(refs, key=len, reverse=True):
+                esc = re.escape(rname)
+                where = re.sub(
+                    r"(?:(?:`[^`]+`|[A-Za-z_]\w*)\.)+(`" + esc + r"`|" + esc + r")\b",
+                    r"\1",
+                    where,
+                )
             child = _unalias(child.child())
         if _EXPR_ID.sub("#x", child.toString()) != self._base_canon:
             return None
@@ -319,11 +332,13 @@ class AggregateMV:
             group_by.append(expr.name())
 
         aggs: dict[str, tuple[str, str]] = {}
+        out_order: list[str] = []  # the query's projection order, verbatim
         a = jplan.aggregateExpressions()
         for i in range(a.size()):
             ne = a.apply(i)
             cls = ne.getClass().getSimpleName()
             if cls == "AttributeReference":
+                out_order.append(ne.name())
                 continue  # a group key echoed in the select list
             if cls != "Alias":
                 return None
@@ -341,12 +356,17 @@ class AggregateMV:
             if fn == "count" and col == "1":
                 col = "*"
             aggs[ne.name()] = (fn, col)
+            out_order.append(ne.name())
 
         if not self.can_answer(group_by, aggs):
             return None
-        return self.answer(
+        answered = self.answer(
             group_by, aggs, where=F.expr(where) if where is not None else None
         )
+        # answer() emits group keys first then aggregates; re-project in
+        # the ORIGINAL plan's output order so the rewrite is schema-
+        # transparent (positional consumers: INSERT...SELECT, tuple cmp).
+        return answered.select(*out_order)
 
     def answer(
         self,
@@ -393,8 +413,18 @@ def salted_agg_count(
     At 100 TB: use when one key holds >~1/shuffle-partitions of the rows
     (Hive's GroupByOperator hash-flush + skew 2-MR-job plan analog,
     ref ql/.../parse/SemanticAnalyzer.java:7014 genGroupByPlanMapAggr2MR).
+
+    The salt is derived from the row CONTENT (hash of all columns), never
+    from monotonically_increasing_id: a nondeterministic shuffle key means
+    a stage retry after fetch-failure can re-salt rows into different
+    reduce partitions and double-count or drop them (SPARK-23207 class).
+    Content-hashing is deterministic under retries; identical rows land in
+    one bucket, which still spreads a hot KEY as long as its rows differ
+    anywhere — the normal case for fact rows.
     """
-    salted = df.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), salt))
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
+    )
     aggs1 = [F.count(F.lit(1)).alias("_n")]
     aggs2 = [F.sum("_n").alias("n")]
     if agg_col is not None:

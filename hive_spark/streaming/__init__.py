@@ -29,11 +29,14 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_SCRATCH = "/tmp/hive_spark_stream"
+# pid-suffixed: concurrent sessions (pytest + replica sweep + the driver)
+# must not rmtree each other's live sources/sinks/checkpoints
+_SCRATCH = f"/tmp/hive_spark_stream_{os.getpid()}"
 
 # ts is TIMESTAMP (ltz): watermarks reject TIMESTAMP_NTZ; under the UTC
 # session the cast from the tables' NTZ values is epoch-preserving.
@@ -98,10 +101,17 @@ def read_stream(spark: SparkSession, src_dir: str) -> DataFrame:
 
 
 def _run(query_builder, checkpoint: str):
+    # Unique suffix per invocation: two sessions (e.g. pytest + a replica
+    # sweep) sharing a fixed path rmtree each other's LIVE checkpoint —
+    # the stream dies with "commits does not exist" mid-batch.
+    checkpoint = f"{checkpoint}_{uuid.uuid4().hex[:8]}"
     shutil.rmtree(checkpoint, ignore_errors=True)
-    q = query_builder(checkpoint)
-    q.awaitTermination()
-    return q
+    try:
+        q = query_builder(checkpoint)
+        q.awaitTermination()
+        return q
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

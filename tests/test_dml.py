@@ -28,3 +28,23 @@ def test_merge_cardinality_violation(spark, sf_dir):
             on=F.col("t.n_nationkey") == F.col("s.k"),
             matched_update={"n_name": F.lit("x")},
         )
+
+
+def test_merge_cardinality_allows_duplicate_target_rows(spark, tmp_path):
+    """Two identical target rows are a legal multiset; each matches the
+    single source row once — no violation (Hive keys the check on ROW__ID,
+    not column values)."""
+    path = str(tmp_path / "dup_target")
+    spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, v string"
+    ).write.parquet(path)
+    src = spark.createDataFrame([(1, "z")], "k int, v string")
+    dml.merge_into(
+        spark,
+        path,
+        src,
+        on=F.col("t.k") == F.col("s.k"),
+        matched_update={"v": F.col("s.v")},
+    )
+    rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert rows == [(1, "z"), (1, "z"), (2, "b")]

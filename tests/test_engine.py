@@ -34,6 +34,30 @@ def test_sql_served_from_mv(spark, engine):
     assert got == want
 
 
+def test_sql_mv_with_group_key_filter(spark, engine):
+    """SQL-text WHERE on a group key: the analyzed Filter condition comes
+    back qualifier-prefixed (`li_slim`.`l_linestatus`) and must be
+    re-rooted on the MV relation, not crash with UNRESOLVED_COLUMN."""
+    q = """SELECT l_returnflag, SUM(qty) AS s
+           FROM li_slim WHERE l_linestatus = 'F' GROUP BY l_returnflag"""
+    assert engine.explain_rewrite(q)
+    got = {tuple(r) for r in engine.sql(q).collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want
+
+
+def test_sql_mv_preserves_projection_order(spark, engine):
+    """The rewrite must be schema-transparent: aggregate-first projections
+    keep their original column order (positional consumers depend on it)."""
+    q = "SELECT SUM(qty) AS s2, l_returnflag FROM li_slim GROUP BY l_returnflag"
+    assert engine.explain_rewrite(q)
+    df = engine.sql(q)
+    assert df.columns == ["s2", "l_returnflag"]
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want
+
+
 def test_uncontained_sql_runs_as_written(engine):
     q = "SELECT l_returnflag, MAX(qty) AS m FROM li_slim GROUP BY l_returnflag"
     assert not engine.explain_rewrite(q)  # no max partial in the MV

@@ -1,0 +1,145 @@
+"""SQL-text multi-insert + TRANSFORM end-to-end (hql_demo registry)."""
+
+import pytest
+
+from hive_spark.hqlscript import run_script
+from hive_spark.operators import hql_demo, views
+from tests.oracle_check import compare
+
+
+def test_hql_etl_multi_insert_oracle(spark, sf_dir):
+    spec = hql_demo.REGISTRY["hql_etl_multi_insert"]
+    compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+
+
+def test_sql_text_multi_insert_fans_one_scan(spark, sf_dir):
+    """FROM t INSERT ... INSERT ... parses and writes both sinks in one
+    statement (HiveParser.g:2565 shape, executed verbatim by spark.sql)."""
+    views(spark, sf_dir)
+    run_script(
+        spark,
+        """
+        DROP TABLE IF EXISTS mi_a;
+        DROP TABLE IF EXISTS mi_b;
+        CREATE TABLE mi_a (n_name STRING) USING parquet;
+        CREATE TABLE mi_b (n_name STRING) USING parquet;
+        FROM nation
+        INSERT OVERWRITE TABLE mi_a SELECT n_name WHERE n_regionkey = 0
+        INSERT OVERWRITE TABLE mi_b SELECT n_name WHERE n_regionkey <> 0;
+        """,
+    )
+    a = spark.table("mi_a").count()
+    b = spark.table("mi_b").count()
+    assert a > 0 and b > 0 and a + b == spark.table("nation").count()
+    run_script(spark, "DROP TABLE mi_a; DROP TABLE mi_b;")
+
+
+def test_sql_text_transform_pipes_rows(spark, sf_dir):
+    """SELECT TRANSFORM ... USING 'cat' round-trips rows through an
+    external process (ScriptOperator.java:61 behavior)."""
+    views(spark, sf_dir)
+    out = run_script(
+        spark,
+        """SELECT TRANSFORM (r_regionkey, r_name)
+           USING 'cat' AS (k STRING, name STRING)
+           FROM region;""",
+    )
+    rows = {(r.k, r.name) for r in out.results[-1].collect()}
+    want = {
+        (str(r.r_regionkey), r.r_name)
+        for r in spark.table("region").collect()
+    }
+    assert rows == want
+
+
+def test_hql_time_travel_oracle(spark, sf_dir):
+    spec = hql_demo.REGISTRY["hql_time_travel"]
+    compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+
+
+def test_system_time_as_of_picks_version_by_mtime(spark, sf_dir, tmp_path):
+    """FOR SYSTEM_TIME AS OF resolves to the last version committed at or
+    before the timestamp (version-dir mtimes are the commit times)."""
+    import os
+
+    from hive_spark import snapshots
+    from hive_spark.hqlscript import register_versioned, run_script
+
+    v = views(spark, sf_dir)
+    path = str(tmp_path / "tt_time")
+    snapshots.write_version(v["region"], path)
+    snapshots.write_version(v["region"].limit(2), path)
+    # pin deterministic commit times: v0 @ 10:00, v1 @ 12:00 UTC
+    os.utime(os.path.join(path, "v00000"), (1704103200, 1704103200))
+    os.utime(os.path.join(path, "v00001"), (1704110400, 1704110400))
+    register_versioned("region_versioned", path)
+    out = run_script(
+        spark,
+        """SELECT COUNT(*) AS n FROM region_versioned
+           FOR SYSTEM_TIME AS OF '2024-01-01T11:00:00';""",
+    )
+    assert out.results[-1].collect()[0].n == 5  # v0: all regions
+    out2 = run_script(
+        spark,
+        """SELECT COUNT(*) AS n FROM region_versioned
+           FOR SYSTEM_TIME AS OF '2024-01-01T13:00:00';""",
+    )
+    assert out2.results[-1].collect()[0].n == 2  # v1
+
+
+def test_ds_sketch_names_run_as_hiveql(spark, sf_dir):
+    """HiveQL text calling ds_hll_estimate(ds_hll_sketch(x)) and
+    ds_kll_quantile(ds_kll_sketch(x), q) runs via the session rewrite
+    (DataSketchesFunctions.java name surface -> Spark approx natives)."""
+    views(spark, sf_dir)
+    out = run_script(
+        spark,
+        """SELECT ds_hll_estimate(ds_hll_sketch(c_custkey)) AS nd,
+                  ds_kll_quantile(ds_kll_sketch(CAST(c_acctbal AS FLOAT)), 0.5) AS med
+           FROM customer;""",
+    )
+    row = out.results[-1].collect()[0]
+    n_exact = spark.table("customer").select("c_custkey").distinct().count()
+    # HLL standard error at default precision is ~2.3%; allow 5%
+    assert abs(row.nd - n_exact) / n_exact < 0.05
+    assert row.med is not None
+
+
+def test_likeany_likeall_fold_to_jvm(spark, sf_dir):
+    """likeany/likeall in SQL text fold into LIKE OR/AND chains — no
+    Python UDF in the executed plan (GenericUDFLikeAny.java semantics)."""
+    views(spark, sf_dir)
+    from hive_spark.hqlscript import rewrite_statement
+
+    stmt = rewrite_statement(
+        spark,
+        "SELECT COUNT(*) AS n FROM part "
+        "WHERE likeany(p_name, 'alm%', '%rose%') "
+        "AND NOT likeall(p_name, '%a%', '%z%')",
+    )
+    assert "likeany" not in stmt and "likeall" not in stmt
+    df = spark.sql(stmt)
+    assert "BatchEvalPython" not in df._jdf.queryExecution().executedPlan().toString()
+    # same answer as the Python-UDF registration
+    want = spark.sql(
+        "SELECT COUNT(*) AS n FROM part "
+        "WHERE likeany(p_name, 'alm%', '%rose%') "
+        "AND NOT likeall(p_name, '%a%', '%z%')"
+    ).collect()[0].n
+    assert df.collect()[0].n == want
+
+
+def test_sql_text_transform_custom_command(spark, sf_dir):
+    """A non-identity pipe command (awk rewriting the stream) — the
+    external process genuinely transforms the rows."""
+    views(spark, sf_dir)
+    df = spark.sql(
+        r"""SELECT TRANSFORM (r_regionkey)
+            USING 'awk ''{print $1 * 10}''' AS (k10 STRING)
+            FROM region"""
+    )
+    got = sorted(int(r.k10) for r in df.collect())
+    want = sorted(
+        r.r_regionkey * 10 for r in spark.table("region").collect()
+    )
+    assert got == want

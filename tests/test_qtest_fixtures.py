@@ -312,3 +312,321 @@ def test_group_by_array_key(spark, fixtures):
            FROM src GROUP BY string_split(value, '_')
            ORDER BY n DESC, parts[2] LIMIT 10""",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 expansion: +20 families from ql/src/test/queries/clientpositive/
+# (VERDICT r1 item 4). Each test replays one canonical family's semantic
+# shape against the DuckDB oracle on the same parquet fixtures.
+# ---------------------------------------------------------------------------
+
+
+def test_having_on_aggregate(spark, fixtures):
+    """having.q: HAVING over an aggregate (Hive also resolves the select
+    alias; engine uses the portable aggregate-expression form)."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT key, COUNT(value) AS c FROM q_src
+           GROUP BY key HAVING COUNT(value) > 1
+           ORDER BY c DESC, key LIMIT 20""",
+    )
+
+
+def test_nullgroup_empty_input_aggregates(spark, fixtures):
+    """nullgroup.q / nullgroup2.q: global aggregates over an empty scan —
+    COUNT returns one row of 0, SUM/MIN return NULL (never zero rows)."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT COUNT(1) AS n, COUNT(DISTINCT key) AS nd,
+                  SUM(CAST(key AS INT)) AS s, MIN(value) AS mn
+           FROM q_src WHERE key > '9999'""",
+        """SELECT COUNT(1) AS n, COUNT(DISTINCT key) AS nd,
+                  SUM(CAST(key AS INT)) AS s, MIN(value) AS mn
+           FROM src WHERE key > '9999'""",
+    )
+
+
+def test_groupby_null_keys(spark, fixtures):
+    """groupby on a NULL-heavy key (alltypes cstring1 is NULL every 13th
+    row): NULLs form one group, never dropped."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT cstring1, COUNT(*) AS n, COUNT(cint) AS n_int
+           FROM q_alltypes GROUP BY cstring1
+           ORDER BY cstring1 NULLS FIRST""",
+    )
+
+
+def test_count_variants(spark, fixtures):
+    """count.q: COUNT(*), COUNT(1), COUNT(col), COUNT(DISTINCT a),
+    multi-distinct in one aggregate (Hive computes them in one MR job)."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT COUNT(*) AS c_star, COUNT(1) AS c_one,
+                  COUNT(cstring1) AS c_col,
+                  COUNT(DISTINCT cstring1) AS cd_str,
+                  COUNT(DISTINCT ctinyint) AS cd_tiny
+           FROM q_alltypes""",
+    )
+
+
+def test_subquery_notin_null_semantics(spark, fixtures):
+    """subquery_notin.q: NOT IN whose subquery yields a NULL — three-valued
+    logic empties the result; the NULL-filtered variant keeps rows."""
+    with_null = """SELECT COUNT(*) AS n FROM {at} WHERE ctinyint NOT IN
+                   (SELECT ctinyint FROM {at} WHERE csmallint < 100)"""
+    filtered = """SELECT COUNT(*) AS n FROM {at} WHERE ctinyint NOT IN
+                  (SELECT ctinyint FROM {at}
+                   WHERE csmallint < 100 AND ctinyint IS NOT NULL)"""
+    for tpl in (with_null, filtered):
+        _cmp(spark, fixtures, tpl.format(at="q_alltypes"),
+             tpl.format(at="alltypes"))
+
+
+def test_subquery_notin_correlated_window(spark, fixtures):
+    """subquery_notin.q correlated shape: NOT IN over a windowed derived
+    table with an outer correlation (b.p_mfgr = a.p_mfgr analog)."""
+    tpl = """SELECT b.key, b.value FROM {src} b WHERE b.value NOT IN
+               (SELECT a.value FROM
+                  (SELECT key, value,
+                          RANK() OVER (PARTITION BY key ORDER BY value) AS r
+                   FROM {src}) a
+                WHERE r <= 1 AND b.key = a.key)
+             ORDER BY b.key, b.value LIMIT 25"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_subquery_exists_correlated(spark, fixtures):
+    """subquery_exists.q: correlated EXISTS / NOT EXISTS pair."""
+    for neg in ("", "NOT "):
+        tpl = (
+            "SELECT COUNT(*) AS n FROM {at} a WHERE " + neg +
+            "EXISTS (SELECT 1 FROM {at} b "
+            "WHERE b.cint = a.cint AND b.ctinyint > 0)"
+        )
+        _cmp(spark, fixtures, tpl.format(at="q_alltypes"),
+             tpl.format(at="alltypes"))
+
+
+def test_cte_referenced_twice(spark, fixtures):
+    """cte_mat_1.q: a CTE consumed twice (self-join) — Hive materializes
+    under hive.optimize.cte.materialize.threshold; Catalyst dedups the
+    scan. Values must be identical either way."""
+    tpl = """WITH q1 AS (SELECT key, value FROM {src} WHERE key = '5')
+             SELECT a.key AS k, COUNT(*) AS n
+             FROM q1 a JOIN q1 b ON a.key = b.key
+             GROUP BY a.key"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_join_null_keys_and_null_safe(spark, fixtures):
+    """join_nulls.q: NULL keys never equi-match; the null-safe <=> operator
+    does match them (Hive GenericUDFOPEqualNS)."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT COUNT(*) AS n FROM q_alltypes a
+           JOIN q_alltypes b ON a.ctinyint = b.ctinyint
+           WHERE a.cbigint IS NULL AND b.cbigint IS NULL""",
+        """SELECT COUNT(*) AS n FROM alltypes a
+           JOIN alltypes b ON a.ctinyint = b.ctinyint
+           WHERE a.cbigint IS NULL AND b.cbigint IS NULL""",
+    )
+    ns = spark.sql(
+        """SELECT COUNT(*) AS n FROM q_alltypes a
+           JOIN q_alltypes b ON a.ctinyint <=> b.ctinyint"""
+    ).collect()[0].n
+    duck_ns = fixtures.sql(
+        """SELECT COUNT(*) AS n FROM alltypes a
+           JOIN alltypes b ON a.ctinyint IS NOT DISTINCT FROM b.ctinyint"""
+    ).fetchone()[0]
+    assert ns == duck_ns
+    eq = spark.sql(
+        """SELECT COUNT(*) AS n FROM q_alltypes a
+           JOIN q_alltypes b ON a.ctinyint = b.ctinyint"""
+    ).collect()[0].n
+    assert ns > eq  # the NULL group joined only under <=>
+
+
+def test_three_way_join_chain(spark, fixtures):
+    """auto_join*.q multiway shape: a 3-table chain with an aggregate on
+    top (Hive merges adjacent joins into one MR stage when keys align)."""
+    tpl = """SELECT a.key, COUNT(*) AS n
+             FROM {src} a JOIN {src} b ON a.key = b.key
+                          JOIN {src} c ON b.key = c.key
+             WHERE a.key < '2'
+             GROUP BY a.key ORDER BY a.key"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_mapjoin_aggregated_subquery_dim(spark, fixtures):
+    """mapjoin_subquery.q: join against an aggregated subquery used as the
+    small (broadcastable) side."""
+    tpl = """SELECT d.k1, COUNT(*) AS n
+             FROM {src} f JOIN
+               (SELECT substr(key, 1, 1) AS k1, COUNT(*) AS cnt
+                FROM {src} GROUP BY substr(key, 1, 1)) d
+             ON substr(f.key, 1, 1) = d.k1
+             WHERE d.cnt > 10
+             GROUP BY d.k1 ORDER BY d.k1"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_skewed_key_join_groupby(spark, fixtures):
+    """skewjoinopt*.q semantic shape: one key carries most rows; join +
+    group-by totals must be exact regardless of the runtime skew plan
+    (engine relies on AQE skew-join at scale)."""
+    tpl = """SELECT s.skey, COUNT(*) AS n FROM
+               (SELECT CASE WHEN key < '4' THEN 'hot' ELSE key END AS skey
+                FROM {src}) s
+             JOIN (SELECT DISTINCT CASE WHEN key < '4' THEN 'hot' ELSE key END
+                     AS skey FROM {src}) d
+             ON s.skey = d.skey
+             GROUP BY s.skey ORDER BY n DESC, s.skey LIMIT 10"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_windowing_multi_spec(spark, fixtures):
+    """windowing.q: several window functions with different partition/order
+    specs in one select block (Hive PTFOperator chains them)."""
+    tpl = """SELECT key, value,
+                    SUM(CAST(key AS INT)) OVER
+                      (PARTITION BY substr(key, 1, 1) ORDER BY key, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS run_sum,
+                    ROW_NUMBER() OVER
+                      (PARTITION BY substr(value, 1, 5) ORDER BY value, key)
+                      AS rn,
+                    MIN(value) OVER (PARTITION BY key) AS key_min
+             FROM {src} WHERE key < '3'
+             ORDER BY key, value, rn"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_windowing_first_last_value_frames(spark, fixtures):
+    """windowing.q first_value/last_value: default frame ends at CURRENT
+    ROW for last_value; explicit UNBOUNDED FOLLOWING sees the whole
+    partition; IGNORE NULLS skips NULL inputs."""
+    tpl = """SELECT cint,
+                    FIRST_VALUE(cstring1) OVER w AS fv,
+                    LAST_VALUE(cstring1) OVER w AS lv_cur,
+                    LAST_VALUE(cstring1) OVER
+                      (PARTITION BY ctinyint ORDER BY cint NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS lv_all,
+                    FIRST_VALUE(cstring1 {ig}) OVER w AS fv_skipnull
+             FROM {at} WHERE ctinyint = 1
+             WINDOW w AS (PARTITION BY ctinyint ORDER BY cint NULLS FIRST)
+             ORDER BY cint"""
+    _cmp(
+        spark,
+        fixtures,
+        tpl.format(at="q_alltypes", ig="IGNORE NULLS").replace(
+            "FIRST_VALUE(cstring1 IGNORE NULLS)", "FIRST_VALUE(cstring1) IGNORE NULLS"
+        ),
+        tpl.format(at="alltypes", ig="IGNORE NULLS"),
+    )
+
+
+def test_windowing_lead_lag_defaults(spark, fixtures):
+    """lead_lag.q: LEAD/LAG with explicit offset + default, and the
+    1-offset NULL-filling form."""
+    tpl = """SELECT cint,
+                    LAG(cint) OVER w AS lag1,
+                    LEAD(cint) OVER w AS lead1,
+                    LAG(cint, 2, -1) OVER w AS lag2_def,
+                    LEAD(cint, 3, 0) OVER w AS lead3_def
+             FROM {at} WHERE ctinyint = 2
+             WINDOW w AS (ORDER BY cint NULLS FIRST)
+             ORDER BY cint"""
+    _cmp(spark, fixtures, tpl.format(at="q_alltypes"),
+         tpl.format(at="alltypes"))
+
+
+def test_vector_decimal_expressions(spark, fixtures):
+    """vector_decimal_expressions.q: decimal cast + arithmetic chain with
+    exact SUM/MIN/MAX (engine decimal protocol: exact math, associative)."""
+    tpl = """SELECT SUM(CAST(key AS DECIMAL(10, 2)) * CAST('1.25' AS DECIMAL(4, 2)))
+                      AS s,
+                    MIN(CAST(key AS DECIMAL(10, 2)) - 10) AS mn,
+                    MAX(CAST(key AS DECIMAL(10, 2)) % 7) AS mx
+             FROM {src}"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_vector_between_in(spark, fixtures):
+    """vector_between_in.q: BETWEEN and IN / NOT IN predicates over
+    NULL-bearing numeric columns."""
+    tpl = """SELECT COUNT(*) AS n_between,
+                    COUNT(CASE WHEN cint IN (104729, 209458, 1) THEN 1 END)
+                      AS n_in,
+                    COUNT(CASE WHEN ctinyint NOT IN (0, 1, 2) THEN 1 END)
+                      AS n_notin
+             FROM {at} WHERE csmallint BETWEEN 100 AND 20000"""
+    _cmp(spark, fixtures, tpl.format(at="q_alltypes"),
+         tpl.format(at="alltypes"))
+
+
+def test_vector_case_when_coalesce(spark, fixtures):
+    """vector_case_when_1.q / vector_coalesce.q: CASE chains and COALESCE
+    over NULL-heavy columns, grouped."""
+    tpl = """SELECT CASE WHEN ctinyint IS NULL THEN 'null'
+                         WHEN ctinyint < 0 THEN 'neg'
+                         WHEN ctinyint = 0 THEN 'zero'
+                         ELSE 'pos' END AS sign,
+                    COUNT(*) AS n,
+                    SUM(COALESCE(CAST(csmallint AS BIGINT), -1)) AS s,
+                    COUNT(NULLIF(cboolean1, FALSE)) AS n_true
+             FROM {at} GROUP BY 1 ORDER BY 1"""
+    _cmp(spark, fixtures, tpl.format(at="q_alltypes"),
+         tpl.format(at="alltypes"))
+
+
+def test_order_by_nulls_placement(spark, fixtures):
+    """order_null.q: explicit NULLS FIRST/LAST (Hive default sorts NULLS
+    FIRST asc like Spark; DuckDB defaults NULLS LAST — explicit placement
+    makes all three agree)."""
+    for placement in ("NULLS FIRST", "NULLS LAST"):
+        tpl = (
+            "SELECT ctinyint, cint FROM {at} WHERE cint < 5000 "
+            f"ORDER BY ctinyint {placement}, cint LIMIT 20"
+        )
+        sdf = spark.sql(tpl.format(at="q_alltypes"))
+        cur = fixtures.sql(tpl.format(at="alltypes"))
+        from tests.oracle_check import _rows
+        # ordered compare (no re-sort): placement itself is under test
+        a = [tuple(_rowsafe(v) for v in r) for r in sdf.collect()]
+        b = [tuple(_rowsafe(v) for v in r) for r in cur.fetchall()]
+        assert a == b, f"{placement}: {a[:3]} vs {b[:3]}"
+
+
+def _rowsafe(v):
+    from tests.oracle_check import _canon
+
+    return _canon(v)
+
+
+def test_limit_offset_pushdown(spark, fixtures):
+    """limit_pushdown.q / offset_limit.q: ORDER BY ... LIMIT n OFFSET m
+    with a deterministic total order."""
+    tpl = """SELECT key, value FROM {src}
+             ORDER BY CAST(key AS INT), value LIMIT 10 OFFSET 20"""
+    sdf = spark.sql(tpl.format(src="q_src"))
+    cur = fixtures.sql(tpl.format(src="src"))
+    a = [tuple(_rowsafe(v) for v in r) for r in sdf.collect()]
+    b = [tuple(_rowsafe(v) for v in r) for r in cur.fetchall()]
+    assert a == b
+
+
+def test_correlation_optimizer_shared_key(spark, fixtures):
+    """correlationoptimizer1.q: join and group-by on the same key — Hive's
+    CorrelationOptimizer shares one shuffle; Catalyst reuses the exchange.
+    Semantics: exact totals."""
+    tpl = """SELECT x.key, COUNT(*) AS cnt FROM {src} x
+             JOIN {src} y ON x.key = y.key
+             GROUP BY x.key ORDER BY cnt DESC, x.key LIMIT 12"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
