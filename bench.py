@@ -49,6 +49,82 @@ HEADLINE = [
 ]
 
 
+# Scale sweep: the queries whose sf0.1 numbers are dominated by fixed
+# JVM/scheduler overhead (~0.5 s/query) rather than data volume. Re-run
+# them against a synthetically scaled copy of the fact tables to show
+# time grows far sub-linearly with data — the property that matters at
+# 100 TB, where fixed overhead amortizes to nothing.
+SCALE_SWEEP = [
+    "tpch_q1",
+    "tpch_q9",
+    "tpch_q18",
+    "tpch_q21",
+    "text_tfidf_topk",
+    "text_inverted_index",
+]
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "4"))
+
+# fact tables unioned SCALE_FACTOR times with join keys shifted per copy
+# (joins stay copy-local; dims keep their cardinality, so each dim row
+# simply matches k times — the realistic fact/dim growth asymmetry)
+_FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey", "documents": None}
+
+
+def _build_scaled_dir(spark, src: str, k: int) -> str:
+    """Materialize src scaled k× on the fact tables under /tmp (cached).
+    Facts are written as multi-file parquet dirs — also undoing the
+    single-row-group scan-parallelism cap of the source testdata files."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hive_spark.session import TESTDATA_TABLES, load_tables
+
+    dst = f"/tmp/hive_spark_benchscale_{os.path.basename(src.rstrip('/'))}_x{k}"
+    marker = os.path.join(dst, "_BUILT")
+    if os.path.exists(marker):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    tables = load_tables(spark, src, tuple(TESTDATA_TABLES))
+    for t in TESTDATA_TABLES:
+        out = os.path.join(dst, f"{t}.parquet")
+        if t in _FACTS:
+            df, key = tables[t], _FACTS[t]
+            if key is None:  # documents: shift the doc id textually
+                parts = [
+                    df.withColumn(
+                        "doc_id",
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f"_{i}")),
+                    )
+                    for i in range(k)
+                ]
+            else:
+                offset = df.agg(F.max(key)).collect()[0][0] + 1
+                parts = [
+                    df.withColumn(key, F.col(key) + F.lit(i * offset)) for i in range(k)
+                ]
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionAll(p)
+            scaled.repartition(int(CPUS)).write.mode("overwrite").parquet(out)
+        else:
+            shutil.copyfile(os.path.join(src, f"{t}.parquet"), out)
+    open(marker, "w").close()
+    return dst
+
+
+def _fixed_overhead(spark) -> float:
+    """Per-query fixed cost (scheduler + py4j + noop commit), best-of-3 on
+    a 1-row job — subtracted nowhere, reported so ratios can be read net."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     from hive_spark.session import get_session
     from hive_spark.operators import full_registry
@@ -79,6 +155,30 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    overhead = _fixed_overhead(spark)
+
+    # Two-point scaling table: same queries, SCALE_FACTOR× the fact rows.
+    # time_ratio << data_ratio demonstrates the fixed overhead amortizing
+    # (the local[32] stand-in for the 1000-executor scale-up argument).
+    sweep: dict[str, dict[str, float]] = {}
+    if SCALE_FACTOR > 1:
+        scaled_dir = _build_scaled_dir(spark, SF_DIR, SCALE_FACTOR)
+        for name in SCALE_SWEEP:
+            spec = registry[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, scaled_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            sweep[name] = {
+                "t_base": timings[name],
+                "t_scaled": round(best, 3),
+                "data_ratio": float(SCALE_FACTOR),
+                "time_ratio": round(best / max(timings[name], 1e-9), 2),
+            }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -88,6 +188,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "fixed_overhead_sec": overhead,
+                "queries_net": {
+                    n: round(max(t - overhead, 0.0), 3) for n, t in timings.items()
+                },
+                "scale_sweep": sweep,
             }
         )
     )

@@ -142,6 +142,13 @@ def _ns_timestamp_columns(path: str) -> list[tuple[str, str]]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
+    if os.path.isdir(path):  # multi-file table: any part carries the schema
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return [
         (f.name, f.type.unit)
