@@ -266,3 +266,150 @@ class ConstraintRegistry:
                 )
                 out[f"fk({c.table}.{','.join(c.cols)} -> {c.ref_table})"] = orphans
         return out
+
+
+# ---------------------------------------------------------------------------
+# LOAD DATA / EXPORT / IMPORT (Hive: LoadSemanticAnalyzer.java,
+# ExportSemanticAnalyzer.java, ImportSemanticAnalyzer.java).
+#
+# Hive's LOAD DATA is a pure file move into the table/partition directory
+# (no conversion — the files must already be in the table's format);
+# EXPORT writes data plus a _metadata descriptor so IMPORT can recreate
+# the table elsewhere. Same contract here: file-level copies (scales as a
+# distcp-style parallel copy in production — never a row-level rewrite),
+# a JSON metadata descriptor, and catalog registration + partition repair
+# on the way back in.
+# ---------------------------------------------------------------------------
+
+
+def _table_info(spark: SparkSession, name: str) -> dict[str, str | list[str]]:
+    """Location / provider / partition columns from DESCRIBE FORMATTED."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+    info: dict[str, str | list[str]] = {"partition_cols": []}
+    in_part = False
+    for r in rows:
+        c = (r.col_name or "").strip()
+        if c == "# Partition Information":
+            in_part = True
+            continue
+        if in_part:
+            if c.startswith("#") or not c:
+                if c == "# Detailed Table Information":
+                    in_part = False
+                continue
+            info["partition_cols"].append(c)
+        elif c == "Location":
+            info["location"] = r.data_type.strip()
+        elif c == "Provider":
+            info["provider"] = r.data_type.strip().lower()
+    return info
+
+
+def _as_local(location: str) -> str:
+    return location.removeprefix("file:")
+
+
+def load_data(
+    spark: SparkSession,
+    src_path: str,
+    table: str,
+    partition: dict[str, str] | None = None,
+    overwrite: bool = False,
+) -> int:
+    """LOAD DATA INPATH src INTO TABLE t [PARTITION (k=v,...)] [OVERWRITE]:
+    move/copy data files into the table (or partition) directory and
+    refresh. Returns the number of files placed. The files must already
+    match the table's storage format (Hive contract: LoadSemanticAnalyzer
+    rejects format conversion)."""
+    import shutil
+
+    info = _table_info(spark, table)
+    dest = _as_local(str(info["location"]))
+    if info["partition_cols"] and not partition:
+        # Hive rejects LOAD DATA without a partition spec on a partitioned
+        # table (no dynamic-partition load; LoadSemanticAnalyzer check)
+        raise ValueError(
+            f"table {table} is partitioned; partition spec missing keys: "
+            f"{info['partition_cols']}"
+        )
+    if partition:
+        missing = [k for k in info["partition_cols"] if k not in partition]
+        if missing:
+            raise ValueError(f"partition spec missing keys: {missing}")
+        dest = os.path.join(
+            dest, *(f"{k}={partition[k]}" for k in info["partition_cols"])
+        )
+    if overwrite and os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest, exist_ok=True)
+    srcs = (
+        [os.path.join(src_path, f) for f in sorted(os.listdir(src_path))
+         if not f.startswith(("_", "."))]
+        if os.path.isdir(src_path)
+        else [src_path]
+    )
+    for f in srcs:
+        shutil.copy(f, os.path.join(dest, os.path.basename(f)))
+    if partition:
+        spec = ", ".join(f"{k}='{v}'" for k, v in partition.items())
+        spark.sql(f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION ({spec})")
+    spark.sql(f"REFRESH TABLE {table}")
+    return len(srcs)
+
+
+def export_table(spark: SparkSession, table: str, dest: str) -> str:
+    """EXPORT TABLE t TO dest: copy the table's data directory plus a
+    _metadata.json descriptor (schema DDL, provider, partition columns) —
+    the Hive export layout (data/ + _metadata) in JSON form."""
+    import json
+    import shutil
+
+    info = _table_info(spark, table)
+    src = _as_local(str(info["location"]))
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    shutil.copytree(src, os.path.join(dest, "data"))
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.table(table).schema.fields
+    )
+    with open(os.path.join(dest, "_metadata.json"), "w") as fh:
+        json.dump(
+            {
+                "table": table,
+                "schema": schema_ddl,
+                "provider": info.get("provider", "parquet"),
+                "partition_cols": info["partition_cols"],
+            },
+            fh,
+        )
+    return dest
+
+
+def import_table(spark: SparkSession, src: str, new_name: str) -> None:
+    """IMPORT TABLE new_name FROM src: recreate the table from an
+    export_table() directory — register over the copied data, then repair
+    partitions so the metastore sees every partition directory."""
+    import json
+    import shutil
+
+    with open(os.path.join(src, "_metadata.json")) as fh:
+        meta = json.load(fh)
+    warehouse = _as_local(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    )
+    dest = os.path.join(warehouse, new_name)
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.copytree(os.path.join(src, "data"), dest)
+    part_cols = meta["partition_cols"]
+    create_table(
+        spark,
+        new_name,
+        meta["schema"],
+        fmt=str(meta["provider"]),
+        partition_by=tuple(part_cols),
+        location=dest,
+    )
+    if part_cols:
+        repair_partitions(spark, new_name)
+    spark.sql(f"REFRESH TABLE {new_name}")

@@ -366,11 +366,17 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
         )
 
-    updates: dict[int, tuple] = {}
+    # Sink stays distributed: each micro-batch appends its update rows
+    # (stamped with batch_id) as parquet from the executors — never a
+    # driver-side collect, which would OOM the driver in production.
+    # "Current state" is then the max-batch_id emission per user.
+    out = os.path.join(_SCRATCH, f"cst_out_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
 
     def sink(batch_df, batch_id):
-        for r in batch_df.collect():
-            updates[r.user_id] = (r.user_id, r.n_events, r.total_cents)
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
 
     q = (
         read_stream(spark, src)
@@ -391,10 +397,13 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start(),
         os.path.join(_SCRATCH, "cp_cst"),
     )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
     return (
-        spark.createDataFrame(
-            sorted(updates.values()),
-            "user_id bigint, n_events bigint, total_cents bigint",
-        )
+        spark.read.parquet(out)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_cents")
         .orderBy("user_id")
     )
