@@ -269,6 +269,26 @@ class ScriptResult:
     results: list[DataFrame] = field(default_factory=list)  # SELECT outputs
     set_commands: dict[str, str] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)  # no-op'd statements
+    prepared: dict[str, str] = field(default_factory=dict)
+
+
+# PREPARE name FROM <query with ? markers> / EXECUTE name USING v1, v2
+# (Hive 4 prepared statements, ref: ql/.../parse/PrepareStatementAnalyzer
+# .java, ExecuteStatementAnalyzer.java; HiveParser `preparedStatement`).
+# Spark's parameterized sql() uses the same positional `?` markers, so
+# EXECUTE binds the stored text with the literal list directly.
+_PREPARE = re.compile(r"^\s*PREPARE\s+(\w+)\s+FROM\s+(.*)$", re.I | re.S)
+# EXPLAIN ANALYZE <query> (Hive ExplainSemanticAnalyzer `analyze` mode):
+# re-executes the query and prints actual per-operator row counts
+_EXPLAIN_ANALYZE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+(.*)$", re.I | re.S)
+_EXECUTE = re.compile(r"^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.*))?\s*$", re.I | re.S)
+
+
+def _parse_literals(spark: SparkSession, csv: str) -> list:
+    """Literal list after USING — evaluated engine-side so any literal
+    Spark SQL accepts works ('2008-01-01', 3, 1.5, DATE'...')."""
+    row = spark.sql(f"SELECT {csv}").collect()[0]
+    return list(row)
 
 
 def run_script(spark: SparkSession, text: str) -> ScriptResult:
@@ -277,6 +297,33 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
     ensure_engine(spark)
     res = ScriptResult()
     for stmt in split_statements(text):
+        m = _PREPARE.match(stmt)
+        if m:
+            res.prepared[m.group(1).lower()] = m.group(2).strip()
+            continue
+        m = _EXPLAIN_ANALYZE.match(stmt)
+        if m:
+            from hive_spark.plans import explain_analyze
+
+            text_plan = explain_analyze(
+                spark.sql(rewrite_statement(spark, m.group(1)))
+            )
+            res.results.append(
+                spark.createDataFrame([(text_plan,)], "plan string")
+            )
+            continue
+        m = _EXECUTE.match(stmt)
+        if m:
+            name = m.group(1).lower()
+            if name not in res.prepared:
+                raise ValueError(f"EXECUTE of unknown prepared statement {name!r}")
+            args = _parse_literals(spark, m.group(2)) if m.group(2) else []
+            df = spark.sql(
+                rewrite_statement(spark, res.prepared[name]), args=args or None
+            )
+            if df.columns:
+                res.results.append(df)
+            continue
         if _SHELL.match(stmt):
             raise ValueError(
                 f"shell/dfs commands are not executed by the engine: {stmt[:60]!r}"

@@ -436,3 +436,47 @@ def salted_agg_count(
         .groupBy(key)
         .agg(*aggs2)
     )
+
+
+def explain_analyze(df: DataFrame) -> str:
+    """EXPLAIN ANALYZE (Hive: `EXPLAIN ANALYZE <query>` re-executes the
+    query and annotates each operator with actual row counts — ref:
+    ql/.../parse/ExplainSemanticAnalyzer.java `analyze` mode,
+    ql/.../exec/Operator.java runtime row counters).
+
+    Spark analog: execute the plan (noop sink — full pipeline, no result
+    transfer), then walk the final AQE physical plan and print each node
+    with its measured `numOutputRows` SQLMetric. This is runtime truth,
+    not CBO estimates — the tool for "which operator exploded".
+    """
+    qe = df._jdf.queryExecution()
+    # Execute THIS QueryExecution's plan (a .write/.count would build a new
+    # one and leave these metrics at zero). toRdd().count() runs the full
+    # pipeline JVM-side without transferring rows to the driver.
+    qe.toRdd().count()
+    plan = qe.executedPlan()
+    # AdaptiveSparkPlanExec wraps the real tree until final; unwrap it
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+
+    lines: list[str] = []
+
+    def walk(node, depth: int) -> None:
+        cls = node.getClass().getSimpleName()
+        # AQE stage wrappers (Shuffle/Broadcast/ResultQueryStage*) hang the
+        # real subtree off .plan(); WholeStageCodegen off children as usual
+        if "QueryStage" in cls:
+            walk(node.plan(), depth)
+            return
+        name = node.nodeName()
+        rows = ""
+        opt = node.metrics().get("numOutputRows")
+        if opt.isDefined():
+            rows = f"  rows={opt.get().value()}"
+        lines.append(f"{'  ' * depth}{name}{rows}")
+        children = node.children()
+        for i in range(children.length()):
+            walk(children.apply(i), depth + 1)
+
+    walk(plan, 0)
+    return "\n".join(lines)

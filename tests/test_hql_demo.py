@@ -143,3 +143,64 @@ def test_sql_text_transform_custom_command(spark, sf_dir):
         r.r_regionkey * 10 for r in spark.table("region").collect()
     )
     assert got == want
+
+
+def test_prepare_execute_positional(spark, sf_dir):
+    """PREPARE p FROM <query with ?>; EXECUTE p USING <literals> — Hive 4
+    prepared statements (PrepareStatementAnalyzer.java /
+    ExecuteStatementAnalyzer.java) over Spark positional parameters.
+    Re-EXECUTE with different bindings reuses the stored text."""
+    views(spark, sf_dir)
+    out = run_script(
+        spark,
+        """PREPARE seg FROM SELECT COUNT(*) AS n FROM customer
+             WHERE c_mktsegment = ? AND c_acctbal > ?;
+           EXECUTE seg USING 'BUILDING', 1000;
+           EXECUTE seg USING 'MACHINERY', 5000;""",
+    )
+    assert list(out.prepared) == ["seg"]
+    n1 = out.results[0].collect()[0].n
+    n2 = out.results[1].collect()[0].n
+    exp1 = spark.sql(
+        "SELECT COUNT(*) AS n FROM customer "
+        "WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000"
+    ).collect()[0].n
+    exp2 = spark.sql(
+        "SELECT COUNT(*) AS n FROM customer "
+        "WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 5000"
+    ).collect()[0].n
+    assert (n1, n2) == (exp1, exp2) and n1 != n2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown prepared"):
+        run_script(spark, "EXECUTE nope USING 1;")
+
+
+def test_parameterized_sql_named_args(spark, sf_dir):
+    """Native named-parameter path (spark.sql(text, args=...)) — the
+    PREPARE/EXECUTE equivalent the engine claims as built-in."""
+    views(spark, sf_dir)
+    df = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = :prio",
+        args={"prio": "1-URGENT"},
+    )
+    exp = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = '1-URGENT'"
+    ).collect()[0].n
+    assert df.collect()[0].n == exp > 0
+
+
+def test_explain_analyze_actual_rows(spark, sf_dir):
+    """EXPLAIN ANALYZE runs the query and annotates operators with actual
+    row counts (Hive ExplainSemanticAnalyzer analyze mode; here from
+    executed-plan SQLMetrics)."""
+    views(spark, sf_dir)
+    out = run_script(
+        spark,
+        """EXPLAIN ANALYZE SELECT n_regionkey, COUNT(*) AS n
+           FROM nation GROUP BY n_regionkey;""",
+    )
+    plan = out.results[-1].collect()[0].plan
+    assert "HashAggregate" in plan and "Scan parquet" in plan
+    assert "rows=25" in plan  # the scan's actual output rows
+    assert "rows=5" in plan  # the aggregate's actual output rows
