@@ -20,6 +20,18 @@ Scale design:
 - Cardinality check: Hive raises on >1 source row per target row
   (cardinality_violation, FunctionRegistry.java:312). Same guard here via a
   count-over-window, optional (costs one extra shuffle).
+
+CONCURRENCY BOUNDARY — SINGLE WRITER. Hive full ACID gives snapshot
+isolation between concurrent writers via the transaction manager, ROW__ID
+delta files, and the compactor (ref: ql/.../io/orc/OrcRecordUpdater.java:
+73-92, VectorizedOrcAcidRowBatchReader.java:100, txn/TxnHandler). This
+layer intentionally does NOT: copy-on-write rewrites assume one writer per
+table at a time, and two concurrent writers will last-write-win at the
+file level. Readers ARE isolated from an in-flight writer when going
+through `hive_spark.snapshots` (version directories are immutable;
+a write publishes a new version atomically via a pointer file). If you
+need concurrent writers, front the table with a real table format
+(Iceberg/Delta) — the DML rewrite semantics here carry over unchanged.
 """
 
 from __future__ import annotations

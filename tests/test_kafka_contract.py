@@ -1,0 +1,85 @@
+"""Kafka-handler contract tests — no broker needed (option building and
+projection are plan-side; the consumer scan itself is env-blocked and
+documented in COVERAGE.md §2.1)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from hive_spark.sources.kafka import METADATA_COLUMNS, KafkaTable
+
+
+def _t(**kw):
+    return KafkaTable(
+        topic="events",
+        bootstrap_servers="broker:9092",
+        **kw,
+    )
+
+
+def test_partition_offset_trimming():
+    """__partition = p plus an __offset range becomes assign +
+    starting/endingOffsets (KafkaScanTrimmer.buildScanFromOffsetPredicate:
+    half-open [start, end) splits)."""
+    opts = _t().reader_options(
+        [("__partition", "=", 3), ("__offset", ">=", 100), ("__offset", "<", 200)]
+    )
+    assert json.loads(opts["assign"]) == {"events": [3]}
+    assert json.loads(opts["startingOffsets"]) == {"events": {"3": 100}}
+    assert json.loads(opts["endingOffsets"]) == {"events": {"3": 200}}
+    assert "subscribe" not in opts
+
+
+def test_offset_equality_is_single_row_scan():
+    """__offset = o scans exactly [o, o+1) (trimmer EQUALS case)."""
+    opts = _t().reader_options([("__partition", "=", 0), ("__offset", "=", 42)])
+    assert json.loads(opts["startingOffsets"]) == {"events": {"0": 42}}
+    assert json.loads(opts["endingOffsets"]) == {"events": {"0": 43}}
+
+
+def test_timestamp_pushdown_and_full_scan_fallback():
+    """__timestamp >= t becomes startingOffsetsByTimestamp; predicates the
+    trimmer can't push (no partition pin) fall back to subscribe —
+    exactly Hive's full-scan fallback."""
+    opts = _t().reader_options(
+        [("__partition", "=", 1), ("__timestamp", ">=", 1700000000000)]
+    )
+    assert json.loads(opts["startingOffsetsByTimestamp"]) == {
+        "events": {"1": 1700000000000}
+    }
+    full = _t().reader_options([("__key", "=", 7)])
+    assert full["subscribe"] == "events"
+    assert "startingOffsets" not in full and "assign" not in full
+
+
+def test_projection_decodes_value_and_metadata(spark):
+    """KafkaSerDe row shape: JSON payload columns ++ __key/__partition/
+    __offset/__timestamp, built from a kafka-shaped frame (the schema the
+    connector yields) without a broker."""
+    raw = spark.createDataFrame(
+        [
+            (
+                b"k1",
+                json.dumps({"user": 7, "action": "click"}).encode(),
+                "events",
+                0,
+                100,
+            ),
+        ],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.timestamp_millis(F.lit(1700000000123)))
+    table = _t(value_schema="user bigint, action string")
+    out = table.project(raw)
+    assert set(out.columns) == {"user", "action", *METADATA_COLUMNS}
+    row = out.collect()[0]
+    assert (row.user, row.action) == (7, "click")
+    assert row["__partition"] == 0 and row["__offset"] == 100
+    assert row["__timestamp"] == 1700000000123
+    assert bytes(row["__key"]) == b"k1"
+
+
+def test_reader_builds_unstarted(spark):
+    """The reader constructs with trimmed options; only .load() needs the
+    connector jar (asserted not to raise at build time)."""
+    r = _t().reader(spark, streaming=True, filters=[("__partition", "=", 0)])
+    assert r is not None
