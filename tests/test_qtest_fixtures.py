@@ -630,3 +630,160 @@ def test_correlation_optimizer_shared_key(spark, fixtures):
              JOIN {src} y ON x.key = y.key
              GROUP BY x.key ORDER BY cnt DESC, x.key LIMIT 12"""
     _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+# ---------------------------------------------------------------------------
+# Join-family deep sample (~419 join*.q files in the reference; the shapes
+# below cover its semantic axes: outer direction, composite/expression
+# keys, mixed equi+range conditions, semi/anti with extra predicates,
+# coercion on keys, duplicate-key multisets).
+# ---------------------------------------------------------------------------
+
+
+def test_right_outer_join(spark, fixtures):
+    """join rhs-preserving: RIGHT OUTER keeps unmatched right rows with
+    NULL left columns (join2.q/join_filters.q axis)."""
+    tpl = """SELECT a.key AS lk, b.key AS rk, b.value
+             FROM (SELECT key FROM {src} WHERE key < '2') a
+             RIGHT OUTER JOIN {src} b ON a.key = b.key
+             WHERE b.key < '3'
+             ORDER BY rk, lk NULLS FIRST, b.value LIMIT 30"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_full_outer_join_coalesced_agg(spark, fixtures):
+    """join_filters.q full-outer axis: aggregate over COALESCE of the two
+    key sides — every row from both sides represented exactly once."""
+    tpl = """SELECT COALESCE(a.k, b.k) AS key, COUNT(*) AS n,
+                    COUNT(a.k) AS n_left, COUNT(b.k) AS n_right
+             FROM (SELECT key AS k FROM {src} WHERE key < '3') a
+             FULL OUTER JOIN
+                  (SELECT key AS k FROM {src} WHERE key > '1' AND key < '4') b
+             ON a.k = b.k
+             GROUP BY COALESCE(a.k, b.k)
+             ORDER BY key"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_join_on_expression_keys(spark, fixtures):
+    """join expressions (join_expr like udf keys): substr/concat computed
+    join keys — evaluated pre-shuffle on both sides."""
+    tpl = """SELECT substr(a.key, 1, 1) AS k1, COUNT(*) AS n
+             FROM {src} a JOIN {src} b
+               ON substr(a.key, 1, 1) = substr(b.key, 1, 1)
+              AND length(a.value) = length(b.value)
+             GROUP BY substr(a.key, 1, 1)
+             ORDER BY k1"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_join_composite_key(spark, fixtures):
+    """multi-column equi-join (join on 2 keys) — both must match."""
+    tpl = """SELECT COUNT(*) AS n
+             FROM {at} a JOIN {at} b
+               ON a.ctinyint = b.ctinyint AND a.csmallint = b.csmallint"""
+    _cmp(spark, fixtures, tpl.format(at="q_alltypes"),
+         tpl.format(at="alltypes"))
+
+
+def test_join_mixed_equi_range(spark, fixtures):
+    """equi key + range residual (join_cond_pushdown family): the range
+    predicate filters post-match, preserving equi-join planability."""
+    tpl = """SELECT a.key, COUNT(*) AS n
+             FROM {src} a JOIN {src} b
+               ON a.key = b.key AND a.value <= b.value
+             WHERE a.key < '3'
+             GROUP BY a.key ORDER BY a.key"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_self_join_inequality_pairs(spark, fixtures):
+    """cross_join/theta shape: strict-inequality self-pairing (no equi
+    key) — a cartesian the optimizer must filter, small-side only."""
+    tpl = """SELECT COUNT(*) AS n FROM
+               (SELECT key FROM {src} WHERE key < '11') a
+             JOIN (SELECT key FROM {src} WHERE key < '11') b
+               ON a.key < b.key"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_semi_join_extra_predicate(spark, fixtures):
+    """semijoin.q: LEFT SEMI with a compound ON — right-side predicate
+    restricts the existence test, output columns from left only."""
+    tpl = """SELECT a.key, a.value FROM {src} a
+             LEFT SEMI JOIN {src} b
+               ON a.key = b.key AND b.value > 'val_40'
+             WHERE a.key < '2'
+             ORDER BY a.key, a.value"""
+    duck = """SELECT a.key, a.value FROM src a
+              WHERE EXISTS (SELECT 1 FROM src b
+                            WHERE a.key = b.key AND b.value > 'val_40')
+                AND a.key < '2'
+              ORDER BY a.key, a.value"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), duck)
+
+
+def test_anti_join_extra_predicate(spark, fixtures):
+    """NOT EXISTS with correlation + extra predicate (subquery_notexists.q
+    / anti-join rewrite axis)."""
+    tpl = """SELECT COUNT(*) AS n FROM {src} a
+             WHERE NOT EXISTS (SELECT 1 FROM {src} b
+                               WHERE b.key = a.key AND b.value > a.value)"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_outer_join_is_null_filter(spark, fixtures):
+    """join_filters.q classic: LEFT JOIN ... WHERE right IS NULL is the
+    anti-join idiom — unmatched-only rows."""
+    tpl = """SELECT COUNT(*) AS n
+             FROM {src} a LEFT JOIN
+                  (SELECT DISTINCT key FROM {src} WHERE key < '3') b
+               ON a.key = b.key
+             WHERE b.key IS NULL"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_union_of_joins(spark, fixtures):
+    """union + join composition (union_remove over joined branches)."""
+    tpl = """SELECT key, SUM(n) AS total FROM (
+               SELECT a.key, COUNT(*) AS n FROM {src} a
+               JOIN {src} b ON a.key = b.key WHERE a.key < '2' GROUP BY a.key
+               UNION ALL
+               SELECT a.key, COUNT(*) AS n FROM {src} a
+               JOIN {src} b ON a.value = b.value WHERE a.key < '2' GROUP BY a.key
+             ) u GROUP BY key ORDER BY key"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_join_duplicate_key_multiset(spark, fixtures):
+    """join1.q duplicate-key axis: src keys repeat, so a self-join yields
+    the per-key count squared — the multiset contract."""
+    tpl = """SELECT a.key, COUNT(*) AS n_pairs
+             FROM {src} a JOIN {src} b ON a.key = b.key
+             GROUP BY a.key HAVING COUNT(*) > 1
+             ORDER BY n_pairs DESC, a.key LIMIT 10"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+    # invariant: n_pairs == (per-key count)^2 for every key
+    import math
+
+    rows = spark.sql(
+        """SELECT n_pairs FROM (
+             SELECT a.key, COUNT(*) AS n_pairs
+             FROM q_src a JOIN q_src b ON a.key = b.key GROUP BY a.key)"""
+    ).collect()
+    assert all(math.isqrt(r.n_pairs) ** 2 == r.n_pairs for r in rows)
+
+
+def test_join_key_type_coercion(spark, fixtures):
+    """join key coercion (join on string col = int expr): Hive compares
+    numerically after implicit cast; oracle casts explicitly."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT COUNT(*) AS n
+           FROM q_src a JOIN (SELECT 10 AS ik UNION ALL SELECT 100) b
+             ON a.key = b.ik""",
+        """SELECT COUNT(*) AS n
+           FROM src a JOIN (SELECT 10 AS ik UNION ALL SELECT 100) b
+             ON CAST(a.key AS INT) = b.ik""",
+    )
