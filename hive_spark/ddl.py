@@ -413,3 +413,60 @@ def import_table(spark: SparkSession, src: str, new_name: str) -> None:
     if part_cols:
         repair_partitions(spark, new_name)
     spark.sql(f"REFRESH TABLE {new_name}")
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE family (Hive: ql/.../ddl/table/ — AlterTableRenameAnalyzer,
+# AlterTableAddColumnsAnalyzer, AlterTableSetPropertiesAnalyzer,
+# AlterTableAddPartitionAnalyzer/AlterTableDropPartitionAnalyzer,
+# AlterTableRenamePartitionAnalyzer). Thin SQL dispatch — the engine value
+# is pinning which shapes Spark's catalogs support (tests/test_ddl.py).
+# ---------------------------------------------------------------------------
+
+
+def rename_table(spark: SparkSession, old: str, new: str) -> None:
+    spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
+
+
+def add_columns(spark: SparkSession, table: str, schema: str) -> None:
+    """ALTER TABLE ... ADD COLUMNS (c TYPE, ...) — existing files read the
+    new columns as NULL (schema evolution on read, like Hive)."""
+    spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({schema})")
+
+
+def set_tblproperties(spark: SparkSession, table: str, props: dict[str, str]) -> None:
+    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def tblproperties(spark: SparkSession, table: str) -> dict[str, str]:
+    return {r.key: r.value for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+
+
+def drop_partition(
+    spark: SparkSession, table: str, partition: dict[str, str], purge: bool = False
+) -> None:
+    """ALTER TABLE ... DROP PARTITION (k=v,...): unregisters the partition
+    (metadata); purge=True also deletes its directory (Hive PURGE skips
+    the trash — here: actually remove the files)."""
+    import shutil
+
+    spec = ", ".join(f"{k}='{v}'" for k, v in partition.items())
+    if purge:
+        info = _table_info(spark, table)
+        pdir = os.path.join(
+            _as_local(str(info["location"])),
+            *(f"{k}={partition[k]}" for k in info["partition_cols"] if k in partition),
+        )
+        shutil.rmtree(pdir, ignore_errors=True)
+    spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({spec})")
+    spark.sql(f"REFRESH TABLE {table}")
+
+
+def rename_partition(
+    spark: SparkSession, table: str, old: dict[str, str], new: dict[str, str]
+) -> None:
+    o = ", ".join(f"{k}='{v}'" for k, v in old.items())
+    n = ", ".join(f"{k}='{v}'" for k, v in new.items())
+    spark.sql(f"ALTER TABLE {table} PARTITION ({o}) RENAME TO PARTITION ({n})")
+    spark.sql(f"REFRESH TABLE {table}")

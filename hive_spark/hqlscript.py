@@ -33,6 +33,10 @@ Statement rewrites applied before spark.sql (the HiveQL-only surface):
 - ``likeany(c, p...)`` / ``likeall(c, p...)`` fold into JVM-side
   ``LIKE`` OR/AND chains (ref: GenericUDFLikeAny.java) — the Python
   UDF registration stays only as the dynamic-arity fallback
+- ``CREATE TEMPORARY MACRO name(p TYPE, ...) expr`` (ref: ql/.../parse/
+  MacroSemanticAnalyzer.java, GenericUDFMacro.java): macros are
+  expression templates, so calls inline textually at rewrite time —
+  which also keeps them JVM-side (no UDF wrapper)
 """
 
 from __future__ import annotations
@@ -253,6 +257,9 @@ def _fold_like_chain(op: str):
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     """All HiveQL-text rewrites this engine applies before spark.sql."""
     stmt = _rewrite_time_travel(spark, stmt)
+    for name, (params, body) in _MACROS.get(id(spark), {}).items():
+        if re.search(rf"\b{name}\s*\(", stmt, re.I):
+            stmt = _fold_calls(stmt, name, _macro_fold(params, body))
     if re.search(r"\bds_hll_estimate\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "ds_hll_estimate", _fold_ds_hll)
     if re.search(r"\bds_kll_quantile\s*\(", stmt, re.I):
@@ -278,6 +285,27 @@ class ScriptResult:
 # Spark's parameterized sql() uses the same positional `?` markers, so
 # EXECUTE binds the stored text with the literal list directly.
 _PREPARE = re.compile(r"^\s*PREPARE\s+(\w+)\s+FROM\s+(.*)$", re.I | re.S)
+_CREATE_MACRO = re.compile(
+    r"^\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\(([^)]*)\)\s*(.*)$", re.I | re.S
+)
+_DROP_MACRO = re.compile(r"^\s*DROP\s+TEMPORARY\s+MACRO\s+(?:IF\s+EXISTS\s+)?(\w+)", re.I)
+
+# session-scoped macro registry (Hive macros live for the session)
+_MACROS: dict[int, dict[str, tuple[list[str], str]]] = {}
+
+
+def _macro_fold(params: list[str], body: str):
+    def fold(args: list[str]) -> str:
+        if len(args) != len(params):
+            raise ValueError(
+                f"macro expects {len(params)} arguments, got {len(args)}"
+            )
+        out = body
+        for p, a in zip(params, args):
+            out = re.sub(rf"\b{re.escape(p)}\b", f"({a.strip()})", out, flags=re.I)
+        return f"({out})"
+
+    return fold
 # EXPLAIN ANALYZE <query> (Hive ExplainSemanticAnalyzer `analyze` mode):
 # re-executes the query and prints actual per-operator row counts
 _EXPLAIN_ANALYZE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+(.*)$", re.I | re.S)
@@ -297,6 +325,18 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
     ensure_engine(spark)
     res = ScriptResult()
     for stmt in split_statements(text):
+        m = _CREATE_MACRO.match(stmt)
+        if m:
+            name, sig, body = m.group(1).lower(), m.group(2), m.group(3)
+            params = [
+                p.strip().split()[0] for p in sig.split(",") if p.strip()
+            ]
+            _MACROS.setdefault(id(spark), {})[name] = (params, body.strip())
+            continue
+        m = _DROP_MACRO.match(stmt)
+        if m:
+            _MACROS.get(id(spark), {}).pop(m.group(1).lower(), None)
+            continue
         m = _PREPARE.match(stmt)
         if m:
             res.prepared[m.group(1).lower()] = m.group(2).strip()

@@ -277,3 +277,38 @@ def test_export_import_round_trip(spark, sf_dir, tmp_path):
     a = sorted(tuple(x) for x in spark.table("ddl_exp_src").collect())
     b = sorted(tuple(x) for x in spark.table("ddl_exp_copy").collect())
     assert a == b and len(a) == 25
+
+
+def test_alter_table_family(spark, sf_dir):
+    """ALTER TABLE rename / add columns / tblproperties / drop partition —
+    the DDL dispatch surface (Hive ql/.../ddl/table analyzers)."""
+    from hive_spark.operators import views
+
+    views(spark, sf_dir)
+    for t in ("ddl_alter_a", "ddl_alter_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ddl.create_table(
+        spark, "ddl_alter_a", "k bigint, v string, p string", partition_by=("p",)
+    )
+    spark.sql(
+        "INSERT INTO ddl_alter_a PARTITION (p='x') VALUES (1, 'a'), (2, 'b')"
+    )
+    spark.sql("INSERT INTO ddl_alter_a PARTITION (p='y') VALUES (3, 'c')")
+
+    ddl.set_tblproperties(spark, "ddl_alter_a", {"comment.owner": "etl"})
+    assert ddl.tblproperties(spark, "ddl_alter_a")["comment.owner"] == "etl"
+
+    ddl.add_columns(spark, "ddl_alter_a", "extra int")
+    # existing rows read the new column as NULL (schema evolution on read)
+    assert (
+        spark.table("ddl_alter_a").filter("extra IS NULL").count() == 3
+    )
+
+    ddl.drop_partition(spark, "ddl_alter_a", {"p": "y"}, purge=True)
+    assert spark.table("ddl_alter_a").select("p").distinct().count() == 1
+
+    ddl.rename_table(spark, "ddl_alter_a", "ddl_alter_b")
+    assert spark.table("ddl_alter_b").count() == 2
+    assert "ddl_alter_a" not in [
+        t.name for t in spark.catalog.listTables()
+    ]

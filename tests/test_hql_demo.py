@@ -204,3 +204,42 @@ def test_explain_analyze_actual_rows(spark, sf_dir):
     assert "HashAggregate" in plan and "Scan parquet" in plan
     assert "rows=25" in plan  # the scan's actual output rows
     assert "rows=5" in plan  # the aggregate's actual output rows
+
+
+def test_create_temporary_macro(spark, sf_dir):
+    """CREATE TEMPORARY MACRO (MacroSemanticAnalyzer.java /
+    GenericUDFMacro.java): expression template inlined at call sites —
+    stays JVM-side, composes with other expressions; DROP removes it."""
+    views(spark, sf_dir)
+    out = run_script(
+        spark,
+        """CREATE TEMPORARY MACRO sigmoid(x DOUBLE) 1.0 / (1.0 + exp(-x));
+           CREATE TEMPORARY MACRO clip(v DOUBLE, lo DOUBLE, hi DOUBLE)
+             least(greatest(v, lo), hi);
+           SELECT ROUND(SUM(sigmoid(clip(c_acctbal / 1000, -1, 1))), 6) AS s
+           FROM customer;""",
+    )
+    got = out.results[-1].collect()[0].s
+    exp = spark.sql(
+        """SELECT ROUND(SUM(1.0 / (1.0 + exp(-(least(greatest(
+             (c_acctbal / 1000), -1), 1))))), 6) AS s FROM customer"""
+    ).collect()[0].s
+    assert got == exp
+    # macros persist across run_script calls (session-scoped, like Hive)
+    again = run_script(spark, "SELECT sigmoid(0.0) AS v;")
+    assert float(again.results[-1].collect()[0].v) == 0.5
+    run_script(spark, "DROP TEMPORARY MACRO sigmoid;")
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        run_script(spark, "SELECT sigmoid(1.0) AS v;").results[-1].collect()
+
+
+def test_macro_wrong_arity_rejected(spark, sf_dir):
+    views(spark, sf_dir)
+    run_script(spark, "CREATE TEMPORARY MACRO twice(x INT) x + x;")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expects 1 arguments"):
+        run_script(spark, "SELECT twice(1, 2);")
