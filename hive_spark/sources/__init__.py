@@ -99,3 +99,46 @@ def open_stream(spark: SparkSession, fmt: str, schema: str | None = None, **opti
             )
         return spark.readStream.format("kafka").options(**options).load()
     raise UnsupportedSourceError(f"unknown stream format: {fmt}")
+
+
+def read_mixed_partitions(
+    spark: SparkSession,
+    partitions: list[tuple[dict[str, str], str, str]],
+    schema: str | None = None,
+) -> DataFrame:
+    """Per-partition file formats — a Hive capability Spark tables lack
+    (Hive: each Partition carries its own SerDe/InputFormat, metastore
+    StorageDescriptor per partition; qtest family
+    partition_wise_fileformat*.q — e.g. some partitions RCFile, newer
+    ones ORC, after ALTER TABLE ... SET FILEFORMAT applies only to new
+    partitions).
+
+    `partitions` is [(partition_spec, fmt, path), ...]. Each partition is
+    read with its own format reader, partition-value columns are attached
+    as literals (exactly how Hive serves them — from metadata, not data
+    files), and the branches union by name.
+
+    Scale note: each branch is its own scan with its own pushdown;
+    Catalyst prunes entire branches when a filter contradicts a
+    partition's literal values (constant folding turns the filter into
+    FALSE — the partition-pruning equivalent for this layout).
+    """
+    from pyspark.sql import functions as F
+
+    branches = []
+    for spec, fmt, path in partitions:
+        r = spark.read.format(fmt)
+        if schema is not None:
+            r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", "true")
+        df = r.load(path)
+        for k, v in spec.items():
+            df = df.withColumn(k, F.lit(v))
+        branches.append(df)
+    if not branches:
+        raise ValueError("no partitions given")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

