@@ -245,6 +245,18 @@ def _fold_ds_kll(args: list[str]) -> str:
     return f"approx_percentile({m.group(1)}, {args[1]})"
 
 
+def _fold_field(args: list[str]) -> str:
+    """field(v, a, b, ...) -> 1-based index of the first match, else 0
+    (ref: GenericUDFField.java) as a JVM-side CASE chain — SQL-text calls
+    have static arity, so the variadic Python UDF is only the
+    DataFrame-API fallback."""
+    v, cands = args[0], args[1:]
+    whens = " ".join(
+        f"WHEN ({v}) = ({c}) THEN {i}" for i, c in enumerate(cands, 1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
 def _fold_like_chain(op: str):
     def fold(args: list[str]) -> str:
         val, pats = args[0], args[1:]
@@ -264,6 +276,8 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = _fold_calls(stmt, "ds_hll_estimate", _fold_ds_hll)
     if re.search(r"\bds_kll_quantile\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "ds_kll_quantile", _fold_ds_kll)
+    if re.search(r"\bfield\s*\(", stmt, re.I):
+        stmt = _fold_calls(stmt, "field", _fold_field)
     if re.search(r"\blikeany\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "likeany", _fold_like_chain("OR"))
     if re.search(r"\blikeall\s*\(", stmt, re.I):

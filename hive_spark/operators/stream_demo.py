@@ -125,8 +125,28 @@ FROM pairs GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return streaming.stream_stream_left_join_pairs(spark, sf_dir)
+
+
+_S2JL_SQL = """
+WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, (p.p_us - c.c_us) // 1000 AS ms
+  FROM c LEFT JOIN p ON c.user_id = p.user_id
+   AND p.p_us >= c.c_us AND p.p_us - c.c_us <= 1800000000
+)
+SELECT user_id, COUNT(*) AS n_rows, COUNT(ms) AS n_matched,
+       MIN(ms) AS min_ms, MAX(ms) AS max_ms
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stream_stream_join": QuerySpec(stream_stream_join, _S2J_SQL),
+    "stream_stream_left_join": QuerySpec(stream_stream_left_join, _S2JL_SQL),
     "stream_custom_state": QuerySpec(stream_custom_state, _CUSTOM_STATE_SQL),
     "stream_static_join": QuerySpec(stream_static_join, _SSJ_SQL),
     "stream_tumbling": QuerySpec(stream_tumbling, _TUMBLING_SQL),

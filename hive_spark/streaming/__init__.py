@@ -216,6 +216,102 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _append_sentinels(spark: SparkSession, src: str) -> None:
+    """Two far-future sentinel chunks (user_id < 0, event_type 'sentinel'):
+    the first advances the watermark past every real event at its batch
+    END; the second is the batch in which that new watermark actually
+    evicts+emits remaining state (emission happens one batch after
+    advancement — AvailableNow does not run a trailing no-data batch).
+    Consumers filter sentinels out of results (user_id >= 0)."""
+    for i, when in enumerate(["2100-01-01 00:00:00", "2100-06-01 00:00:00"]):
+        sentinel = spark.createDataFrame(
+            [(int(-1 - i), when, int(-1 - i), "sentinel", 0.0, "{}")],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sdir = os.path.join(src, f"_zs{i}")
+        sentinel.coalesce(1).write.parquet(sdir)
+        for f in os.listdir(sdir):
+            if f.endswith(".parquet"):
+                tgt = os.path.join(src, f"zzz_sentinel{i}.parquet")
+                shutil.copy(os.path.join(sdir, f), tgt)
+                os.utime(tgt, (2_000_000_000 + i * 60, 2_000_000_000 + i * 60))
+        shutil.rmtree(sdir)
+
+
+def stream_stream_left_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click emits —
+    matched pairs eagerly, unmatched clicks null-padded only once the
+    global watermark passes click_ts + the join window (that is when
+    "no purchase can still arrive" becomes provable; ref Spark SS outer
+    join semantics). Sentinel chunks push the final watermark past all
+    real data so the bounded run flushes every unmatched click, making
+    the result equal the batch LEFT JOIN — which is the oracle.
+
+    Scale: state shards by user_id; the 30-min range condition bounds
+    both sides' state exactly as in the inner variant. Hive has no
+    analog (SURVEY §2.10)."""
+    src = _chunked_source(spark, sf_dir, "s2jl")
+    _append_sentinels(spark, src)
+    out = os.path.join(_SCRATCH, f"s2jl_out_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    # sentinels pass BOTH filters so BOTH sides' watermarks advance (the
+    # global watermark is the min across inputs); their user_ids are
+    # negative and distinct per side-role, so they never match real rows
+    clicks = (
+        read_stream(spark, src)
+        .filter(F.col("event_type").isin("click", "sentinel"))
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.unix_micros(F.col("ts")).alias("c_us"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        read_stream(spark, src)
+        .filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.unix_micros(F.col("ts")).alias("p_us"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "c_us",
+        F.expr("(p_us - c_us) div 1000").alias("ms_to_purchase"),
+    )
+    _run(
+        lambda cp: pairs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(),
+        os.path.join(_SCRATCH, "cp_s2jl"),
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("ms_to_purchase").alias("n_matched"),
+            F.min("ms_to_purchase").alias("min_ms"),
+            F.max("ms_to_purchase").alias("max_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time range condition: click
     events join purchase events of the same user that land within 30
@@ -289,25 +385,7 @@ def stream_session_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds exactly the batch session set. The sink is a parquet table
     (Hive streaming-ingest-into-table analog)."""
     src = _chunked_source(spark, sf_dir, "ses")
-    # two sentinel chunks: the first advances the watermark past every real
-    # session at its batch END; the second is the batch in which that new
-    # watermark actually evicts+emits the remaining state (emission happens
-    # one batch after advancement — AvailableNow does not run a trailing
-    # no-data batch)
-    for i, when in enumerate(["2100-01-01 00:00:00", "2100-06-01 00:00:00"]):
-        sentinel = spark.createDataFrame(
-            [(int(-1 - i), when, int(-1), "sentinel", 0.0, "{}")],
-            "event_id bigint, ts string, user_id bigint, event_type string, "
-            "value double, props string",
-        ).withColumn("ts", F.col("ts").cast("timestamp"))
-        sdir = os.path.join(src, f"_zs{i}")
-        sentinel.coalesce(1).write.parquet(sdir)
-        for f in os.listdir(sdir):
-            if f.endswith(".parquet"):
-                tgt = os.path.join(src, f"zzz_sentinel{i}.parquet")
-                shutil.copy(os.path.join(sdir, f), tgt)
-                os.utime(tgt, (2_000_000_000 + i * 60, 2_000_000_000 + i * 60))
-        shutil.rmtree(sdir)
+    _append_sentinels(spark, src)
 
     out = os.path.join(_SCRATCH, f"ses_out_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(out, ignore_errors=True)

@@ -243,3 +243,32 @@ def test_macro_wrong_arity_rejected(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="expects 1 arguments"):
         run_script(spark, "SELECT twice(1, 2);")
+
+
+def test_field_folds_to_case_chain(spark, sf_dir):
+    """field(v, a, b, ...) in SQL text folds to a JVM CASE chain
+    (GenericUDFField 1-based index, 0 on no match / NULL input) —
+    matching the variadic Python UDF fallback exactly."""
+    views(spark, sf_dir)
+    from hive_spark.hqlscript import rewrite_statement
+
+    sql = ("SELECT c_mktsegment, "
+           "field(c_mktsegment, 'BUILDING', 'MACHINERY', 'HOUSEHOLD') AS f "
+           "FROM customer")
+    rewritten = rewrite_statement(spark, sql)
+    assert "CASE" in rewritten and "field" not in rewritten
+    got = {(r.c_mktsegment, r.f) for r in spark.sql(rewritten).collect()}
+    exp = {
+        (r.c_mktsegment, r.f)
+        for r in spark.sql(
+            """SELECT c_mktsegment, CASE c_mktsegment WHEN 'BUILDING' THEN 1
+               WHEN 'MACHINERY' THEN 2 WHEN 'HOUSEHOLD' THEN 3 ELSE 0 END AS f
+               FROM customer"""
+        ).collect()
+    }
+    assert got == exp
+    assert spark.sql(
+        "SELECT " + rewrite_statement(
+            spark, "SELECT field(CAST(NULL AS STRING), 'x') AS f"
+        ).split("SELECT", 1)[1]
+    ).collect()[0].f == 0
