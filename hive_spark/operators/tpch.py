@@ -328,7 +328,13 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(line, F.col("o_orderkey") == line.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec2("l_quantity")).cast(D2).alias("sum_qty"))
+        # quantity cents <= 5000/row: a plain long sum is exact to ~1.8e15
+        # rows and skips the BigDecimal accumulation path (see q1)
+        .agg(
+            (F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)")) / 100)
+            .cast(D2)
+            .alias("sum_qty")
+        )
         .select(
             "c_name",
             "c_custkey",
