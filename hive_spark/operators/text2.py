@@ -166,9 +166,114 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: fixed-size character
+    windows with overlap (width 200, stride 150), emitted per doc with a chunk
+    index. Pure generate/substring — one narrow projection, no shuffle
+    until the final ORDER BY (driver-facing only); at 100 TB this is a
+    map-only stage feeding the tokenizer."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH chunks AS (
+            SELECT doc_id, i AS chunk_idx,
+                   substr(text, i * 150 + 1, 200) AS chunk
+            FROM documents
+            LATERAL VIEW explode(
+                sequence(0, greatest(
+                    CAST(ceil((length(text) - 200) / 150) AS INT), 0))
+            ) s AS i
+            WHERE length(text) > 0
+        )
+        SELECT doc_id, chunk_idx, length(chunk) AS chunk_len,
+               substr(chunk, 1, 16) AS chunk_head
+        FROM chunks
+        WHERE length(chunk) > 0
+        ORDER BY doc_id, chunk_idx
+        """
+    )
+
+
+_CHUNK_SQL = """
+WITH idx AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               greatest(CAST(ceil((length(text) - 200) / 150.0) AS INT), 0)))
+             AS chunk_idx
+    FROM documents
+    WHERE length(text) > 0
+),
+chunks AS (
+    SELECT doc_id, chunk_idx,
+           substr(text, chunk_idx * 150 + 1, 200) AS chunk
+    FROM idx
+)
+SELECT doc_id, chunk_idx, length(chunk) AS chunk_len,
+       substr(chunk, 1, 16) AS chunk_head
+FROM chunks
+WHERE length(chunk) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene): email / phone / 9-digit-id
+    patterns replaced with typed placeholder tokens, JVM-side
+    regexp_replace chain (no Python in the data path); reports per-doc
+    redaction counts so the pipeline can quarantine PII-dense documents."""
+    views(spark, sf_dir)
+    return spark.sql(
+        r"""
+        WITH red AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>'),
+                     '\b\d{9}\b', '<ID>') AS clean
+            FROM documents
+        )
+        SELECT doc_id,
+               length(clean) AS clean_len,
+               CAST((length(clean) - length(replace(clean, '<EMAIL>', ''))) / 7
+                    AS BIGINT) AS n_emails,
+               CAST((length(clean) - length(replace(clean, '<PHONE>', ''))) / 7
+                    AS BIGINT) AS n_phones
+        FROM red
+        ORDER BY doc_id
+        """
+    )
+
+
+_PII_SQL = r"""
+WITH red AS (
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+             '\d{9}', '<ID>', 'g') AS clean
+    FROM documents
+)
+SELECT doc_id,
+       length(clean) AS clean_len,
+       CAST((length(clean) - length(replace(clean, '<EMAIL>', ''))) / 7
+            AS BIGINT) AS n_emails,
+       CAST((length(clean) - length(replace(clean, '<PHONE>', ''))) / 7
+            AS BIGINT) AS n_phones
+FROM red
+ORDER BY doc_id
+"""
+
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_ngrams": QuerySpec(text_ngrams, _NGRAMS_SQL),
     "text_context_ngrams": QuerySpec(text_context_ngrams, _CONTEXT_SQL),
     "func_parse_url_tuple": QuerySpec(func_parse_url_tuple, _PARSE_URL_SQL),
     "func_str_to_map": QuerySpec(func_str_to_map, _STR_TO_MAP_SQL),
+    "text_chunk_sliding": QuerySpec(text_chunk_sliding, _CHUNK_SQL),
+    "text_pii_redact": QuerySpec(text_pii_redact, _PII_SQL),
 }
