@@ -1,0 +1,278 @@
+"""HPL/SQL subset: procedural scripting over the engine.
+
+Hive ships a PL/SQL-style procedural language (ref: hplsql/src/main/java/
+org/apache/hive/hplsql/Exec.java:96 — the ANTLR-visitor interpreter;
+grammar hplsql/src/main/antlr4/.../Hplsql.g4). This module interprets the
+working-ETL core of that language directly over the engine:
+
+- ``DECLARE name [type] [:= expr]`` / ``SET name := expr``
+- ``IF cond THEN ... [ELSIF cond THEN ...] [ELSE ...] END IF``
+- ``WHILE cond LOOP ... END LOOP``
+- ``FOR rec IN (SELECT ...) LOOP ... END LOOP`` (row variable ``rec.col``)
+- ``PRINT expr``
+- every other statement runs through `hqlscript` (so HiveQL rewrites —
+  macros, ds_*, time travel — apply inside procedures too)
+
+Variables substitute as SQL literals at word boundaries before execution
+(HPL/SQL semantics: untyped-ish, late-bound text substitution — Exec.java
+resolves identifiers against its variable scope the same way).
+
+Out of scope (documented): packages, cursors beyond FOR-IN-SELECT,
+exception handlers, CREATE FUNCTION/PROCEDURE bodies persisted to the
+metastore. The subset is the part used by batch ETL control flow.
+
+Scale note: control flow runs on the driver; every SQL statement inside
+is a full distributed query. A WHILE loop over micro-batches is the
+driver-side orchestration pattern (bounded by `max_loop_iters`).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from hive_spark.hqlscript import rewrite_statement, split_statements
+
+_DECLARE = re.compile(
+    r"^\s*DECLARE\s+(\w+)(?:\s+(?!:=)[A-Za-z0-9_()]+)?\s*(?::=\s*(.*))?$",
+    re.I | re.S,
+)
+_SET = re.compile(r"^\s*SET\s+(\w+)\s*:?=\s*(.*)$", re.I | re.S)
+_PRINT = re.compile(r"^\s*PRINT\s+(.*)$", re.I | re.S)
+_IF = re.compile(r"^\s*IF\s", re.I)
+_WHILE = re.compile(r"^\s*WHILE\s", re.I)
+_FOR = re.compile(r"^\s*FOR\s+(\w+)\s+IN\s*\((.*)\)\s*LOOP\b(.*)$", re.I | re.S)
+
+
+@dataclass
+class HplResult:
+    printed: list[str] = field(default_factory=list)
+    variables: dict[str, object] = field(default_factory=dict)
+    statements_run: int = 0
+
+
+class HplInterpreter:
+    def __init__(self, spark: SparkSession, max_loop_iters: int = 10_000):
+        from hive_spark.operators import ensure_engine
+
+        ensure_engine(spark)
+        self.spark = spark
+        self.max_loop_iters = max_loop_iters
+        self.res = HplResult()
+
+    # -- expression layer ---------------------------------------------------
+
+    def _lit(self, v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    def _substitute(self, text: str) -> str:
+        for name, val in self.res.variables.items():
+            text = re.sub(rf"\b{re.escape(name)}\b", self._lit(val), text, flags=re.I)
+        return text
+
+    def _eval(self, expr: str):
+        row = self.spark.sql(f"SELECT ({self._substitute(expr)}) AS v").collect()[0]
+        return row.v
+
+    def _eval_bool(self, cond: str) -> bool:
+        return bool(
+            self.spark.sql(
+                f"SELECT CAST(({self._substitute(cond)}) AS BOOLEAN) AS v"
+            ).collect()[0].v
+        )
+
+    # -- block parsing ------------------------------------------------------
+
+    @staticmethod
+    def _group_blocks(stmts: list[str]) -> list[str]:
+        """Re-join IF/LOOP blocks that statement-splitting broke apart:
+        a block opener accumulates until its nesting-balanced END IF /
+        END LOOP."""
+        def delta(s: str, kw: str) -> int:
+            # net open count: each `END <kw>` text also contains one bare
+            # `<kw>` token, so true opens = #kw - #end_kw and delta =
+            # opens - closes = #kw - 2 * #end_kw
+            n_kw = len(re.findall(rf"\b{kw}\b", s, re.I))
+            n_end = len(re.findall(rf"\bEND\s+{kw}\b", s, re.I))
+            return n_kw - 2 * n_end
+
+        out: list[str] = []
+        i = 0
+        while i < len(stmts):
+            s = stmts[i]
+            kw = None
+            if _IF.match(s):
+                kw = "IF"
+            elif _WHILE.match(s) or re.match(r"^\s*FOR\s", s, re.I):
+                kw = "LOOP"
+            if kw is None:
+                out.append(s)
+                i += 1
+                continue
+            block = [s]
+            depth = delta(s, kw)
+            while depth > 0:
+                i += 1
+                if i >= len(stmts):
+                    raise ValueError(f"unterminated block: {block[0][:60]!r}")
+                block.append(stmts[i])
+                depth += delta(stmts[i], kw)
+            out.append(";\n".join(block))
+            i += 1
+        return out
+
+    # -- statement dispatch -------------------------------------------------
+
+    def run(self, text: str) -> HplResult:
+        for stmt in self._group_blocks(split_statements(text)):
+            self._exec_stmt(stmt)
+        return self.res
+
+    def _exec_stmt(self, stmt: str) -> None:
+        self.res.statements_run += 1
+        m = _DECLARE.match(stmt)
+        if m:
+            self.res.variables[m.group(1).lower()] = (
+                self._eval(m.group(2)) if m.group(2) else None
+            )
+            return
+        if _IF.match(stmt):
+            self._exec_if(stmt)
+            return
+        if _WHILE.match(stmt):
+            self._exec_while(stmt)
+            return
+        m = _FOR.match(stmt)
+        if m:
+            self._exec_for(m.group(1), m.group(2), m.group(3))
+            return
+        m = _PRINT.match(stmt)
+        if m:
+            self.res.printed.append(str(self._eval(m.group(1))))
+            return
+        m = _SET.match(stmt)
+        # SET var := expr — but plain `SET a.b=c` conf keys (with dots)
+        # fall through to hqlscript's conf handling
+        if m and "." not in m.group(1):
+            self.res.variables[m.group(1).lower()] = self._eval(m.group(2))
+            return
+        from hive_spark.hqlscript import run_script
+
+        out = run_script(self.spark, self._substitute(stmt) + ";")
+        if out.results:
+            self.res.printed.extend(
+                str(tuple(r)) for r in out.results[-1].collect()
+            )
+
+    def _exec_if(self, stmt: str) -> None:
+        body = re.sub(r"\bEND\s+IF\s*$", "", stmt, flags=re.I)
+        # split into (cond, block) arms on IF/ELSIF/ELSE at depth 0
+        arms: list[tuple[str | None, str]] = []
+        pat = re.compile(r"^\s*IF\s+(.*?)\s+THEN\s+(.*)$", re.I | re.S)
+        m = pat.match(body)
+        if not m:
+            raise ValueError(f"malformed IF: {stmt[:80]!r}")
+        rest = m.group(2)
+        cond = m.group(1)
+        # find top-level ELSIF/ELSE (not inside a nested IF...END IF)
+        parts = self._split_arms(rest)
+        arms.append((cond, parts[0]))
+        for kind, c, blk in parts[1]:
+            arms.append((c if kind == "elsif" else None, blk))
+        for c, blk in arms:
+            if c is None or self._eval_bool(c):
+                for s in self._group_blocks(split_statements(blk)):
+                    if s.strip():
+                        self._exec_stmt(s)
+                return
+
+    def _split_arms(self, text: str):
+        """First arm body + [(kind, cond, body), ...] — ELSIF/ELSE split at
+        IF-nesting depth 0 only (nested IF blocks keep their own arms)."""
+        tokens = re.split(r"(\bIF\b|\bEND\s+IF\b|\bELSIF\b|\bELSE\b)", text, flags=re.I)
+        depth = 0
+        parts: list[str] = []
+        for tok in tokens:
+            up = tok.strip().upper()
+            if up == "IF":
+                depth += 1
+                parts.append(tok)
+            elif re.fullmatch(r"END\s+IF", up):
+                depth -= 1
+                parts.append(tok)
+            elif up == "ELSIF" and depth == 0:
+                parts.append("\0ELSIF\0")
+            elif up == "ELSE" and depth == 0:
+                parts.append("\0ELSE\0")
+            else:
+                parts.append(tok)
+        segments = re.split(r"\0(ELSIF|ELSE)\0", "".join(parts))
+        body0 = segments[0]
+        arms: list[tuple[str, str | None, str]] = []
+        i = 1
+        while i < len(segments):
+            kind = segments[i].lower()
+            blk = segments[i + 1]
+            if kind == "elsif":
+                m = re.match(r"^\s*(.*?)\s+THEN\s+(.*)$", blk, re.S | re.I)
+                if not m:
+                    raise ValueError("malformed ELSIF")
+                arms.append(("elsif", m.group(1), m.group(2)))
+            else:
+                arms.append(("else", None, blk))
+            i += 2
+        return body0, [(k, c, b) for k, c, b in arms]
+
+    def _exec_while(self, stmt: str) -> None:
+        m = re.match(
+            r"^\s*WHILE\s+(.*?)\s+LOOP\b(.*)$",
+            re.sub(r"\bEND\s+LOOP\s*$", "", stmt, flags=re.I),
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"malformed WHILE: {stmt[:80]!r}")
+        cond, body = m.group(1), m.group(2)
+        iters = 0
+        while self._eval_bool(cond):
+            iters += 1
+            if iters > self.max_loop_iters:
+                raise RuntimeError("WHILE exceeded max_loop_iters")
+            for s in self._group_blocks(split_statements(body)):
+                if s.strip():
+                    self._exec_stmt(s)
+
+    def _exec_for(self, var: str, query: str, tail: str) -> None:
+        body = re.sub(r"\bEND\s+LOOP\s*$", "", tail, flags=re.I)
+        rows = self.spark.sql(
+            rewrite_statement(self.spark, self._substitute(query))
+        ).collect()
+        for row in rows:
+            # bind rec.col as variables named "<var>.<col>" — substituted
+            # via a row-local pass (dots don't hit the \b var substitution)
+            rowsubs = {f"{var}.{k}": v for k, v in row.asDict().items()}
+            saved = dict(self.res.variables)
+            for s in self._group_blocks(split_statements(body)):
+                if not s.strip():
+                    continue
+                expanded = s
+                for name, val in rowsubs.items():
+                    expanded = re.sub(
+                        rf"\b{re.escape(name)}\b",
+                        self._lit(val),
+                        expanded,
+                        flags=re.I,
+                    )
+                self._exec_stmt(expanded)
+            self.res.variables = saved
+
+
+def run_hplsql(spark: SparkSession, text: str) -> HplResult:
+    return HplInterpreter(spark).run(text)
