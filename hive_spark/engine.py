@@ -84,3 +84,10 @@ class Engine:
 
     def script(self, text: str) -> ScriptResult:
         return run_script(self.spark, text)
+
+    def procedure(self, text: str):
+        """Run an HPL/SQL procedural script (DECLARE/IF/WHILE/FOR over
+        engine SQL); returns HplResult (printed lines + variables)."""
+        from hive_spark.hplsql import run_hplsql
+
+        return run_hplsql(self.spark, text)

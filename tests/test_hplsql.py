@@ -98,3 +98,14 @@ def test_while_iteration_guard(spark, sf_dir):
     interp = HplInterpreter(spark, max_loop_iters=3)
     with pytest.raises(RuntimeError, match="max_loop_iters"):
         interp.run("WHILE 1 = 1 LOOP PRINT 'x'; END LOOP;")
+
+
+def test_engine_procedure_facade(spark, sf_dir):
+    from hive_spark.engine import Engine
+
+    views(spark, sf_dir)
+    eng = Engine(spark)
+    out = eng.procedure(
+        "DECLARE n INT := (SELECT COUNT(*) FROM region); PRINT n * 2;"
+    )
+    assert out.printed == ["10"]

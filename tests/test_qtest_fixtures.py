@@ -929,3 +929,102 @@ def test_partition_wise_mixed_fileformat(spark, fixtures, tmp_path):
     assert one.count() == n
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "parquet" not in plan.lower() or "LocalTableScan" in plan or True
+
+
+# ---------------------------------------------------------------------------
+# Function-family edges (udf*.q, vector_string_*.q, timestamp_*.q,
+# metadataonly1.q, optimize_nullscan.q)
+# ---------------------------------------------------------------------------
+
+
+def test_string_function_edges(spark, fixtures):
+    """udf_instr/locate/elt/translate/initcap/levenshtein.q: position
+    functions are 1-based with 0 for no-match; translate maps per char."""
+    tpl = """SELECT key,
+                    instr(value, '_') AS i1,
+                    locate('4', value) AS l1,
+                    elt(2, 'a', value, 'c') AS e1,
+                    translate(value, 'val_', 'VAL-') AS tr,
+                    initcap(value) AS ic,
+                    levenshtein(value, 'val_0') AS lev
+             FROM {src} WHERE key < '2'
+             ORDER BY key, value"""
+    duck = """SELECT key,
+                    CAST(instr(value, '_') AS INT) AS i1,
+                    CAST(instr(value, '4') AS INT) AS l1,
+                    value AS e1,
+                    translate(value, 'val_', 'VAL-') AS tr,
+                    concat(upper(substr(value, 1, 1)), lower(substr(value, 2)))
+                      AS ic,
+                    CAST(levenshtein(value, 'val_0') AS INT) AS lev
+              FROM src WHERE key < '2'
+              ORDER BY key, value"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), duck)
+
+
+def test_conv_hex_round_trip(spark, fixtures):
+    """udf_conv/hex/unhex.q: base conversion and hex round-trips."""
+    tpl = """SELECT key,
+                    conv(key, 10, 16) AS h16,
+                    conv(conv(key, 10, 2), 2, 10) AS rt,
+                    hex(CAST(key AS BIGINT)) AS hx
+             FROM {src} WHERE key < '3' ORDER BY key LIMIT 10"""
+    duck = """SELECT key,
+                    upper(to_hex(CAST(key AS BIGINT))) AS h16,
+                    CAST(CAST(key AS BIGINT) AS VARCHAR) AS rt,
+                    upper(to_hex(CAST(key AS BIGINT))) AS hx
+              FROM src WHERE key < '3' ORDER BY key LIMIT 10"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), duck)
+
+
+def test_array_map_function_family(spark, fixtures):
+    """udf_sort_array/map_keys/array_contains.q over built values."""
+    tpl = """SELECT key,
+                    sort_array(split(value, 'a')) AS sarr,
+                    array_contains(split(value, '_'), 'val') AS has_val,
+                    size(split(value, '_')) AS n_parts,
+                    map_keys(map('k', value))[0] AS mk,
+                    map_values(map('k', value))[0] AS mv
+             FROM {src} WHERE key < '2' ORDER BY key, value"""
+    duck = """SELECT key,
+                    list_sort(string_split(value, 'a')) AS sarr,
+                    list_contains(string_split(value, '_'), 'val') AS has_val,
+                    len(string_split(value, '_')) AS n_parts,
+                    'k' AS mk,
+                    value AS mv
+              FROM src WHERE key < '2' ORDER BY key, value"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), duck)
+
+
+def test_union_all_type_widening(spark, fixtures):
+    """union type coercion (union*.q): INT union DOUBLE widens to DOUBLE,
+    numeric union STRING widens to STRING — identical final values."""
+    tpl = """SELECT v FROM (
+               SELECT CAST(key AS INT) AS v FROM {src} WHERE key < '3'
+               UNION ALL
+               SELECT CAST(key AS DOUBLE) + 0.5 AS v FROM {src} WHERE key < '3'
+             ) u ORDER BY v"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_metadataonly_distinct_partition_values(spark, fixtures):
+    """metadataonly1.q: DISTINCT over partition columns (Hive answers from
+    the metastore; values must match regardless of strategy)."""
+    tpl = """SELECT DISTINCT ds, hr FROM {p} ORDER BY ds, hr"""
+    _cmp(spark, fixtures, tpl.format(p="q_srcpart"), tpl.format(p="srcpart"))
+    mx = """SELECT MAX(ds) AS max_ds, MIN(hr) AS min_hr FROM {p}"""
+    _cmp(spark, fixtures, mx.format(p="q_srcpart"), mx.format(p="srcpart"))
+
+
+def test_optimize_nullscan(spark, fixtures):
+    """optimize_nullscan.q: WHERE false short-circuits to an empty scan —
+    zero rows, and the physical plan reads no files (LocalTableScan /
+    Empty relation, Hive's NullScanOptimizer analog)."""
+    df = spark.sql("SELECT key FROM q_src WHERE 1 = 0")
+    assert df.count() == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    agg = spark.sql(
+        "SELECT COUNT(*) AS n, MAX(key) AS mx FROM q_src WHERE false"
+    ).collect()[0]
+    assert agg.n == 0 and agg.mx is None
