@@ -1028,3 +1028,52 @@ def test_optimize_nullscan(spark, fixtures):
         "SELECT COUNT(*) AS n, MAX(key) AS mx FROM q_src WHERE false"
     ).collect()[0]
     assert agg.n == 0 and agg.mx is None
+
+
+def test_date_time_function_family(spark, fixtures):
+    """udf_date_add/sub/datediff/months_between/add_months/last_day/
+    trunc.q family: date arithmetic parity from string-typed inputs
+    (Hive coerces date-shaped strings)."""
+    tpl = """SELECT ds,
+                    date_add(CAST(ds AS DATE), 10) AS plus10,
+                    date_sub(CAST(ds AS DATE), 3) AS minus3,
+                    datediff(CAST('2008-05-01' AS DATE), CAST(ds AS DATE))
+                      AS dd,
+                    add_months(CAST(ds AS DATE), 2) AS am,
+                    last_day(CAST(ds AS DATE)) AS ld,
+                    trunc(CAST(ds AS DATE), 'MM') AS tm,
+                    year(CAST(ds AS DATE)) * 10000
+                      + month(CAST(ds AS DATE)) * 100
+                      + day(CAST(ds AS DATE)) AS ymd
+             FROM (SELECT DISTINCT ds FROM {p}) t ORDER BY ds"""
+    duck = """SELECT ds,
+                    CAST(ds AS DATE) + 10 AS plus10,
+                    CAST(ds AS DATE) - 3 AS minus3,
+                    CAST(datediff('day', CAST(ds AS DATE),
+                                  CAST('2008-05-01' AS DATE)) AS INT) AS dd,
+                    CAST(CAST(ds AS DATE) + INTERVAL 2 MONTH AS DATE) AS am,
+                    last_day(CAST(ds AS DATE)) AS ld,
+                    CAST(date_trunc('month', CAST(ds AS DATE)) AS DATE) AS tm,
+                    year(CAST(ds AS DATE)) * 10000
+                      + month(CAST(ds AS DATE)) * 100
+                      + day(CAST(ds AS DATE)) AS ymd
+              FROM (SELECT DISTINCT ds FROM srcpart) t ORDER BY ds"""
+    _cmp(spark, fixtures, tpl.format(p="q_srcpart"), duck)
+
+
+def test_unix_timestamp_round_trip(spark, fixtures):
+    """udf_unix_timestamp/from_unixtime.q: epoch seconds round-trip under
+    the UTC session."""
+    tpl = """SELECT ds,
+                    unix_timestamp(CAST(concat(ds, ' 12:00:00') AS TIMESTAMP))
+                      AS epoch_s,
+                    from_unixtime(unix_timestamp(
+                      CAST(concat(ds, ' 12:00:00') AS TIMESTAMP))) AS rt
+             FROM (SELECT DISTINCT ds FROM {p}) t ORDER BY ds"""
+    duck = """SELECT ds,
+                    CAST(epoch(CAST(concat(ds, ' 12:00:00') AS TIMESTAMP))
+                         AS BIGINT) AS epoch_s,
+                    strftime(CAST(concat(ds, ' 12:00:00') AS TIMESTAMP),
+                             '%Y-%m-%d %H:%M:%S') AS rt
+              FROM (SELECT DISTINCT ds FROM srcpart) t ORDER BY ds"""
+    _cmp(spark, fixtures, tpl.format(p="q_srcpart"), duck)
