@@ -1077,3 +1077,83 @@ def test_unix_timestamp_round_trip(spark, fixtures):
                              '%Y-%m-%d %H:%M:%S') AS rt
               FROM (SELECT DISTINCT ds FROM srcpart) t ORDER BY ds"""
     _cmp(spark, fixtures, tpl.format(p="q_srcpart"), duck)
+
+
+def test_views_and_pushdown_through_view(spark, fixtures):
+    """create_view*.q / ppd_union_view.q: views compose (view over UNION
+    ALL), predicates push through them, and CREATE OR REPLACE redefines."""
+    spark.sql("DROP VIEW IF EXISTS qv_all")
+    spark.sql(
+        """CREATE TEMPORARY VIEW qv_all AS
+           SELECT key, value, 'lo' AS part FROM q_src WHERE key < '25'
+           UNION ALL
+           SELECT key, value, 'hi' AS part FROM q_src WHERE key >= '25'"""
+    )
+    tpl = """SELECT part, COUNT(*) AS n FROM qv_all
+             WHERE key < '3' GROUP BY part ORDER BY part"""
+    duck = """SELECT part, COUNT(*) AS n FROM (
+                SELECT key, 'lo' AS part FROM src WHERE key < '25'
+                UNION ALL
+                SELECT key, 'hi' AS part FROM src WHERE key >= '25'
+              ) v WHERE key < '3' GROUP BY part ORDER BY part"""
+    _cmp(spark, fixtures, tpl, duck)
+    # CREATE OR REPLACE redefines in place
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW qv_all AS SELECT key FROM q_src LIMIT 1"
+    )
+    assert spark.table("qv_all").count() == 1
+
+
+def test_struct_in_clause(spark, fixtures):
+    """multi-column IN (ref: HiveParser struct IN): (a, b) IN ((x, y), ...)
+    matches tuple-wise."""
+    tpl = """SELECT COUNT(*) AS n FROM {src}
+             WHERE (key, substr(value, 1, 5)) IN (('0', 'val_0'), ('7', 'val_7'),
+                                                  ('7', 'nope'))"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_having_without_group_by(spark, fixtures):
+    """having.q edge: HAVING over a global aggregate (no GROUP BY) keeps
+    or drops the single row."""
+    keep = "SELECT COUNT(*) AS n FROM {src} HAVING COUNT(*) > 1"
+    drop = "SELECT COUNT(*) AS n FROM {src} HAVING COUNT(*) > 1000000"
+    _cmp(spark, fixtures, keep.format(src="q_src"), keep.format(src="src"))
+    assert spark.sql(drop.format(src="q_src")).count() == 0
+    assert len(fixtures.sql(drop.format(src="src")).fetchall()) == 0
+
+
+def test_windowing_expressions(spark, fixtures):
+    """windowing_expressions.q: window functions inside arithmetic and
+    window-over-aggregate (SUM(SUM(x)) OVER) — the PTF-after-GBY shape."""
+    tpl = """SELECT k1,
+                    total,
+                    CAST(100.0 * total / SUM(total) OVER () AS DECIMAL(10, 4))
+                      AS pct,
+                    RANK() OVER (ORDER BY total DESC, k1) AS rnk
+             FROM (SELECT substr(key, 1, 1) AS k1,
+                          COUNT(*) AS total FROM {src} GROUP BY substr(key, 1, 1)) t
+             ORDER BY rnk"""
+    duck = tpl.format(src="src")
+    _cmp(spark, fixtures, tpl.format(src="q_src"), duck)
+
+
+def test_windowed_aggregate_in_select_with_groupby(spark, fixtures):
+    """SUM(COUNT(*)) OVER (...) directly over the GROUP BY — Hive allows
+    window calls on aggregate results in the same select block."""
+    tpl = """SELECT substr(key, 1, 1) AS k1,
+                    COUNT(*) AS n,
+                    SUM(COUNT(*)) OVER (ORDER BY substr(key, 1, 1)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS running
+             FROM {src} GROUP BY substr(key, 1, 1) ORDER BY k1"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_constant_folding_parity(spark, fixtures):
+    """constprog*.q: constant expressions fold identically (the folded
+    value participates in comparisons against data)."""
+    tpl = """SELECT COUNT(*) AS n FROM {src}
+             WHERE key = CAST(2 + 3 AS STRING)
+                OR value = concat('val_', CAST(10 * 2 AS STRING))"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
