@@ -332,7 +332,85 @@ ORDER BY d.bench_id
 """
 
 
+def text_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal (the line-dedup gate a web-scale
+    corpus needs): split documents into lines, count each normalized
+    line's document frequency corpus-wide, and drop lines appearing in
+    more than BOILER_MIN_DOCS documents (nav bars, cookie banners,
+    license footers repeat across pages). Returns per-doc kept/dropped
+    line counts plus remaining length.
+
+    Scale: explode -> distinct(doc, line) -> groupBy(line) is two
+    linear shuffles on line hashes; the rejoin broadcasts nothing and
+    shuffles only (line -> df) pairs, which is bounded by the distinct
+    line count, not the corpus size. No Python in the path.
+    """
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH lines AS (
+            SELECT doc_id, posexplode(split(text, '\n')) AS (line_no, line)
+            FROM documents
+        ),
+        norm AS (
+            SELECT doc_id, line_no, line, lower(trim(line)) AS nline
+            FROM lines WHERE length(trim(line)) > 0
+        ),
+        linedf AS (
+            SELECT nline, COUNT(DISTINCT doc_id) AS df
+            FROM norm GROUP BY nline
+        ),
+        tagged AS (
+            SELECT n.doc_id, n.line, n.nline, d.df
+            FROM norm n JOIN linedf d ON n.nline = d.nline
+        )
+        SELECT doc_id,
+               COUNT(CASE WHEN df <= 3 THEN 1 END) AS kept_lines,
+               COUNT(CASE WHEN df > 3 THEN 1 END) AS dropped_lines,
+               CAST(SUM(CASE WHEN df <= 3 THEN length(line) ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM tagged
+        GROUP BY doc_id
+        ORDER BY doc_id
+        """
+    )
+
+
+_BOILER_SQL = """
+WITH lines AS (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+    FROM documents
+),
+norm AS (
+    SELECT doc_id, line, lower(trim(line)) AS nline
+    FROM lines WHERE length(trim(line)) > 0
+),
+linedf AS (
+    SELECT nline, COUNT(DISTINCT doc_id) AS df
+    FROM norm GROUP BY nline
+),
+tagged AS (
+    SELECT n.doc_id, n.line, d.df
+    FROM norm n JOIN linedf d ON n.nline = d.nline
+)
+SELECT doc_id,
+       COUNT(CASE WHEN df <= 3 THEN 1 END) AS kept_lines,
+       COUNT(CASE WHEN df > 3 THEN 1 END) AS dropped_lines,
+       CAST(SUM(CASE WHEN df <= 3 THEN length(line) ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM tagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "text_boilerplate_filter": QuerySpec(
+        text_boilerplate_filter,
+        _BOILER_SQL,
+        "C4-style line dedup: corpus line-df gate, two linear shuffles",
+    ),
     "text_tfidf_topk": QuerySpec(
         text_tfidf_topk,
         _TFIDF_SQL,
