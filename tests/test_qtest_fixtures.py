@@ -1157,3 +1157,94 @@ def test_constant_folding_parity(spark, fixtures):
              WHERE key = CAST(2 + 3 AS STRING)
                 OR value = concat('val_', CAST(10 * 2 AS STRING))"""
     _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_windowing_numeric_range_frames(spark, fixtures):
+    """windowing_range.q: RANGE BETWEEN n PRECEDING AND m FOLLOWING over a
+    numeric ORDER BY key — value-based frames, ties included."""
+    tpl = """SELECT cint,
+                    COUNT(*) OVER (ORDER BY cint
+                      RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
+                      AS n_near,
+                    SUM(CAST(ctinyint AS BIGINT)) OVER (ORDER BY cint
+                      RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS s_back
+             FROM {at} WHERE cint IS NOT NULL AND ctinyint IS NOT NULL
+             ORDER BY cint LIMIT 40"""
+    _cmp(spark, fixtures, tpl.format(at="q_alltypes"),
+         tpl.format(at="alltypes"))
+
+
+def test_ntile_distribution(spark, fixtures):
+    """ntile.q: bucket sizes differ by at most one and order follows the
+    sort key."""
+    tpl = """SELECT nt, COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx FROM (
+               SELECT CAST(key AS INT) AS k,
+                      NTILE(7) OVER (ORDER BY CAST(key AS INT), value) AS nt
+               FROM {src}) t
+             GROUP BY nt ORDER BY nt"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_percentile_cont_disc(spark, fixtures):
+    """percentile_cont/disc (Hive GenericUDAFPercentileCont/Disc): exact
+    interpolated and discrete percentiles."""
+    tpl = """SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(key AS INT))
+                      AS med,
+                    percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(key AS INT))
+                      AS q1,
+                    percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(key AS INT))
+                      AS med_d
+             FROM {src}"""
+    duck = """SELECT quantile_cont(CAST(key AS INT), 0.5) AS med,
+                     quantile_cont(CAST(key AS INT), 0.25) AS q1,
+                     CAST(quantile_disc(CAST(key AS INT), 0.5) AS DOUBLE) AS med_d
+              FROM src"""
+    sdf = spark.sql(tpl.format(src="q_src"))
+    cur = fixtures.sql(duck)
+    from tests.oracle_check import _rows
+
+    a = _rows([tuple(r) for r in sdf.collect()], sdf.columns)
+    b = _rows(cur.fetchall(), [d[0] for d in cur.description])
+    assert a == b, f"{a} vs {b}"
+
+
+def test_except_all_multiset(spark, fixtures):
+    """except_all.q: EXCEPT ALL subtracts per-occurrence (multiset), not
+    per-value."""
+    tpl = """SELECT COUNT(*) AS n FROM (
+               SELECT key FROM {src}
+               EXCEPT ALL
+               SELECT DISTINCT key FROM {src} WHERE value < 'val_3'
+             ) t"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+    # sanity: plain EXCEPT (distinct) removes whole values, so fewer rows
+    n_all = spark.sql(tpl.format(src="q_src")).collect()[0].n
+    n_distinct = spark.sql(
+        """SELECT COUNT(*) AS n FROM (
+             SELECT key FROM q_src EXCEPT
+             SELECT DISTINCT key FROM q_src WHERE value < 'val_3') t"""
+    ).collect()[0].n
+    assert n_all > n_distinct
+
+
+def test_grouping_sets_expression_keys(spark, fixtures):
+    """groupby_grouping_sets*.q with computed keys: expressions as
+    grouping-set members."""
+    tpl = """SELECT substr(key, 1, 1) AS k1, length(value) AS lv,
+                    COUNT(*) AS n
+             FROM {src}
+             GROUP BY GROUPING SETS ((substr(key, 1, 1)),
+                                     (length(value)),
+                                     (substr(key, 1, 1), length(value)))
+             ORDER BY k1 NULLS FIRST, lv NULLS FIRST"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_scalar_in_subquery_in_select(spark, fixtures):
+    """subquery in the SELECT clause (scalar context CASE WHEN ... IN):
+    evaluated per row against the subquery set."""
+    tpl = """SELECT key,
+                    CASE WHEN key IN (SELECT key FROM {src} WHERE value < 'val_2')
+                         THEN 'low' ELSE 'other' END AS tag
+             FROM {src} WHERE key < '3' ORDER BY key, tag"""
+    _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
