@@ -310,31 +310,34 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (Hive's own functional test, ref: ql/src/test/queries/
     clientpositive/tpch18.q): HAVING-gated IN-subquery + 3-way join.
 
-    The IN subquery becomes a left-semi join on an aggregated key set —
-    at 100 TB the aggregate is partial/final with AQE sizing the shuffle.
+    The IN subquery's aggregate doubles as the output sum, so the semi
+    join collapses to an inner join against the aggregated rows — at
+    100 TB the aggregate is partial/final with AQE sizing the shuffle.
     """
     t = views(spark, sf_dir)
+    # Single lineitem pass: the HAVING aggregate IS the output sum, so keep
+    # it in `big` instead of semi-joining on the key and re-scanning +
+    # re-shuffling the fact table for the same per-order sum (the r2 scale
+    # sweep measured that second shuffle at 4.99x time for 4x data).
+    # quantity cents <= 5000/row: a plain long sum is exact to ~1.8e15
+    # rows and skips the BigDecimal accumulation path (see q1)
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
-        .filter(F.col("_q") > 300)
-        .select("l_orderkey")
+        .agg(F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)")).alias("_qc"))
+        .filter(F.col("_qc") > 300 * 100)
+        .select(
+            F.col("l_orderkey").alias("bk"),
+            (F.col("_qc") / 100).cast(D2).alias("sum_qty"),
+        )
     )
-    line = t["lineitem"]
+    # orders shuffles once onto o_orderkey; `big` arrives already hash-
+    # partitioned on the same key from its aggregation, so the join adds
+    # no lineitem-side exchange. customer stays broadcast (dim table).
     return (
         t["orders"]
-        .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(big, F.col("o_orderkey") == F.col("bk"))
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(line, F.col("o_orderkey") == line.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        # quantity cents <= 5000/row: a plain long sum is exact to ~1.8e15
-        # rows and skips the BigDecimal accumulation path (see q1)
-        .agg(
-            (F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)")) / 100)
-            .cast(D2)
-            .alias("sum_qty")
-        )
         .select(
             "c_name",
             "c_custkey",

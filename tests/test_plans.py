@@ -89,8 +89,23 @@ def test_semi_anti_join_shapes(spark, sf_dir, registry):
     LEFTSEMI/ANTI) — Catalyst must not degrade these to outer+filter."""
     q4 = explain(registry["tpch_q4"].fn(spark, sf_dir), "extended")
     assert "LeftSemi" in q4
-    q21 = explain(registry["tpch_q21"].fn(spark, sf_dir), "extended")
-    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    q22 = explain(registry["tpch_q22"].fn(spark, sf_dir), "extended")
+    assert "LeftAnti" in q22
+
+
+def test_q21_single_fact_shuffle(spark, sf_dir, registry):
+    """q21's EXISTS pair is rewritten to one window pass: lineitem is
+    scanned once and shuffled once (the window's hashpartitioning on
+    l_orderkey); the fact table must never sit under a BroadcastExchange
+    (the r2 plan broadcast it twice under the bench-SF threshold)."""
+    plan = explain(registry["tpch_q21"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1  # one scan of the fact
+    assert "Window" in plan
+    # broadcasts carry only supplier+nation (and possibly orders under
+    # AQE at toy SF); lineitem columns must not appear in any broadcast
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line:
+            assert "l_linenumber" not in line
 
 
 def test_qualify_single_window_shuffle(spark, sf_dir, registry):
