@@ -302,7 +302,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS phrase
           FROM documents WHERE doc_id < 3
         )
-        SELECT /*+ BROADCAST(deny) */ d.bench_id, d.phrase,
+        SELECT /*+ BROADCAST(d) */ d.bench_id, d.phrase,
                COUNT(*) AS n_docs_hit,
                SUM(CAST(doc_id >= 3 AS INT)) AS n_other_docs,
                SUM(CAST(length(t.text) - length(replace(t.text, d.phrase, ''))

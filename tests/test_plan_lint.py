@@ -25,7 +25,6 @@ CARTESIAN_OK = {
     "join_cross",        # deliberate CROSS JOIN demo
     "join_nonequi",      # theta join: range predicate -> BNLJ by design
     "knn_brute_force",   # exact ANN baseline: bounded query side x table
-    "knn_lsh_bucketed",  # bucket equality + != residual on tiny query side
     "values_inline",     # literal VALUES cross with 1-row subquery
     "subquery_scalar",   # scalar subquery joined broadcast-nested-loop
     "tpch_q11",          # scalar subquery threshold (1-row side)

@@ -54,6 +54,46 @@ def test_embedding_cosine_dedup_merges_duplicates(spark, sf_dir):
         views(spark, sf_dir)
 
 
+def test_lsh_cfg_scales_with_corpus():
+    """The bucket space must grow with N (the r2 scale gap): expected
+    band-bucket occupancy stays ~TARGET, so bits/band is log2(N/TARGET)
+    and the total signature reaches >=20 bits at web-corpus scale."""
+    from hive_spark.operators.vectors import lsh_cfg
+
+    assert lsh_cfg(500) == (3, 4)
+    assert lsh_cfg(10**6)[0] == 14
+    assert lsh_cfg(10**9)[0] == 24
+    assert lsh_cfg(10**9)[0] * lsh_cfg(10**9)[1] >= 20
+    # monotone in N, capped so the expression stays bounded
+    widths = [lsh_cfg(n)[0] for n in (10**2, 10**4, 10**6, 10**8, 10**10)]
+    assert widths == sorted(widths) and widths[-1] <= 28
+
+
+def test_lsh_candidate_pairs_shrink_with_bits(spark, sf_dir):
+    """The O(N*K) gate, measured: widening each band cuts candidate
+    pairs (~2x per bit in expectation), and at the default width the
+    pair count respects the occupancy bound N * BANDS * 2*TARGET —
+    enumeration is linear in N, not (N/const)^2."""
+    from hive_spark.operators.vectors import (
+        _N_BANDS,
+        _TARGET_BUCKET,
+        lsh_candidate_pairs,
+        lsh_cfg,
+    )
+
+    from hive_spark.operators import views
+
+    views(spark, sf_dir)
+    n = spark.table("embeddings").count()
+    p3 = lsh_candidate_pairs(spark, sf_dir, bits=3)
+    p5 = lsh_candidate_pairs(spark, sf_dir, bits=5)
+    assert p3 > 0 and p5 > 0
+    assert p5 < p3 * 0.6, (p3, p5)  # ~4x expected shrink for +2 bits
+    bits, bands = lsh_cfg(n)
+    p_default = lsh_candidate_pairs(spark, sf_dir, bits=bits, bands=bands)
+    assert p_default <= n * _N_BANDS * 2 * _TARGET_BUCKET
+
+
 def test_kmeans_objective_non_decreasing(spark, sf_dir):
     """Lloyd's algorithm invariant: the within-cluster inner-product
     objective cannot get worse round over round (each E-step picks the
