@@ -27,9 +27,13 @@ Statement rewrites applied before spark.sql (the HiveQL-only surface):
   `hive_spark.snapshots` for tables registered via `register_versioned`
 - DataSketches names (ref: ql/.../exec/DataSketchesFunctions.java):
   ``ds_hll_estimate(ds_hll_sketch(x))`` -> ``approx_count_distinct(x)``,
-  ``ds_kll_quantile(ds_kll_sketch(x), q)`` -> ``approx_percentile(x, q)``
-  — the estimate-of-sketch composition, answered by Spark's native
-  sketch aggregates (same HLL family, error bounds tested)
+  ``ds_kll_quantile(ds_kll_sketch(x), q)`` -> ``approx_percentile(x, q)``;
+  the FULL sketch-object lifecycle also folds — standalone
+  ``ds_hll_sketch(x)`` -> ``hll_sketch_agg(x)`` (storable binary),
+  ``ds_hll_union(sk)`` -> ``hll_union_agg(sk)``, and
+  ``ds_hll_estimate(<sketch expr>)`` -> ``hll_sketch_estimate`` — so
+  per-partition sketches persist and merge across tables
+  (operators/sketches.py carries the oracled lifecycle queries)
 - ``likeany(c, p...)`` / ``likeall(c, p...)`` fold into JVM-side
   ``LIKE`` OR/AND chains (ref: GenericUDFLikeAny.java) — the Python
   UDF registration stays only as the dynamic-arity fallback
@@ -224,11 +228,11 @@ def _fold_calls(stmt: str, fname: str, fold) -> str:
 def _fold_ds_hll(args: list[str]) -> str:
     inner = args[0]
     m = re.match(r"ds_hll_sketch\s*\((.*)\)\s*$", inner, re.I | re.S)
-    if m is None:  # estimate of a stored sketch column — unsupported
-        raise ValueError(
-            "ds_hll_estimate supports the ds_hll_estimate(ds_hll_sketch(x)) "
-            "composition only (no serialized-sketch storage)"
-        )
+    if m is None:
+        # estimate of a sketch-valued expression (stored column, or a
+        # ds_hll_union(...) that folds to hll_union_agg afterwards):
+        # Spark 3.5+ ships the DataSketches HLL natives directly
+        return f"hll_sketch_estimate({inner})"
     # rsd 0.016 ~ the DataSketches HLL default lgK=12 accuracy
     # (ref: DataSketchesFunctions.java DEFAULT_LG_K); Spark's default
     # rsd 0.05 is visibly coarser than what Hive users expect from ds_*.
@@ -274,6 +278,13 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
             stmt = _fold_calls(stmt, name, _macro_fold(params, body))
     if re.search(r"\bds_hll_estimate\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "ds_hll_estimate", _fold_ds_hll)
+    # sketch-object lifecycle (DataSketchesFunctions.java): standalone
+    # build/merge calls left after the estimate fold map to the Spark
+    # DataSketches natives — sketch values are storable and mergeable
+    if re.search(r"\bds_hll_union\s*\(", stmt, re.I):
+        stmt = _fold_calls(stmt, "ds_hll_union", lambda a: f"hll_union_agg({a[0]})")
+    if re.search(r"\bds_hll_sketch\s*\(", stmt, re.I):
+        stmt = _fold_calls(stmt, "ds_hll_sketch", lambda a: f"hll_sketch_agg({a[0]})")
     if re.search(r"\bds_kll_quantile\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "ds_kll_quantile", _fold_ds_kll)
     if re.search(r"\bfield\s*\(", stmt, re.I):

@@ -188,6 +188,7 @@ def full_registry() -> dict[str, QuerySpec]:
         pipeline,
         relational,
         sampling,
+        sketches,
         stream_demo,
         text,
         text2,
@@ -201,7 +202,8 @@ def full_registry() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
     for mod in (tpch, tpch2, relational, funcdemo, text, vectors,
                 events, dml_demo, stream_demo, multimodal, extension, edges,
-                text2, text3, sampling, misc, pipeline, timeseries, hql_demo):
+                text2, text3, sampling, sketches, misc, pipeline, timeseries,
+                hql_demo):
         overlap = out.keys() & mod.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

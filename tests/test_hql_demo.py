@@ -105,6 +105,28 @@ def test_ds_sketch_names_run_as_hiveql(spark, sf_dir):
     assert row.med is not None
 
 
+def test_ds_sketch_lifecycle_in_hiveql(spark, sf_dir):
+    """The FULL DataSketches lifecycle in HiveQL text: build sketches
+    into a stored table (binary column), then estimate the union of the
+    STORED sketches in a later statement — the storable/mergeable
+    sketch-object surface (DataSketchesFunctions.java), not just the
+    estimate(sketch(x)) composition."""
+    views(spark, sf_dir)
+    out = run_script(
+        spark,
+        """CREATE OR REPLACE TEMPORARY VIEW _sk AS
+           SELECT o_orderstatus, ds_hll_sketch(o_custkey) AS sk
+           FROM orders GROUP BY o_orderstatus;
+           SELECT ds_hll_estimate(ds_hll_union(sk)) AS nd FROM _sk;""",
+    )
+    nd = out.results[-1].collect()[0].nd
+    n_exact = spark.table("orders").select("o_custkey").distinct().count()
+    assert abs(nd - n_exact) / n_exact < 0.05
+    # the stored sketch column is real binary, loadable by later queries
+    sk_type = dict(spark.table("_sk").dtypes)["sk"]
+    assert sk_type == "binary"
+
+
 def test_likeany_likeall_fold_to_jvm(spark, sf_dir):
     """likeany/likeall in SQL text fold into LIKE OR/AND chains — no
     Python UDF in the executed plan (GenericUDFLikeAny.java semantics)."""

@@ -36,6 +36,7 @@ CARTESIAN_OK = {
     "knn_ivf_assign",    # K tiny centroids broadcast against the scan
     "kmeans_one_round",  # same centroid-broadcast shape, twice
     "text_decontaminate",  # tiny denylist broadcast, contains-join
+    "sketch_hll_cross_table_union",  # 1-row estimate x 1-row exact count
 }
 
 # queries allowed a row-at-a-time Python UDF
