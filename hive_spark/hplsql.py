@@ -10,6 +10,18 @@ working-ETL core of that language directly over the engine:
 - ``WHILE cond LOOP ... END LOOP``
 - ``FOR rec IN (SELECT ...) LOOP ... END LOOP`` (row variable ``rec.col``)
 - ``PRINT expr``
+- ``DECLARE [EXIT|CONTINUE] HANDLER FOR SQLEXCEPTION|NOT FOUND|<cond>``
+  (ref: Exec.java visitDeclare_handler_item + Signal.java) — a failing
+  SQL statement or a raised signal runs the innermost matching handler;
+  EXIT unwinds the script, CONTINUE resumes after the failed statement.
+  ``SQLCODE``/``ERRORMSG`` variables carry the error into the handler.
+- ``DECLARE <name> CONDITION`` + ``SIGNAL <name> ['msg']`` / ``RAISE``
+  (user-defined conditions; RAISE = signal a generic SQLEXCEPTION)
+- ``CREATE [OR REPLACE] PROCEDURE name(params) BEGIN ... END`` — the
+  body persists as warehouse metadata
+  (``<spark.sql.warehouse.dir>/_hpl_procedures/<name>.json``), so a NEW
+  interpreter/Engine instance can ``CALL name(args)`` later (Hive keeps
+  procedures in the metastore the same way). ``DROP PROCEDURE name``.
 - every other statement runs through `hqlscript` (so HiveQL rewrites —
   macros, ds_*, time travel — apply inside procedures too)
 
@@ -18,8 +30,9 @@ Variables substitute as SQL literals at word boundaries before execution
 resolves identifiers against its variable scope the same way).
 
 Out of scope (documented): packages, cursors beyond FOR-IN-SELECT,
-exception handlers, CREATE FUNCTION/PROCEDURE bodies persisted to the
-metastore. The subset is the part used by batch ETL control flow.
+RESIGNAL/GET DIAGNOSTICS, handler scoping narrower than the script
+(handlers declared anywhere guard every later statement). The subset is
+the part used by batch ETL control flow.
 
 Scale note: control flow runs on the driver; every SQL statement inside
 is a full distributed query. A WHILE loop over micro-batches is the
@@ -28,6 +41,8 @@ driver-side orchestration pattern (bounded by `max_loop_iters`).
 
 from __future__ import annotations
 
+import json
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -44,6 +59,41 @@ _PRINT = re.compile(r"^\s*PRINT\s+(.*)$", re.I | re.S)
 _IF = re.compile(r"^\s*IF\s", re.I)
 _WHILE = re.compile(r"^\s*WHILE\s", re.I)
 _FOR = re.compile(r"^\s*FOR\s+(\w+)\s+IN\s*\((.*)\)\s*LOOP\b(.*)$", re.I | re.S)
+_HANDLER = re.compile(
+    r"^\s*DECLARE\s+(EXIT|CONTINUE)\s+HANDLER\s+FOR\s+"
+    r"(SQLEXCEPTION|NOT\s+FOUND|\w+)\s+(.*)$",
+    re.I | re.S,
+)
+_CONDITION = re.compile(r"^\s*DECLARE\s+(\w+)\s+CONDITION\s*$", re.I)
+_SIGNAL = re.compile(r"^\s*SIGNAL\s+(\w+)\s*(?:,?\s*'([^']*)')?\s*$", re.I)
+_RAISE = re.compile(r"^\s*RAISE\s*(?:'([^']*)')?\s*$", re.I)
+_CREATE_PROC = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(\w+)\s*"
+    r"(?:\(([^)]*)\))?\s*(?:AS|IS)?\s*BEGIN\b(.*)\bEND\s*$",
+    re.I | re.S,
+)
+_DROP_PROC = re.compile(r"^\s*DROP\s+PROCEDURE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
+_CALL = re.compile(r"^\s*(?:CALL|EXEC)\s+(\w+)\s*(?:\((.*)\))?\s*$", re.I | re.S)
+
+
+class HplSignal(Exception):
+    """A raised HPL/SQL condition (SIGNAL/RAISE, ref: Signal.java)."""
+
+    def __init__(self, condition: str, message: str = ""):
+        super().__init__(message or condition)
+        self.condition = condition
+        self.message = message
+
+
+class _ExitScript(Exception):
+    """Internal: an EXIT handler ran — unwind the whole script."""
+
+
+@dataclass
+class _Handler:
+    mode: str  # "exit" | "continue"
+    condition: str  # "sqlexception" | "not found" | user condition name
+    body: str
 
 
 @dataclass
@@ -51,6 +101,7 @@ class HplResult:
     printed: list[str] = field(default_factory=list)
     variables: dict[str, object] = field(default_factory=dict)
     statements_run: int = 0
+    handled_errors: list[str] = field(default_factory=list)
 
 
 class HplInterpreter:
@@ -61,6 +112,56 @@ class HplInterpreter:
         self.spark = spark
         self.max_loop_iters = max_loop_iters
         self.res = HplResult()
+        self.handlers: list[_Handler] = []
+        self.conditions: set[str] = set()
+
+    # -- procedure persistence (warehouse metadata) -------------------------
+
+    def _proc_dir(self) -> str:
+        wh = self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        d = os.path.join(wh, "_hpl_procedures")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _find_proc(self, name: str) -> dict | None:
+        path = os.path.join(self._proc_dir(), f"{name.lower()}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _create_proc(self, name: str, params_str: str | None, body: str) -> None:
+        params = [
+            t.strip().split()[0]
+            for t in (params_str or "").split(",")
+            if t.strip()
+        ]
+        path = os.path.join(self._proc_dir(), f"{name.lower()}.json")
+        with open(path, "w") as f:
+            json.dump({"name": name.lower(), "params": params, "body": body}, f)
+
+    def _exec_call(self, name: str, argstr: str) -> None:
+        from hive_spark.hqlscript import _split_args
+
+        proc = self._find_proc(name)
+        args = _split_args(argstr) if argstr.strip() else []
+        vals = [self._eval(a) for a in args]
+        if len(vals) != len(proc["params"]):
+            raise HplSignal(
+                "sqlexception",
+                f"procedure {name} expects {len(proc['params'])} args, "
+                f"got {len(vals)}",
+            )
+        saved = dict(self.res.variables)
+        self.res.variables.update(
+            {p.lower(): v for p, v in zip(proc["params"], vals)}
+        )
+        try:
+            for s in self._group_blocks(split_statements(proc["body"])):
+                if s.strip():
+                    self._exec_guarded(s)
+        finally:
+            self.res.variables = saved
 
     # -- expression layer ---------------------------------------------------
 
@@ -96,18 +197,48 @@ class HplInterpreter:
         """Re-join IF/LOOP blocks that statement-splitting broke apart:
         a block opener accumulates until its nesting-balanced END IF /
         END LOOP."""
+        def bare(s: str) -> str:
+            # keyword counting must not see into string literals
+            # ('end', 'if x then y' as data would corrupt the balance)
+            return re.sub(r"'[^']*'", "''", s)
+
         def delta(s: str, kw: str) -> int:
             # net open count: each `END <kw>` text also contains one bare
             # `<kw>` token, so true opens = #kw - #end_kw and delta =
             # opens - closes = #kw - 2 * #end_kw
+            s = bare(s)
             n_kw = len(re.findall(rf"\b{kw}\b", s, re.I))
             n_end = len(re.findall(rf"\bEND\s+{kw}\b", s, re.I))
             return n_kw - 2 * n_end
+
+        def delta_proc(s: str) -> int:
+            # BEGIN...END balance; CASE...END pairs inside SQL cancel out,
+            # END IF / END LOOP belong to the inner block grammar
+            s = bare(s)
+            opens = len(re.findall(r"\bBEGIN\b", s, re.I)) + len(
+                re.findall(r"\bCASE\b", s, re.I)
+            )
+            closes = len(re.findall(r"\bEND\b(?!\s+(?:IF|LOOP)\b)", s, re.I))
+            return opens - closes
 
         out: list[str] = []
         i = 0
         while i < len(stmts):
             s = stmts[i]
+            if re.match(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\b", s, re.I):
+                block = [s]
+                depth = delta_proc(s)
+                while depth > 0:
+                    i += 1
+                    if i >= len(stmts):
+                        raise ValueError(
+                            f"unterminated PROCEDURE: {block[0][:60]!r}"
+                        )
+                    block.append(stmts[i])
+                    depth += delta_proc(stmts[i])
+                out.append(";\n".join(block))
+                i += 1
+                continue
             kw = None
             if _IF.match(s):
                 kw = "IF"
@@ -132,12 +263,83 @@ class HplInterpreter:
     # -- statement dispatch -------------------------------------------------
 
     def run(self, text: str) -> HplResult:
-        for stmt in self._group_blocks(split_statements(text)):
-            self._exec_stmt(stmt)
+        try:
+            for stmt in self._group_blocks(split_statements(text)):
+                self._exec_guarded(stmt)
+        except _ExitScript:
+            pass
         return self.res
+
+    # -- exception-handler machinery (Exec.java/Signal.java analog) ---------
+
+    def _exec_guarded(self, stmt: str) -> None:
+        """Run one statement under the declared handlers: SQL errors map
+        to SQLEXCEPTION, SIGNAL/RAISE carry their condition name."""
+        try:
+            self._exec_stmt(stmt)
+        except (_ExitScript, KeyboardInterrupt):
+            raise
+        except HplSignal as e:
+            self._dispatch(e.condition, e.message or e.condition, e)
+        except Exception as e:
+            self._dispatch("sqlexception", str(e), e)
+
+    def _dispatch(self, condition: str, msg: str, exc: Exception) -> None:
+        cond = re.sub(r"\s+", " ", condition).strip().lower()
+        # innermost-declared first; exact condition match, then the
+        # catch-all SQLEXCEPTION (a user SIGNAL falls back to it, the
+        # MySQL/HPL-SQL convention for unmatched conditions)
+        for want in ([cond] if cond == "sqlexception" else [cond, "sqlexception"]):
+            for h in reversed(self.handlers):
+                if h.condition != want:
+                    continue
+                self.res.variables["sqlcode"] = -1
+                self.res.variables["errormsg"] = msg
+                self.res.handled_errors.append(msg)
+                for s in self._group_blocks(split_statements(h.body)):
+                    if s.strip():
+                        self._exec_stmt(s)
+                if h.mode == "exit":
+                    raise _ExitScript()
+                return
+        raise exc
 
     def _exec_stmt(self, stmt: str) -> None:
         self.res.statements_run += 1
+        m = _HANDLER.match(stmt)
+        if m:
+            self.handlers.append(
+                _Handler(
+                    m.group(1).lower(),
+                    re.sub(r"\s+", " ", m.group(2)).strip().lower(),
+                    m.group(3),
+                )
+            )
+            return
+        m = _CONDITION.match(stmt)
+        if m:
+            self.conditions.add(m.group(1).lower())
+            return
+        m = _SIGNAL.match(stmt)
+        if m:
+            raise HplSignal(m.group(1).lower(), m.group(2) or "")
+        m = _RAISE.match(stmt)
+        if m:
+            raise HplSignal("sqlexception", m.group(1) or "raised")
+        m = _CREATE_PROC.match(stmt)
+        if m:
+            self._create_proc(m.group(1), m.group(2), m.group(3))
+            return
+        m = _DROP_PROC.match(stmt)
+        if m:
+            path = os.path.join(self._proc_dir(), f"{m.group(1).lower()}.json")
+            if os.path.exists(path):
+                os.remove(path)
+            return
+        m = _CALL.match(stmt)
+        if m and self._find_proc(m.group(1)) is not None:
+            self._exec_call(m.group(1), m.group(2) or "")
+            return
         m = _DECLARE.match(stmt)
         if m:
             self.res.variables[m.group(1).lower()] = (
@@ -191,7 +393,7 @@ class HplInterpreter:
             if c is None or self._eval_bool(c):
                 for s in self._group_blocks(split_statements(blk)):
                     if s.strip():
-                        self._exec_stmt(s)
+                        self._exec_guarded(s)
                 return
 
     def _split_arms(self, text: str):
@@ -247,13 +449,17 @@ class HplInterpreter:
                 raise RuntimeError("WHILE exceeded max_loop_iters")
             for s in self._group_blocks(split_statements(body)):
                 if s.strip():
-                    self._exec_stmt(s)
+                    self._exec_guarded(s)
 
     def _exec_for(self, var: str, query: str, tail: str) -> None:
         body = re.sub(r"\bEND\s+LOOP\s*$", "", tail, flags=re.I)
         rows = self.spark.sql(
             rewrite_statement(self.spark, self._substitute(query))
         ).collect()
+        if not rows and any(h.condition == "not found" for h in self.handlers):
+            # empty cursor fetch signals NOT FOUND (Exec.java sets the
+            # same condition); fired only when a handler asked for it
+            raise HplSignal("not found", "cursor returned no rows")
         for row in rows:
             # bind rec.col as variables named "<var>.<col>" — substituted
             # via a row-local pass (dots don't hit the \b var substitution)
@@ -270,7 +476,7 @@ class HplInterpreter:
                         expanded,
                         flags=re.I,
                     )
-                self._exec_stmt(expanded)
+                self._exec_guarded(expanded)
             self.res.variables = saved
 
 

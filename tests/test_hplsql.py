@@ -109,3 +109,118 @@ def test_engine_procedure_facade(spark, sf_dir):
         "DECLARE n INT := (SELECT COUNT(*) FROM region); PRINT n * 2;"
     )
     assert out.printed == ["10"]
+
+
+def test_continue_handler_for_sqlexception(spark, sf_dir):
+    """DECLARE CONTINUE HANDLER FOR SQLEXCEPTION (Exec.java handler
+    dispatch): the failing statement runs the handler, then the script
+    resumes; SQLCODE/ERRORMSG are visible inside the handler."""
+    views(spark, sf_dir)
+    out = run_hplsql(
+        spark,
+        """DECLARE hits INT := 0;
+           DECLARE CONTINUE HANDLER FOR SQLEXCEPTION SET hits := hits + 1;
+           SELECT 1 FROM table_that_does_not_exist;
+           PRINT 'survived';
+           PRINT hits;""",
+    )
+    assert out.printed == ["survived", "1"]
+    assert out.variables["sqlcode"] == -1
+    assert len(out.handled_errors) == 1
+
+
+def test_exit_handler_stops_script(spark, sf_dir):
+    views(spark, sf_dir)
+    out = run_hplsql(
+        spark,
+        """DECLARE EXIT HANDLER FOR SQLEXCEPTION PRINT 'caught';
+           SELECT bad_column FROM region;
+           PRINT 'unreachable';""",
+    )
+    assert out.printed == ["caught"]
+
+
+def test_signal_user_condition_and_raise(spark, sf_dir):
+    """DECLARE CONDITION + SIGNAL routes to the named handler
+    (Signal.java); RAISE maps to the SQLEXCEPTION catch-all."""
+    views(spark, sf_dir)
+    out = run_hplsql(
+        spark,
+        """DECLARE too_many CONDITION;
+           DECLARE CONTINUE HANDLER FOR too_many PRINT concat('handled: ', errormsg);
+           DECLARE n INT := (SELECT COUNT(*) FROM region);
+           IF n > 3 THEN SIGNAL too_many, 'row budget exceeded'; END IF;
+           PRINT 'after';""",
+    )
+    assert out.printed == ["handled: row budget exceeded", "after"]
+    out2 = run_hplsql(
+        spark,
+        """DECLARE CONTINUE HANDLER FOR SQLEXCEPTION PRINT 'generic';
+           RAISE 'boom';
+           PRINT 'after';""",
+    )
+    assert out2.printed == ["generic", "after"]
+
+
+def test_unhandled_signal_propagates(spark, sf_dir):
+    views(spark, sf_dir)
+    from hive_spark.hplsql import HplSignal
+
+    with pytest.raises(HplSignal):
+        run_hplsql(spark, "SIGNAL oops, 'no handler anywhere';")
+
+
+def test_not_found_handler_on_empty_cursor(spark, sf_dir):
+    views(spark, sf_dir)
+    out = run_hplsql(
+        spark,
+        """DECLARE CONTINUE HANDLER FOR NOT FOUND PRINT 'empty';
+           FOR r IN (SELECT r_name FROM region WHERE r_regionkey < 0) LOOP
+             PRINT r.r_name;
+           END LOOP;
+           PRINT 'done';""",
+    )
+    assert out.printed == ["empty", "done"]
+
+
+def test_procedure_persists_across_interpreters(spark, sf_dir):
+    """CREATE PROCEDURE writes warehouse metadata; a NEW interpreter
+    instance (fresh Engine analog) finds and CALLs it with positional
+    args — Hive keeps procedures in the metastore the same way."""
+    views(spark, sf_dir)
+    run_hplsql(
+        spark,
+        """CREATE OR REPLACE PROCEDURE region_report(max_key INT, tag STRING)
+           BEGIN
+             DECLARE n INT := (SELECT COUNT(*) FROM region
+                               WHERE r_regionkey <= max_key);
+             PRINT concat(tag, '=', CAST(n AS STRING));
+           END;""",
+    )
+    out = run_hplsql(spark, "CALL region_report(2, 'regions');")
+    assert out.printed == ["regions=3"]
+    out2 = run_hplsql(spark, "CALL region_report(0, 'one');")
+    assert out2.printed == ["one=1"]
+    run_hplsql(spark, "DROP PROCEDURE region_report;")
+    from hive_spark.hplsql import HplInterpreter
+
+    assert HplInterpreter(spark)._find_proc("region_report") is None
+
+
+def test_procedure_with_handler_and_control_flow(spark, sf_dir):
+    """Handlers + IF blocks inside a persisted procedure body; CASE END
+    inside the body must not terminate the BEGIN...END grouping."""
+    views(spark, sf_dir)
+    run_hplsql(
+        spark,
+        """CREATE OR REPLACE PROCEDURE safe_probe(tbl STRING)
+           BEGIN
+             DECLARE CONTINUE HANDLER FOR SQLEXCEPTION PRINT 'probe-failed';
+             DECLARE label STRING := (SELECT CASE WHEN 1 = 1 THEN 'y' ELSE 'n' END);
+             IF label = 'y' THEN PRINT 'probing'; END IF;
+             SELECT COUNT(*) FROM not_a_real_table;
+             PRINT 'end';
+           END;""",
+    )
+    out = run_hplsql(spark, "CALL safe_probe('x');")
+    assert out.printed == ["probing", "probe-failed", "end"]
