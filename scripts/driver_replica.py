@@ -53,6 +53,7 @@ qs, os_ = mod.queries(), mod.oracle_sql()
 if prefixes:
     qs = {k: v for k, v in qs.items() if any(k.startswith(p) for p in prefixes)}
 bad, n_match, n_rows_only, dtype_warn = [], 0, 0, []
+status: dict[str, str] = {}  # per-query verdict for the JSON artifact
 t0 = time.time()
 for name, fn in sorted(qs.items()):
     try:
@@ -60,11 +61,13 @@ for name, fn in sorted(qs.items()):
         spdf = df.toPandas()
         if name not in os_:
             n_rows_only += 1
+            status[name] = f"rows-only ({len(spdf)} rows)"
             print(f"{name}: ROWS-ONLY ({len(spdf)} rows)", flush=True)
             continue
         opdf = duck(SF).execute(os_[name]).df()
         if sorted(spdf.columns) != sorted(opdf.columns):
             bad.append(name)
+            status[name] = "bad: schema mismatch"
             print(f"{name}: SCHEMA MISMATCH {sorted(spdf.columns)} vs {sorted(opdf.columns)}", flush=True)
             continue
         sdt = {c: str(spdf[c].dtype) for c in spdf.columns}
@@ -76,23 +79,50 @@ for name, fn in sorted(qs.items()):
         srows, orows = pandas_rows(spdf), pandas_rows(opdf)
         if srows != orows:
             bad.append(name)
+            status[name] = "bad: value mismatch"
             nshow = 0
             for a, b in zip(srows, orows):
                 if a != b and nshow < 2:
                     print(f"{name}: STR MISMATCH\n  spark : {a}\n  duckdb: {b}", flush=True)
                     nshow += 1
             if len(srows) != len(orows):
+                status[name] = f"bad: rowcount {len(srows)} vs {len(orows)}"
                 print(f"{name}: ROWCOUNT {len(srows)} vs {len(orows)}", flush=True)
         else:
             n_match += 1
+            status[name] = "match"
     except Exception as e:
         bad.append(name)
+        status[name] = f"bad: {type(e).__name__}: {str(e)[:120]}"
         print(f"{name}: ERROR {type(e).__name__}: {str(e)[:200]}", flush=True)
 
 print(f"\n{n_match} MATCH, {n_rows_only} rows-only, {len(bad)} BAD, "
       f"{len(dtype_warn)} dtype-warn in {time.time()-t0:.0f}s")
 print("BAD:", bad)
 print("DTYPE_WARN:", dtype_warn)
+
+# optional committed artifact (VERDICT r2 "next" #5): per-query verdicts
+# so the next judge can trust the unsampled rows without re-running
+out_path = os.environ.get("REPLICA_OUT")
+if out_path:
+    import json
+
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "sf_dir": SF,
+                "n_match": n_match,
+                "n_rows_only": n_rows_only,
+                "n_bad": len(bad),
+                "dtype_warn": dtype_warn,
+                "elapsed_sec": round(time.time() - t0, 1),
+                "results": status,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print("wrote", out_path)
 
 if not prefixes:
     res = mod.entry(spark)

@@ -83,3 +83,61 @@ def test_reader_builds_unstarted(spark):
     connector jar (asserted not to raise at build time)."""
     r = _t().reader(spark, streaming=True, filters=[("__partition", "=", 0)])
     assert r is not None
+
+
+def _broker(tmp_path, n=10):
+    """Two-partition topic: partition 0 has n records at ts 1000*i,
+    partition 1 has n records at ts 500+1000*i."""
+    from hive_spark.sources.kafka_mock import FileBackedBroker
+
+    b = FileBackedBroker(str(tmp_path / "broker"))
+    b.create_topic("events", 2)
+    for i in range(n):
+        b.produce("events", 0, f"k{i}", json.dumps({"user": i, "action": "a"}),
+                  1_000 * i)
+        b.produce("events", 1, None, json.dumps({"user": 100 + i, "action": "b"}),
+                  500 + 1_000 * i)
+    return b
+
+
+def test_mock_broker_executes_offset_pushdown(spark, tmp_path):
+    """End-to-end: filters -> reader_options -> mock consume -> project.
+    The option JSON produced by the trimmer analog is EXECUTED, so a
+    wrong bound shape fails the read, not just a dict assertion."""
+    b = _broker(tmp_path)
+    table = _t(value_schema="user bigint, action string")
+    opts = table.reader_options(
+        [("__partition", "=", 1), ("__offset", ">=", 3), ("__offset", "<", 7)]
+    )
+    out = table.project(b.consume(spark, opts)).orderBy("__offset")
+    rows = out.collect()
+    assert [r["__offset"] for r in rows] == [3, 4, 5, 6]
+    assert all(r["__partition"] == 1 for r in rows)
+    assert [r.user for r in rows] == [103, 104, 105, 106]
+
+
+def test_mock_broker_executes_timestamp_pushdown(spark, tmp_path):
+    """startingOffsetsByTimestamp seeks the first offset with ts >= bound
+    (offsetsForTimes semantics) — partition 1's records are shifted 500ms
+    so the seek lands on a different offset than a naive ts/1000."""
+    b = _broker(tmp_path)
+    table = _t()
+    opts = table.reader_options(
+        [("__partition", "=", 1), ("__timestamp", ">=", 4_000)]
+    )
+    rows = table.project(b.consume(spark, opts)).orderBy("__offset").collect()
+    # partition 1 ts: 500, 1500, ..., offset i has ts 500+1000i;
+    # first ts >= 4000 is offset 4 (ts 4500)
+    assert [r["__offset"] for r in rows] == [4, 5, 6, 7, 8, 9]
+    assert rows[0]["__timestamp"] == 4_500
+
+
+def test_mock_broker_subscribe_full_scan(spark, tmp_path):
+    """No pushable predicate -> subscribe -> every partition, earliest to
+    latest (Hive's full-scan fallback), metadata intact."""
+    b = _broker(tmp_path, n=4)
+    table = _t()
+    opts = table.reader_options([("__key", "=", 1)])  # not pushable
+    out = table.project(b.consume(spark, opts))
+    assert out.count() == 8
+    assert {r["__partition"] for r in out.collect()} == {0, 1}
