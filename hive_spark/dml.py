@@ -21,17 +21,22 @@ Scale design:
   (cardinality_violation, FunctionRegistry.java:312). Same guard here via a
   count-over-window, optional (costs one extra shuffle).
 
-CONCURRENCY BOUNDARY — SINGLE WRITER. Hive full ACID gives snapshot
-isolation between concurrent writers via the transaction manager, ROW__ID
-delta files, and the compactor (ref: ql/.../io/orc/OrcRecordUpdater.java:
-73-92, VectorizedOrcAcidRowBatchReader.java:100, txn/TxnHandler). This
-layer intentionally does NOT: copy-on-write rewrites assume one writer per
-table at a time, and two concurrent writers will last-write-win at the
-file level. Readers ARE isolated from an in-flight writer when going
-through `hive_spark.snapshots` (version directories are immutable;
-a write publishes a new version atomically via a pointer file). If you
-need concurrent writers, front the table with a real table format
-(Iceberg/Delta) — the DML rewrite semantics here carry over unchanged.
+CONCURRENCY BOUNDARY. Hive full ACID gives snapshot isolation between
+concurrent writers via the transaction manager, ROW__ID delta files, and
+the compactor (ref: ql/.../io/orc/OrcRecordUpdater.java:73-92,
+VectorizedOrcAcidRowBatchReader.java:100, txn/TxnHandler). This layer
+takes the lighter CoW road: every rewrite holds the table's exclusive
+writer lock (`txn.write_lock`, the DbTxnManager lock-acquisition analog)
+for its whole materialize+publish window, so concurrent same-host
+writers SERIALIZE — no interleaving, no lost updates. Readers ARE
+isolated from an in-flight writer when going through
+`hive_spark.snapshots` (version directories are immutable; a write
+publishes a new version atomically via a pointer file), and
+`txn.Transaction` brackets multi-statement write sets with BEGIN/COMMIT/
+ROLLBACK over those versions. Remaining boundary: the lock is a local
+filesystem primitive — writers on DIFFERENT hosts need a shared lock
+service (Hive uses the metastore DB); front the table with Iceberg/Delta
+for that, the DML rewrite semantics carry over unchanged.
 """
 
 from __future__ import annotations
@@ -186,8 +191,15 @@ def multi_insert(
 
 def _rewrite(df: DataFrame, path: str) -> None:
     """Materialize then atomically replace (staging-dir move, Hive MoveTask
-    analog) — Spark can't overwrite a path it is concurrently reading."""
-    tmp = path.rstrip("/") + "._staging"
-    df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    analog) — Spark can't overwrite a path it is concurrently reading.
+    The table's writer lock (txn.write_lock, DbTxnManager analog) is held
+    for the whole materialize+publish window, so concurrent UPDATE/
+    DELETE/MERGE on the same table serialize instead of last-write-
+    winning; see txn.py for the (documented) single-host lock scope."""
+    from hive_spark.txn import write_lock
+
+    with write_lock(path):
+        tmp = path.rstrip("/") + "._staging"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        shutil.move(tmp, path)

@@ -13,9 +13,17 @@ Command mapping:
                             and recorded, not errors — scripts set
                             hive.exec.* flags that have no Spark meaning)
 - ``SET key``            -> echo the conf value
-- txn statements         -> no-op with a warning (START TRANSACTION /
-                            COMMIT / ROLLBACK; Spark has no multi-stmt
-                            txn — SURVEY §2.14 documents the gap)
+- txn statements         -> REAL over versioned tables: START
+                            TRANSACTION/BEGIN opens a hive_spark.txn
+                            Transaction spanning every registered
+                            versioned table (write locks + pinned-at-
+                            BEGIN read views = repeatable reads);
+                            COMMIT keeps the new versions, ROLLBACK
+                            flips every pointer back; a script ending
+                            with an open txn aborts it. Plain Spark
+                            tables stay outside txn scope (no multi-
+                            stmt txn in Spark itself — boundary
+                            documented in txn.py)
 - ``ADD JAR/FILE``       -> recorded no-op (cluster-level concern)
 - ``!shell`` / ``dfs``   -> rejected (side effects a query engine
                             should not silently run)
@@ -45,6 +53,7 @@ Statement rewrites applied before spark.sql (the HiveQL-only surface):
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -302,6 +311,7 @@ class ScriptResult:
     set_commands: dict[str, str] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)  # no-op'd statements
     prepared: dict[str, str] = field(default_factory=dict)
+    txn: object | None = None  # open hive_spark.txn.Transaction, if any
 
 
 # PREPARE name FROM <query with ? markers> / EXECUTE name USING v1, v2
@@ -393,8 +403,34 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             raise ValueError(
                 f"shell/dfs commands are not executed by the engine: {stmt[:60]!r}"
             )
-        if _TXN.match(stmt):
-            res.skipped.append(stmt)
+        m = _TXN.match(stmt)
+        if m:
+            verb = re.sub(r"\s+", " ", m.group(1)).strip().upper()
+            from hive_spark.txn import Transaction
+
+            if verb in ("BEGIN", "START TRANSACTION"):
+                if res.txn is not None and res.txn.active:
+                    raise ValueError("transaction already open")
+                res.txn = Transaction(spark, dict(VERSIONED_TABLES)).begin()
+                # repeatable reads: pin every versioned table's view at
+                # the BEGIN version until COMMIT/ROLLBACK
+                for name in VERSIONED_TABLES:
+                    if res.txn.pinned_version(name) is not None:
+                        res.txn.read(name).createOrReplaceTempView(name)
+            elif res.txn is None or not res.txn.active:
+                raise ValueError(f"{verb} without an open transaction")
+            else:
+                if verb == "COMMIT":
+                    res.txn.commit()
+                else:
+                    res.txn.rollback()
+                for name, path in VERSIONED_TABLES.items():
+                    from hive_spark import snapshots as _snap
+
+                    if os.path.exists(os.path.join(path, "_latest")):
+                        _snap.read_table(spark, path).createOrReplaceTempView(
+                            name
+                        )
             continue
         if _ADD.match(stmt):
             res.skipped.append(stmt)
@@ -411,4 +447,8 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
         df = spark.sql(rewrite_statement(spark, stmt))
         if df.columns:  # statements with a result shape (SELECT/SHOW/...)
             res.results.append(df)
+    if res.txn is not None and getattr(res.txn, "active", False):
+        # script ended without COMMIT: abort, like a closed Hive session
+        res.txn.rollback()
+        res.skipped.append("-- open transaction rolled back at script end")
     return res

@@ -44,9 +44,12 @@ def versions(path: str) -> list[int]:
 
 
 def write_version(df: DataFrame, path: str) -> int:
-    """Append a new immutable version; returns its number."""
+    """Append a new immutable version; returns its number. Allocation is
+    max(existing)+1, not pointer+1 — after a transaction ROLLBACK the
+    pointer rewinds but aborted version dirs may still be on disk."""
     os.makedirs(path, exist_ok=True)
-    v = current_version(path) + 1 if os.path.exists(os.path.join(path, _PTR)) else 0
+    vs = versions(path)
+    v = (vs[-1] + 1) if vs else 0
     df.write.mode("errorifexists").parquet(_vdir(path, v))
     tmp = os.path.join(path, _PTR + ".tmp")
     with open(tmp, "w") as f:

@@ -37,8 +37,10 @@ def test_representative_hive_script(spark, sf_dir):
     # hive-only knobs recorded, spark conf actually applied
     assert out.set_commands["hive.exec.dynamic.partition"] == "true"
     assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
-    # txn + ADD JAR no-op'd, not errored
-    assert len(out.skipped) == 3
+    # ADD JAR no-op'd; START TRANSACTION/COMMIT now bracket a REAL
+    # (here empty) hive_spark.txn.Transaction and are not skipped
+    assert len(out.skipped) == 1
+    assert out.txn is not None and not out.txn.active
     rows = out.results[-1].collect()
     assert len(rows) == 5 and rows[0].cnt >= rows[-1].cnt
     spark.conf.set("spark.sql.shuffle.partitions", "8")

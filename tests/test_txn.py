@@ -1,0 +1,133 @@
+"""Writer locks + multi-statement transactions (DbTxnManager analog)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_spark import snapshots
+from hive_spark.txn import LockTimeout, Transaction, write_lock
+
+
+def test_write_lock_excludes_second_writer(tmp_path):
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    with write_lock(path):
+        with pytest.raises(LockTimeout):
+            with write_lock(path, timeout=0.3):
+                pass
+    # released: acquirable again
+    with write_lock(path, timeout=0.3):
+        pass
+
+
+def test_stale_lock_reclaimed(tmp_path):
+    """A lock whose holder pid is dead must be reclaimed (heartbeat-expiry
+    analog), not block forever."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    with open(path + "._lock", "w") as f:
+        f.write("999999999:0")  # no such pid
+    with write_lock(path, timeout=1.0):
+        pass
+
+
+def test_dml_rewrite_serializes_under_lock(spark, tmp_path):
+    """update_where must wait for (or fail on) a held table lock instead
+    of interleaving with another writer's rewrite."""
+    from hive_spark.dml import update_where
+
+    path = str(tmp_path / "t")
+    spark.range(10).withColumn("v", F.lit(1)).write.parquet(path)
+    with write_lock(path):
+        with pytest.raises(LockTimeout):
+            import hive_spark.txn as txn_mod
+
+            orig = txn_mod.write_lock
+            txn_mod.write_lock = lambda p, timeout=0.3, poll=0.05: orig(
+                p, timeout=timeout, poll=poll
+            )
+            try:
+                update_where(spark, path, F.col("id") < 5, {"v": F.lit(2)})
+            finally:
+                txn_mod.write_lock = orig
+    # lock released: the update applies cleanly now
+    update_where(spark, path, F.col("id") < 5, {"v": F.lit(2)})
+    assert (
+        spark.read.parquet(path).filter("v = 2").count() == 5
+    )
+
+
+def test_transaction_commit_and_rollback(spark, tmp_path):
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshots.write_version(spark.range(3), ta)
+    snapshots.write_version(spark.range(5), tb)
+
+    # rollback: both tables flip back atomically
+    with pytest.raises(RuntimeError, match="boom"):
+        with Transaction(spark, {"a": ta, "b": tb}) as txn:
+            txn.write("a", spark.range(30))
+            txn.write("b", spark.range(50))
+            raise RuntimeError("boom")
+    assert snapshots.read_table(spark, ta).count() == 3
+    assert snapshots.read_table(spark, tb).count() == 5
+
+    # commit: both new versions visible
+    with Transaction(spark, {"a": ta, "b": tb}) as txn:
+        txn.write("a", spark.range(30))
+        txn.write("b", spark.range(50))
+    assert snapshots.read_table(spark, ta).count() == 30
+    assert snapshots.read_table(spark, tb).count() == 50
+
+
+def test_transaction_repeatable_read(spark, tmp_path):
+    """txn.read() serves the version pinned at BEGIN even after the txn
+    itself writes a newer one (reader-snapshot semantics)."""
+    ta = str(tmp_path / "a")
+    snapshots.write_version(spark.range(3), ta)
+    with Transaction(spark, {"a": ta}) as txn:
+        txn.write("a", spark.range(99))
+        assert txn.read("a").count() == 3  # still the BEGIN snapshot
+    assert snapshots.read_table(spark, ta).count() == 99
+
+
+def test_transaction_holds_write_lock(spark, tmp_path):
+    ta = str(tmp_path / "a")
+    snapshots.write_version(spark.range(3), ta)
+    with Transaction(spark, {"a": ta}):
+        with pytest.raises(LockTimeout):
+            with write_lock(ta, timeout=0.3):
+                pass
+    with write_lock(ta, timeout=0.3):  # released after commit
+        pass
+
+
+def test_hql_script_transaction_rollback(spark, tmp_path):
+    """SQL-text BEGIN/ROLLBACK over a registered versioned table: a write
+    inside the txn disappears on ROLLBACK; reads inside the txn are
+    pinned at BEGIN."""
+    from hive_spark.hqlscript import register_versioned, run_script
+
+    ta = str(tmp_path / "vt")
+    snapshots.write_version(
+        spark.range(4).withColumn("v", F.lit(0)), ta
+    )
+    register_versioned("vt_txn_demo", ta)
+    try:
+        out = run_script(
+            spark,
+            "START TRANSACTION; SELECT COUNT(*) AS n FROM vt_txn_demo;",
+        )
+        # script ended with the txn open -> auto-rollback recorded
+        assert any("rolled back" in s for s in out.skipped)
+        assert out.results[-1].collect()[0].n == 4
+
+        # a write between BEGIN and ROLLBACK is undone
+        with Transaction(spark, {"vt_txn_demo": ta}) as t2:
+            t2.write("vt_txn_demo", spark.range(100).withColumn("v", F.lit(1)))
+            t2.rollback()
+        assert snapshots.read_table(spark, ta).count() == 4
+    finally:
+        from hive_spark.hqlscript import VERSIONED_TABLES
+
+        VERSIONED_TABLES.pop("vt_txn_demo", None)
