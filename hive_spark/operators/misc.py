@@ -40,6 +40,58 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sec_masked_rowfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranger-style policy enforcement (ref: SemanticAnalyzer
+    applyRowFilterAndColumnMasking; HiveAuthorizer row filters + cell
+    transformers): a policy masks customer.c_name and filters rows for
+    user 'analyst'; the query below is UNCHANGED application SQL — the
+    governed relation comes from the session-level rewrite
+    (hive_spark/security.py), and the row filter still reaches the scan
+    as an ordinary pushable predicate."""
+    views(spark, sf_dir)
+    from hive_spark.security import (
+        TablePolicy,
+        disable,
+        drop_policy,
+        enable_for_user,
+        register_policy,
+    )
+
+    register_policy(
+        TablePolicy(
+            table="customer",
+            column_masks={"c_name": "concat('XXXX', substr({col}, -2))"},
+            row_filter="c_nationkey % 5 = 0",
+            users={"analyst"},
+        )
+    )
+    enable_for_user(spark, "analyst")
+    try:
+        # analysis binds the masked plan now; restoring the views after
+        # does not unmask this DataFrame
+        return spark.sql(
+            """
+            SELECT c_name, COUNT(*) AS n,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                       AS bal
+            FROM customer
+            GROUP BY c_name ORDER BY c_name
+            """
+        )
+    finally:
+        disable(spark)
+        drop_policy("customer")
+
+
+_SEC_MASKED_SQL = """
+SELECT concat('XXXX', substr(c_name, -2)) AS c_name, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+FROM customer
+WHERE c_nationkey % 5 = 0
+GROUP BY 1 ORDER BY c_name
+"""
+
+
 def virtual_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INPUT__FILE__NAME / ROW-metadata virtual columns: per-file counts
     (basename only, so the oracle is path-independent)."""
@@ -231,6 +283,11 @@ def _virtual_oracle_factory(sql_template: str):
 REGISTRY: dict[str, QuerySpec] = {
     "agg_approx_sketches": QuerySpec(
         approx_sketches, None, "probabilistic (HLL/KLL) — rows-only"
+    ),
+    "sec_masked_rowfilter": QuerySpec(
+        sec_masked_rowfilter,
+        _SEC_MASKED_SQL,
+        "Ranger-style column mask + row filter via session rewrite",
     ),
     "virtual_columns": QuerySpec(
         virtual_columns, _virtual_oracle_factory(_VIRTUAL_SQL)

@@ -131,24 +131,49 @@ def _duck_sig_exprs(bits: int, bands: int) -> list[str]:
 
 
 def _register_lsh_views(spark: SparkSession, bits: int, bands: int) -> None:
-    """_emb: one linear scan computing norm + per-band signatures;
-    _emb_bands: (vec_id, band, sig) exploded — the join/shuffle key."""
+    """_emb: the base relation (vec_id, embedding, norm) used by the
+    cosine join-backs; _emb_bands: (vec_id, band, sig) — the only view
+    that pays the hyperplane projections. Temp views re-execute per
+    reference, so keeping the signature arithmetic OUT of _emb means a
+    query touching _emb twice (both cosine sides) does not recompute
+    bits*bands projections twice."""
     norm = _DOTQ.format(a="embedding", b="embedding")
     sigs = ", ".join(_spark_sig_exprs(bits, bands))
     spark.sql(
         f"""
         CREATE OR REPLACE TEMPORARY VIEW _emb AS
-        SELECT vec_id, embedding, {norm} AS norm2q, array({sigs}) AS sigs
-        FROM embeddings
+        SELECT vec_id, embedding, {norm} AS norm2q FROM embeddings
         """
     )
+    # bands carry embedding+norm so the band self-join scores candidates
+    # directly — one shuffle round instead of join-backs to _emb (every
+    # extra all-to-all round is a full barrier at cluster scale); a pair
+    # sharing B bands appears B times, which MIN/MAX aggregation absorbs
     spark.sql(
-        """
+        f"""
         CREATE OR REPLACE TEMPORARY VIEW _emb_bands AS
-        SELECT vec_id, band, sig
-        FROM _emb LATERAL VIEW posexplode(sigs) t AS band, sig
+        SELECT vec_id, embedding, norm2q, band, sig
+        FROM (SELECT vec_id, embedding, {norm} AS norm2q,
+                     array({sigs}) AS sigs
+              FROM embeddings)
+        LATERAL VIEW posexplode(sigs) t AS band, sig
         """
     )
+
+
+_COUNT_MEMO: dict[tuple[int, str], int] = {}
+
+
+def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding row count for lsh_cfg, memoized per (session, dir) —
+    parquet count() is metadata-cheap but not free per query call.
+    (A session that swaps the `embeddings` view in place may see a
+    stale count; cfg only drifts by one bit and exact duplicates share
+    every band signature at ANY width, so dedup merges are unaffected.)"""
+    key = (id(spark), sf_dir)
+    if key not in _COUNT_MEMO:
+        _COUNT_MEMO[key] = spark.table("embeddings").count()
+    return _COUNT_MEMO[key]
 
 
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,25 +208,20 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is a hash equi-join on (band, sig); bits/band scale with the
     corpus via lsh_cfg, so the candidate set stays O(K) per query."""
     views(spark, sf_dir)
-    bits, bands = lsh_cfg(spark.table("embeddings").count())
+    bits, bands = lsh_cfg(_corpus_rows(spark, sf_dir))
     _register_lsh_views(spark, bits, bands)
-    dot = _DOTQ.format(a="a.embedding", b="b.embedding")
+    dot = _DOTQ.format(a="q.embedding", b="t.embedding")
     return spark.sql(
         f"""
-        WITH cand AS (
-            SELECT DISTINCT q.vec_id AS query_id, t.vec_id AS neighbor_id
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   MAX(CAST({dot} AS DOUBLE)
+                       / (SQRT(CAST(q.norm2q AS DOUBLE))
+                          * SQRT(CAST(t.norm2q AS DOUBLE)))) AS cosine
             FROM (SELECT * FROM _emb_bands WHERE vec_id < 5) q
             JOIN _emb_bands t
               ON q.band = t.band AND q.sig = t.sig AND q.vec_id != t.vec_id
-        ),
-        scored AS (
-            SELECT c.query_id, c.neighbor_id,
-                   CAST({dot} AS DOUBLE)
-                     / (SQRT(CAST(a.norm2q AS DOUBLE)) * SQRT(CAST(b.norm2q AS DOUBLE)))
-                     AS cosine
-            FROM cand c
-            JOIN _emb a ON c.query_id = a.vec_id
-            JOIN _emb b ON c.neighbor_id = b.vec_id
+            GROUP BY q.vec_id, t.vec_id
         )
         SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine, rnk
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -342,33 +362,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps itself — the merge path is exercised by the
     constructed-duplicates test."""
     views(spark, sf_dir)
-    bits, bands = lsh_cfg(spark.table("embeddings").count())
+    bits, bands = lsh_cfg(_corpus_rows(spark, sf_dir))
     _register_lsh_views(spark, bits, bands)
-    dot = _DOTQ.format(a="ea.embedding", b="eb.embedding")
+    dot = _DOTQ.format(a="a.embedding", b="b.embedding")
     cos = (
-        f"CAST({dot} AS DOUBLE) / (SQRT(CAST(ea.norm2q AS DOUBLE)) "
-        f"* SQRT(CAST(eb.norm2q AS DOUBLE)))"
+        f"CAST({dot} AS DOUBLE) / (SQRT(CAST(a.norm2q AS DOUBLE)) "
+        f"* SQRT(CAST(b.norm2q AS DOUBLE)))"
     )
+    # one shuffle round: the band self-join feeds the per-vector MIN
+    # directly — a pair sharing several bands contributes duplicate rows
+    # with identical cosines, which MIN absorbs (no DISTINCT needed)
     return spark.sql(
         f"""
-        WITH cand AS (
-            SELECT DISTINCT a.vec_id AS av, b.vec_id AS bv
-            FROM _emb_bands a
-            JOIN _emb_bands b ON a.band = b.band AND a.sig = b.sig
-        ),
-        pairs AS (
-            SELECT c.av, c.bv, {cos} AS cosine
-            FROM cand c
-            JOIN _emb ea ON c.av = ea.vec_id
-            JOIN _emb eb ON c.bv = eb.vec_id
-        )
-        SELECT av AS vec_id,
-               MIN(CASE WHEN cosine >= {_COS_T} THEN bv END) AS cluster_id,
-               CAST(av = MIN(CASE WHEN cosine >= {_COS_T} THEN bv END)
+        SELECT a.vec_id,
+               MIN(CASE WHEN {cos} >= {_COS_T} THEN b.vec_id END)
+                   AS cluster_id,
+               CAST(a.vec_id = MIN(CASE WHEN {cos} >= {_COS_T}
+                                        THEN b.vec_id END)
                     AS BOOLEAN) AS kept
-        FROM pairs
-        GROUP BY av
-        ORDER BY av
+        FROM _emb_bands a
+        JOIN _emb_bands b ON a.band = b.band AND a.sig = b.sig
+        GROUP BY a.vec_id
+        ORDER BY a.vec_id
         """
     )
 
