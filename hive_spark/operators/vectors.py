@@ -473,6 +473,69 @@ GROUP BY cid ORDER BY cid
 """
 
 
+_N_PROBE = 2  # cells searched per query (FAISS nprobe)
+
+
+def _ivf_probe_sql(dotq: str) -> str:
+    """Shared IVF probe-search text, parameterized on the dialect's
+    quantized-dot macro. Stages: build the cell index (nearest-centroid
+    assignment — broadcast K centroids x linear scan), pick each query's
+    top-NPROBE cells, then rank ONLY vectors in probed cells by exact
+    cosine. The candidate join shuffles on the cell id: at 100 TB each
+    query touches ~NPROBE/K of the corpus, never all of it."""
+    dq_ec = dotq.format(a="e.embedding", b="c.cemb")
+    dq_qc = dotq.format(a="q.embedding", b="c.cemb")
+    norm = dotq.format(a="embedding", b="embedding")
+    cos_dot = dotq.format(a="q.embedding", b="a.embedding")
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cemb
+           FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, embedding, norm2q, cid FROM (
+    SELECT e.vec_id, e.embedding, {norm} AS norm2q, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dq_ec} DESC, c.cid) AS rk
+    FROM embeddings e CROSS JOIN c) t WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dq_qc} DESC, c.cid) AS rk
+    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN c) t
+  WHERE rk <= {_N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST({cos_dot} AS DOUBLE)
+           / (SQRT(CAST(q.norm2q AS DOUBLE)) * SQRT(CAST(a.norm2q AS DOUBLE)))
+           AS cosine
+  FROM probes p
+  JOIN assign a ON p.cid = a.cid
+  JOIN (SELECT vec_id, embedding, {norm} AS norm2q
+        FROM embeddings WHERE vec_id < 5) q ON q.vec_id = p.query_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe SEARCH (FAISS IndexIVF.search shape): queries rank only
+    the vectors inside their top-NPROBE nearest cells — the query-time
+    half of the IVF index whose build half is `knn_ivf_assign`. Integer-
+    exact comparisons make the probe list and ranking bit-reproducible,
+    so the whole search path hash-matches the DuckDB oracle."""
+    views(spark, sf_dir)
+    return spark.sql(_ivf_probe_sql(_DOTQ))
+
+
 def kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One FULL k-means refinement round (E-step -> quantized M-step ->
     E-step) inside the oracle gate: centroid components are integer
@@ -629,6 +692,11 @@ REGISTRY: dict[str, QuerySpec] = {
         knn_ivf_assign,
         _duck_ivf_assign(),
         "IVF cell assignment: broadcast K centroids x linear scan, exact argmax",
+    ),
+    "knn_ivf_probe": QuerySpec(
+        knn_ivf_probe,
+        _ivf_probe_sql(_DUCK_DOTQ),
+        "IVF probe search: rank only vectors in each query's top-NPROBE cells",
     ),
     "kmeans_one_round": QuerySpec(
         kmeans_one_round,

@@ -34,6 +34,7 @@ CARTESIAN_OK = {
     "edge_exact_percentile",  # percentile literal array cross
     "text_tfidf_topk",   # corpus-size scalar (1-row n_docs) cross
     "knn_ivf_assign",    # K tiny centroids broadcast against the scan
+    "knn_ivf_probe",     # same K-centroid broadcast, assign + probe sides
     "kmeans_one_round",  # same centroid-broadcast shape, twice
     "text_decontaminate",  # tiny denylist broadcast, contains-join
     "sketch_hll_cross_table_union",  # 1-row estimate x 1-row exact count

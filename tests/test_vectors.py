@@ -113,3 +113,22 @@ def test_kmeans_objective_non_decreasing(spark, sf_dir):
     n_vec = spark.table("embeddings").count()
     assert assign.count() == n_vec
     assert assign.select("vec_id").distinct().count() == n_vec
+
+
+def test_ivf_probe_subset_of_brute_force(spark, sf_dir):
+    """Probe-search results are exact cosines over a cell-restricted
+    candidate set: every returned pair must carry the same cosine the
+    brute-force baseline computes, and probing fewer cells can only
+    shrink the candidate pool (recall <= 1, never different values)."""
+    from hive_spark.operators.vectors import knn_brute_force, knn_ivf_probe
+
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in knn_brute_force(spark, sf_dir).collect()
+    }
+    probed = knn_ivf_probe(spark, sf_dir).collect()
+    assert len(probed) > 0
+    # values agree wherever both rank the same neighbor
+    for r in probed:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert r.cosine == bf[(r.query_id, r.neighbor_id)]
