@@ -9,6 +9,12 @@ working-ETL core of that language directly over the engine:
 - ``IF cond THEN ... [ELSIF cond THEN ...] [ELSE ...] END IF``
 - ``WHILE cond LOOP ... END LOOP``
 - ``FOR rec IN (SELECT ...) LOOP ... END LOOP`` (row variable ``rec.col``)
+- ``DECLARE c CURSOR [(params)] FOR SELECT ...`` + ``OPEN c[(args)]`` /
+  ``FETCH c INTO v1, v2`` / ``CLOSE c`` — parameterized cursors; an
+  exhausted FETCH sets ``SQLCODE = 100`` and fires NOT FOUND when a
+  handler is declared (the canonical done-flag fetch loop). Outer state
+  enters through parameters only (blanket substitution would rewrite
+  matching column aliases).
 - ``PRINT expr``
 - ``DECLARE [EXIT|CONTINUE] HANDLER FOR SQLEXCEPTION|NOT FOUND|<cond>``
   (ref: Exec.java visitDeclare_handler_item + Signal.java) — a failing
@@ -29,10 +35,9 @@ Variables substitute as SQL literals at word boundaries before execution
 (HPL/SQL semantics: untyped-ish, late-bound text substitution — Exec.java
 resolves identifiers against its variable scope the same way).
 
-Out of scope (documented): packages, cursors beyond FOR-IN-SELECT,
-RESIGNAL/GET DIAGNOSTICS, handler scoping narrower than the script
-(handlers declared anywhere guard every later statement). The subset is
-the part used by batch ETL control flow.
+Out of scope (documented): packages, RESIGNAL/GET DIAGNOSTICS, handler
+scoping narrower than the script (handlers declared anywhere guard every
+later statement). The subset is the part used by batch ETL control flow.
 
 Scale note: control flow runs on the driver; every SQL statement inside
 is a full distributed query. A WHILE loop over micro-batches is the
@@ -67,6 +72,13 @@ _HANDLER = re.compile(
 _CONDITION = re.compile(r"^\s*DECLARE\s+(\w+)\s+CONDITION\s*$", re.I)
 _SIGNAL = re.compile(r"^\s*SIGNAL\s+(\w+)\s*(?:,?\s*'([^']*)')?\s*$", re.I)
 _RAISE = re.compile(r"^\s*RAISE\s*(?:'([^']*)')?\s*$", re.I)
+_DECLARE_CURSOR = re.compile(
+    r"^\s*DECLARE\s+(\w+)\s+CURSOR\s*(?:\(([^)]*)\))?\s+FOR\s+(.*)$",
+    re.I | re.S,
+)
+_OPEN = re.compile(r"^\s*OPEN\s+(\w+)\s*(?:\((.*)\))?\s*$", re.I | re.S)
+_FETCH = re.compile(r"^\s*FETCH\s+(\w+)\s+INTO\s+(.*)$", re.I | re.S)
+_CLOSE = re.compile(r"^\s*CLOSE\s+(\w+)\s*$", re.I)
 _CREATE_PROC = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(\w+)\s*"
     r"(?:\(([^)]*)\))?\s*(?:AS|IS)?\s*BEGIN\b(.*)\bEND\s*$",
@@ -114,6 +126,12 @@ class HplInterpreter:
         self.res = HplResult()
         self.handlers: list[_Handler] = []
         self.conditions: set[str] = set()
+        # cursors: declaration (params + query) and open state (buffered
+        # rows + position). HPL/SQL cursors are client-side row loops by
+        # nature (Exec.java fetches from the running query the same way);
+        # use them for control flow, not bulk data movement.
+        self.cursors: dict[str, dict] = {}
+        self.open_cursors: dict[str, dict] = {}
 
     # -- procedure persistence (warehouse metadata) -------------------------
 
@@ -293,7 +311,8 @@ class HplInterpreter:
             for h in reversed(self.handlers):
                 if h.condition != want:
                     continue
-                self.res.variables["sqlcode"] = -1
+                # SQLCODE contract: 100 = no-more-rows, -1 = error
+                self.res.variables["sqlcode"] = 100 if cond == "not found" else -1
                 self.res.variables["errormsg"] = msg
                 self.res.handled_errors.append(msg)
                 for s in self._group_blocks(split_statements(h.body)):
@@ -304,8 +323,84 @@ class HplInterpreter:
                 return
         raise exc
 
+    # -- cursors (DECLARE ... CURSOR (params) FOR / OPEN / FETCH / CLOSE) ---
+
+    def _open_cursor(self, name: str, argstr: str | None) -> None:
+        from hive_spark.hqlscript import _split_args
+
+        cur = self.cursors.get(name.lower())
+        if cur is None:
+            raise ValueError(f"OPEN of undeclared cursor {name!r}")
+        args = _split_args(argstr) if argstr and argstr.strip() else []
+        vals = [self._eval(a) for a in args]
+        if len(vals) != len(cur["params"]):
+            raise HplSignal(
+                "sqlexception",
+                f"cursor {name} expects {len(cur['params'])} args, got {len(vals)}",
+            )
+        # ONLY declared parameters bind into the cursor query — blanket
+        # variable substitution would also rewrite matching column
+        # aliases (`SELECT COUNT(*) AS n` with a session variable `n`).
+        # Outer state goes in through parameters: OPEN c(expr) evaluates
+        # expr against the variable scope.
+        q = cur["query"]
+        for p, v in zip(cur["params"], vals):
+            q = re.sub(rf"\b{re.escape(p)}\b", self._lit(v), q, flags=re.I)
+        rows = self.spark.sql(rewrite_statement(self.spark, q)).collect()
+        self.open_cursors[name.lower()] = {"rows": rows, "pos": 0}
+
+    def _fetch_cursor(self, name: str, into: str) -> None:
+        state = self.open_cursors.get(name.lower())
+        if state is None:
+            raise ValueError(f"FETCH from cursor {name!r} which is not open")
+        targets = [t.strip().lower() for t in into.split(",")]
+        if state["pos"] >= len(state["rows"]):
+            # exhausted: SQLCODE=100 + NOT FOUND (Exec.java semantics);
+            # the signal only fires when a handler asked for it, so the
+            # canonical `CONTINUE HANDLER FOR NOT FOUND SET done := 1`
+            # loop works and an unhandled over-fetch is not fatal
+            self.res.variables["sqlcode"] = 100
+            if any(h.condition == "not found" for h in self.handlers):
+                raise HplSignal("not found", f"cursor {name} exhausted")
+            return
+        row = state["rows"][state["pos"]]
+        state["pos"] += 1
+        vals = list(row)
+        if len(vals) != len(targets):
+            raise HplSignal(
+                "sqlexception",
+                f"FETCH {name}: {len(targets)} targets for {len(vals)} columns",
+            )
+        self.res.variables["sqlcode"] = 0
+        for t, v in zip(targets, vals):
+            self.res.variables[t] = v
+
     def _exec_stmt(self, stmt: str) -> None:
         self.res.statements_run += 1
+        m = _DECLARE_CURSOR.match(stmt)
+        if m:
+            params = [
+                t.strip().split()[0]
+                for t in (m.group(2) or "").split(",")
+                if t.strip()
+            ]
+            self.cursors[m.group(1).lower()] = {
+                "params": params,
+                "query": m.group(3),
+            }
+            return
+        m = _OPEN.match(stmt)
+        if m and m.group(1).lower() in self.cursors:
+            self._open_cursor(m.group(1), m.group(2))
+            return
+        m = _FETCH.match(stmt)
+        if m:
+            self._fetch_cursor(m.group(1), m.group(2))
+            return
+        m = _CLOSE.match(stmt)
+        if m and m.group(1).lower() in self.cursors:
+            self.open_cursors.pop(m.group(1).lower(), None)
+            return
         m = _HANDLER.match(stmt)
         if m:
             self.handlers.append(

@@ -224,3 +224,65 @@ def test_procedure_with_handler_and_control_flow(spark, sf_dir):
     )
     out = run_hplsql(spark, "CALL safe_probe('x');")
     assert out.printed == ["probing", "probe-failed", "end"]
+
+
+def test_parameterized_cursor_fetch_loop(spark, sf_dir):
+    """DECLARE c CURSOR (p) FOR ... / OPEN c(arg) / FETCH ... INTO /
+    CLOSE — the canonical HPL/SQL fetch loop with a NOT FOUND CONTINUE
+    handler flipping the done flag (Exec.java cursor + SQLCODE=100)."""
+    views(spark, sf_dir)
+    out = run_hplsql(
+        spark,
+        """DECLARE done INT := 0;
+           DECLARE total BIGINT := 0;
+           DECLARE k BIGINT;
+           DECLARE nm STRING;
+           DECLARE c CURSOR (maxkey INT) FOR
+             SELECT r_regionkey, r_name FROM region
+             WHERE r_regionkey <= maxkey ORDER BY r_regionkey;
+           DECLARE CONTINUE HANDLER FOR NOT FOUND SET done := 1;
+           OPEN c(2);
+           WHILE done = 0 LOOP
+             FETCH c INTO k, nm;
+             IF done = 0 THEN
+               SET total := total + k;
+               PRINT nm;
+             END IF;
+           END LOOP;
+           CLOSE c;
+           PRINT total;""",
+    )
+    assert out.printed[-1] == "3"  # 0+1+2
+    assert len(out.printed) == 4  # three names + total
+    assert out.variables["sqlcode"] == 100
+
+
+def test_cursor_reopen_with_new_argument(spark, sf_dir):
+    views(spark, sf_dir)
+    out = run_hplsql(
+        spark,
+        """DECLARE n BIGINT;
+           DECLARE c CURSOR (lim INT) FOR
+             SELECT COUNT(*) AS n FROM region WHERE r_regionkey < lim;
+           OPEN c(3);
+           FETCH c INTO n;
+           PRINT n;
+           CLOSE c;
+           OPEN c(5);
+           FETCH c INTO n;
+           PRINT n;
+           CLOSE c;""",
+    )
+    assert out.printed == ["3", "5"]
+
+
+def test_fetch_unopened_cursor_hits_handler(spark, sf_dir):
+    views(spark, sf_dir)
+    out = run_hplsql(
+        spark,
+        """DECLARE CONTINUE HANDLER FOR SQLEXCEPTION PRINT 'caught';
+           DECLARE c CURSOR FOR SELECT 1;
+           FETCH c INTO x;
+           PRINT 'after';""",
+    )
+    assert out.printed == ["caught", "after"]
