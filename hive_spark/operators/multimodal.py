@@ -261,6 +261,105 @@ ORDER BY doc_id
 """
 
 
+def _encode_wav(samples, rate: int = 16000) -> bytes:
+    """RIFF/WAVE PCM16 mono encoder — like PPM, the format is a header
+    plus raw little-endian samples; numpy suffices."""
+    import struct
+
+    raw = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(raw), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(raw),
+    )
+    return hdr + raw
+
+
+def _decode_wav(data: bytes):
+    """RIFF/WAVE PCM16 decoder: walks the chunk list (fmt /data , extra
+    chunks tolerated), validates PCM16 mono, returns (samples, rate)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    f"only PCM16 mono supported, got fmt={fmt} ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, "<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt /data chunk")
+    return samples, rate
+
+
+def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: per document, synthesize deterministic PCM16
+    samples (s(i) = ((doc_id*31 + i*17) % 65536) - 32768, n = 256 +
+    16*(doc_id % 7)), container them as RIFF/WAVE, decode the container
+    back, and emit sample count / rate / exact sample sum — closed-form
+    oracle, same verification contract as mm_decode_raster."""
+    views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 256 + 16 * (int(doc_id) % 7)
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(doc_id) * 31 + i * 17) % 65536) - 32768
+                payloads.append(_encode_wav(s.astype(np.int16)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_rate": [], "sum_samples": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = _decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(s.size)
+                out["sample_rate"].append(rate)
+                out["sum_samples"].append(int(s.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(encode, "doc_id bigint, payload binary")
+        .mapInPandas(
+            decode,
+            "doc_id bigint, n_samples int, sample_rate int, sum_samples bigint",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECODE_AUDIO_SQL = """
+SELECT doc_id,
+       CAST(256 + 16 * (doc_id % 7) AS INT) AS n_samples,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(list_sum(list_transform(range(0, 256 + 16 * (doc_id % 7)),
+            i -> ((doc_id * 31 + i * 17) % 65536) - 32768)) AS BIGINT)
+           AS sum_samples
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def mm_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregation: grouping on the meta struct must not read
     the payload bytes (column pruning drops the blob from the scan — check
@@ -293,5 +392,10 @@ REGISTRY: dict[str, QuerySpec] = {
         mm_decode_raster,
         _decode_raster_oracle(),
         "real PPM encode->decode round trip; closed-form pixel-sum oracle",
+    ),
+    "mm_decode_audio": QuerySpec(
+        mm_decode_audio,
+        _DECODE_AUDIO_SQL,
+        "real RIFF/WAVE PCM16 encode->decode round trip; closed-form oracle",
     ),
 }

@@ -47,3 +47,29 @@ def test_compressed_codec_still_hard_errors():
 
     with pytest.raises(NotImplementedError, match="jpeg"):
         _decode_frame(b"\xff\xd8\xff", "jpeg")
+
+
+def test_wav_round_trip_and_chunk_walking():
+    import numpy as np
+    import pytest
+
+    from hive_spark.operators.multimodal import _decode_wav, _encode_wav
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=333, dtype=np.int16)
+    out, rate = _decode_wav(_encode_wav(s, rate=8000))
+    assert rate == 8000 and (out == s).all()
+
+    # an extra chunk before data must be skipped, not break the walk
+    data = _encode_wav(s)
+    with_list = data[:12] + b"LIST\x04\x00\x00\x00INFO" + data[12:]
+    out2, _ = _decode_wav(with_list)
+    assert (out2 == s).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_wav(b"OggS" + bytes(40))
+    with pytest.raises(NotImplementedError, match="PCM16 mono"):
+        # stereo header
+        stereo = bytearray(data)
+        stereo[22] = 2
+        _decode_wav(bytes(stereo))
