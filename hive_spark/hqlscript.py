@@ -60,6 +60,20 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 _TXN = re.compile(r"^\s*(START\s+TRANSACTION|BEGIN|COMMIT|ROLLBACK)\b", re.I)
+# CREATE SCHEDULED QUERY q CRON '<expr>' AS <stmt> (Hive 4 grammar; ref
+# ql/.../scheduled/ScheduledQueryExecutionService.java + parser rule)
+_SCHED_CREATE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SCHEDULED\s+QUERY\s+(\w+)\s+"
+    r"CRON\s+'([^']+)'\s+(?:DEFINED\s+)?AS\s+(.*)$",
+    re.I | re.S,
+)
+_SCHED_ALTER = re.compile(
+    r"^\s*ALTER\s+SCHEDULED\s+QUERY\s+(\w+)\s+(ENABLED?|DISABLED?|EXECUTE)\s*$",
+    re.I,
+)
+_SCHED_DROP = re.compile(
+    r"^\s*DROP\s+SCHEDULED\s+QUERY\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I
+)
 _SET = re.compile(r"^\s*SET\s+(?!ROLE\b)([^=;\s]+)\s*(?:=\s*(.*))?$", re.I | re.S)
 _ADD = re.compile(r"^\s*(ADD|DELETE)\s+(JAR|FILE|ARCHIVE)S?\b", re.I)
 _SHELL = re.compile(r"^\s*(!|dfs\b)", re.I)
@@ -398,6 +412,34 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             )
             if df.columns:
                 res.results.append(df)
+            continue
+        m = _SCHED_CREATE.match(stmt)
+        if m:
+            from hive_spark.scheduled import ScheduledQueryRegistry
+
+            ScheduledQueryRegistry(spark).create(
+                m.group(2), m.group(3), m.group(4), replace=bool(m.group(1))
+            )
+            continue
+        m = _SCHED_ALTER.match(stmt)
+        if m:
+            from hive_spark.scheduled import ScheduledQueryRegistry
+
+            reg = ScheduledQueryRegistry(spark)
+            verb = m.group(2).upper()
+            if verb.startswith("ENABLE"):
+                reg.set_enabled(m.group(1), True)
+            elif verb.startswith("DISABLE"):
+                reg.set_enabled(m.group(1), False)
+            else:  # EXECUTE — run now, surface its results
+                out = reg.execute(m.group(1))
+                res.results.extend(out.results)
+            continue
+        m = _SCHED_DROP.match(stmt)
+        if m:
+            from hive_spark.scheduled import ScheduledQueryRegistry
+
+            ScheduledQueryRegistry(spark).drop(m.group(1))
             continue
         if _SHELL.match(stmt):
             raise ValueError(
