@@ -1248,3 +1248,64 @@ def test_scalar_in_subquery_in_select(spark, fixtures):
                          THEN 'low' ELSE 'other' END AS tag
              FROM {src} WHERE key < '3' ORDER BY key, tag"""
     _cmp(spark, fixtures, tpl.format(src="q_src"), tpl.format(src="src"))
+
+
+def test_multi_lateral_view_chain(spark, fixtures):
+    """Hive lateral_view.q multi-LV shape: two chained LATERAL VIEWs are
+    the cross product of both generators per parent row."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT key, a, b
+           FROM (SELECT key, split(value, '_') AS arr1,
+                        split(key, '0') AS arr2
+                 FROM q_src WHERE key < '11') t
+           LATERAL VIEW explode(arr1) e1 AS a
+           LATERAL VIEW explode(arr2) e2 AS b
+           ORDER BY key, a, b""",
+        """SELECT key, a, b FROM (
+             SELECT key, unnest(arr1) AS a, arr2 FROM (
+               SELECT key, string_split(value, '_') AS arr1,
+                      string_split(key, '0') AS arr2
+               FROM src WHERE key < '11') t1) t2,
+           LATERAL (SELECT unnest(t2.arr2) AS b) u
+           ORDER BY key, a, b""",
+    )
+
+
+def test_explode_map_lateral_view(spark, fixtures):
+    """udtf_explode.q map variant: explode(map) yields (key, value)
+    pairs per entry through LATERAL VIEW."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT key, mk, mv
+           FROM (SELECT key, map('k1', value, 'k2', key) AS m
+                 FROM q_src WHERE key < '2') t
+           LATERAL VIEW explode(m) e AS mk, mv
+           ORDER BY key, mk, mv""",
+        """SELECT key, mk, mv FROM (
+             SELECT key, 'k1' AS mk, value AS mv FROM src WHERE key < '2'
+             UNION ALL
+             SELECT key, 'k2', key FROM src WHERE key < '2')
+           ORDER BY key, mk, mv""",
+    )
+
+
+def test_join_condition_with_or(spark, fixtures):
+    """Hive join46/47.q family: disjunctive join conditions can't use a
+    hash join; both engines must still agree on the multiset result."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT a.key, b.key AS bkey
+           FROM (SELECT key FROM q_src WHERE key < '12') a
+           JOIN (SELECT key FROM q_src WHERE key < '12') b
+             ON a.key = b.key OR substr(a.key, 1, 1) = substr(b.key, 1, 1)
+           ORDER BY a.key, bkey""",
+        """SELECT a.key, b.key AS bkey
+           FROM (SELECT key FROM src WHERE key < '12') a
+           JOIN (SELECT key FROM src WHERE key < '12') b
+             ON a.key = b.key OR substr(a.key, 1, 1) = substr(b.key, 1, 1)
+           ORDER BY a.key, bkey""",
+    )
