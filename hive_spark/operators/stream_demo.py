@@ -144,7 +144,31 @@ FROM j GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return streaming.stream_cdc_upsert(spark, sf_dir)
+
+
+# latest row per key, ordered by (ts, event_id) — chunking-independent
+_CDC_SQL = """
+SELECT user_id,
+       CAST(epoch_us(ts) // 1000 AS BIGINT) AS last_ts_ms,
+       event_id AS last_event_id,
+       value AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events) t
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "stream_cdc_upsert": QuerySpec(
+        stream_cdc_upsert,
+        _CDC_SQL,
+        "foreachBatch + MERGE upsert: latest-per-key table vs batch oracle",
+    ),
     "stream_stream_join": QuerySpec(stream_stream_join, _S2J_SQL),
     "stream_stream_left_join": QuerySpec(stream_stream_left_join, _S2JL_SQL),
     "stream_custom_state": QuerySpec(stream_custom_state, _CUSTOM_STATE_SQL),

@@ -420,6 +420,74 @@ def stream_session_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE upsert — the Hive streaming-ingest-into-ACID +
+    MERGE pattern (HiveStreamingConnection.java:107 ingest; MERGE rewrite
+    MergeSemanticAnalyzer.java): each micro-batch folds into a
+    latest-event-per-user table via foreachBatch + dml.merge_into
+    (newer-wins on (ts, event_id), insert on first sight). The merge
+    condition handles out-of-order batches, so the final table equals the
+    batch 'latest row per key' regardless of chunking — which is what the
+    oracle checks. At scale the per-batch merge is one key-partitioned
+    join against the target (Delta/Iceberg streaming-upsert shape)."""
+    from pyspark.sql import Window
+
+    from hive_spark.dml import merge_into
+
+    src = _chunked_source(spark, sf_dir, "cdc")
+    out = os.path.join(_SCRATCH, f"cdc_out_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    cols = ("user_id", "ts", "event_id", "value")
+
+    def sink(batch_df, batch_id):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.select(*cols)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter("_rk = 1")
+            .drop("_rk")
+        )
+        if not os.path.exists(out):
+            latest.write.parquet(out)
+            return
+        newer = (F.col("s.ts") > F.col("t.ts")) | (
+            (F.col("s.ts") == F.col("t.ts"))
+            & (F.col("s.event_id") > F.col("t.event_id"))
+        )
+        merge_into(
+            spark,
+            out,
+            latest,
+            on=F.col("t.user_id") == F.col("s.user_id"),
+            matched_update={
+                c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                for c in ("ts", "event_id", "value")
+            },
+            not_matched_insert={c: F.col(f"s.{c}") for c in cols},
+        )
+
+    _run(
+        lambda cp: read_stream(spark, src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start(),
+        os.path.join(_SCRATCH, "cp_cdc"),
+    )
+    return (
+        spark.read.parquet(out)
+        .select(
+            "user_id",
+            F.unix_millis(F.col("ts")).alias("last_ts_ms"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running totals maintained in explicit GroupState across micro-batches

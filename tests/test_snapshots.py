@@ -50,3 +50,39 @@ def test_retention_expires_old_versions(spark):
     assert len(vs) == 2
     with pytest.raises(FileNotFoundError, match="expired"):
         snapshots.read_table(spark, PATH, dropped[0])
+
+
+def test_schema_evolution_across_versions(spark, sf_dir):
+    """Iceberg-style schema evolution under CoW versioning: every write
+    is a full new version, so ADD/DROP/RENAME COLUMN are just writes
+    with the new schema — each snapshot carries ITS OWN schema, time
+    travel returns it (the Iceberg snapshot-schema contract,
+    HiveIcebergStorageHandler.java:232), and the latest version is
+    never polluted by old layouts."""
+    import shutil
+
+    shutil.rmtree("/tmp/hive_spark_snap_evo", ignore_errors=True)
+    path = "/tmp/hive_spark_snap_evo/tbl"
+    t = views(spark, sf_dir)
+    base = t["region"].select("r_regionkey", "r_name")
+    snapshots.write_version(base, path)  # v0: 2 columns
+    # ADD COLUMN (backfilled by the CoW write itself)
+    snapshots.write_version(
+        base.withColumn("tier", F.col("r_regionkey") % 2), path
+    )  # v1: 3 columns
+    # RENAME + DROP in one evolution step
+    snapshots.write_version(
+        base.select(F.col("r_regionkey").alias("region_id")), path
+    )  # v2: 1 renamed column
+
+    assert snapshots.read_table(spark, path, 0).columns == [
+        "r_regionkey", "r_name",
+    ]
+    assert snapshots.read_table(spark, path, 1).columns == [
+        "r_regionkey", "r_name", "tier",
+    ]
+    assert snapshots.read_table(spark, path).columns == ["region_id"]
+    # old snapshots remain queryable with their own schema after evolution
+    assert (
+        snapshots.read_table(spark, path, 1).filter("tier = 0").count() == 3
+    )
