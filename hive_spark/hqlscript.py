@@ -413,6 +413,25 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             if df.columns:
                 res.results.append(df)
             continue
+        if re.match(r"^\s*SHOW\s+LOCKS\s*$", stmt, re.I):
+            from hive_spark.txn import list_locks
+
+            rows = list_locks(VERSIONED_TABLES)
+            res.results.append(
+                spark.createDataFrame(
+                    [
+                        (
+                            r["table"],
+                            r["path"],
+                            r["holder_pid"],
+                            r["holder_alive"],
+                        )
+                        for r in rows
+                    ],
+                    "table string, path string, holder_pid int, holder_alive boolean",
+                )
+            )
+            continue
         m = _SCHED_CREATE.match(stmt)
         if m:
             from hive_spark.scheduled import ScheduledQueryRegistry

@@ -99,6 +99,32 @@ def write_lock(table_path: str, timeout: float = 30.0, poll: float = 0.05):
             pass
 
 
+def list_locks(tables: dict[str, str]) -> list[dict]:
+    """SHOW LOCKS analog (ref: ql/.../ddl/process/show/locks/ — Hive
+    lists metastore locks; ours are the lock files): one row per held
+    lock among `tables` (name -> path), with holder pid and liveness."""
+    out = []
+    for name, path in sorted(tables.items()):
+        lock = _lock_file(path)
+        if not os.path.exists(lock):
+            continue
+        try:
+            with open(lock) as f:
+                pid_s, ts_s = f.read().split(":", 1)
+            out.append(
+                {
+                    "table": name,
+                    "path": path,
+                    "holder_pid": int(pid_s),
+                    "holder_alive": _holder_alive(lock),
+                    "acquired_at": float(ts_s),
+                }
+            )
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 class Transaction:
     """Multi-statement transaction over versioned tables (name -> path).
 

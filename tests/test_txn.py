@@ -131,3 +131,24 @@ def test_hql_script_transaction_rollback(spark, tmp_path):
         from hive_spark.hqlscript import VERSIONED_TABLES
 
         VERSIONED_TABLES.pop("vt_txn_demo", None)
+
+
+def test_show_locks(spark, tmp_path):
+    """SHOW LOCKS surfaces held writer locks for registered versioned
+    tables (table, path, holder pid, liveness)."""
+    from hive_spark.hqlscript import VERSIONED_TABLES, register_versioned, run_script
+    from hive_spark.txn import list_locks
+
+    ta = str(tmp_path / "locked")
+    snapshots.write_version(spark.range(2), ta)
+    register_versioned("locked_tbl", ta)
+    try:
+        assert list_locks({"locked_tbl": ta}) == []
+        with write_lock(ta):
+            rows = run_script(spark, "SHOW LOCKS;").results[-1].collect()
+            mine = [r for r in rows if r.table == "locked_tbl"]
+            assert len(mine) == 1
+            assert mine[0].holder_pid > 0 and mine[0].holder_alive
+        assert list_locks({"locked_tbl": ta}) == []
+    finally:
+        VERSIONED_TABLES.pop("locked_tbl", None)
