@@ -93,6 +93,14 @@ def test_semi_anti_join_shapes(spark, sf_dir, registry):
     assert "LeftAnti" in q22
 
 
+def test_q18_single_fact_pass(spark, sf_dir, registry):
+    """q18's HAVING aggregate doubles as the output sum (r3 rewrite):
+    lineitem is scanned exactly once; the r2 plan re-joined the raw fact
+    and re-aggregated the same sum (4.99x time at 4x data)."""
+    plan = explain(registry["tpch_q18"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_q21_single_fact_shuffle(spark, sf_dir, registry):
     """q21's EXISTS pair is rewritten to one window pass: lineitem is
     scanned once and shuffled once (the window's hashpartitioning on
