@@ -198,7 +198,7 @@ def dml_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     dml.overwrite_table(patch, path, partition_cols=["o_year"], dynamic=True)
     return (
         spark.read.parquet(path)
-        .groupBy("o_year")
+        .groupBy(F.col("o_year").cast("bigint").alias("o_year"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total"),

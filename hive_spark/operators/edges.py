@@ -125,7 +125,7 @@ _COERCE_DUCK = """
 SELECT n_nationkey,
        CAST(CAST(n_nationkey AS VARCHAR) AS INT) = n_nationkey AS str_eq_int,
        n_nationkey / 4 AS int_div_double,
-       n_nationkey // 4 AS int_div_int
+       CAST(n_nationkey // 4 AS BIGINT) AS int_div_int
 FROM nation ORDER BY n_nationkey
 """
 

@@ -4,13 +4,16 @@ Training-data requirement: image/audio/video travel as opaque BINARY
 columns with typed metadata; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas stages over `mapInPandas`.
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed: `_decode_frame()` raises NotImplementedError when a real codec is
-requested and otherwise applies a deterministic byte-level transform. The
-Spark-side plumbing — binary schema, metadata struct, mapInPandas batch
-shapes, partitioning — is real and oracle-verified (the payloads here are
-utf-8 document bytes, so DuckDB can recompute every byte-level feature
-with encode()/substr()/ascii()).
+Decode status: UNCOMPRESSED containers decode for real — binary PPM (P6)
+rasters and RIFF/WAVE PCM16 audio have pure-numpy codecs here, verified
+end-to-end against closed-form oracles (`mm_decode_raster`,
+`mm_decode_audio`). COMPRESSED codecs (jpeg/mp3/h264) need media
+libraries absent from this container, so `_decode_frame()` raises a hard
+NotImplementedError for them — callers can't silently get fake pixels.
+The Spark-side plumbing — binary schema, metadata struct, mapInPandas
+batch shapes, partitioning — is real and oracle-verified (the
+`mm_features` payloads are utf-8 document bytes, so DuckDB can recompute
+every byte-level feature with encode()/substr()/ascii()).
 
 Scale design: mapInPandas streams Arrow batches (no per-row Python), the
 pipeline is a pure linear scan (no shuffle until the final small agg), and
@@ -128,7 +131,7 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         docs.mapInPandas(
-            extract, "doc_id bigint, n_bytes int, head_byte int, byte_sum bigint"
+            extract, "doc_id bigint, n_bytes bigint, head_byte int, byte_sum bigint"
         )
         .orderBy("doc_id")
     )

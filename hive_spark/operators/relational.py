@@ -375,10 +375,10 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_nationkey",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
             F.percent_rank().over(w).alias("prank"),
             F.cume_dist().over(w).alias("cdist"),
         )
@@ -511,7 +511,7 @@ def qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         t["orders"]
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast(D2).alias("price"), "rn")
         .orderBy("o_custkey", "rn")
@@ -610,7 +610,7 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT doc_id, pos, token
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
         FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, token
         WHERE doc_id < 5
         ORDER BY doc_id, pos

@@ -37,7 +37,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT doc_id,
-               length(text) AS n_chars,
+               CAST(length(text) AS BIGINT) AS n_chars,
                CAST(size({_TOKS}) AS INT) AS n_tokens,
                CAST(size(array_distinct({_TOKS})) AS INT) AS n_unique_tokens,
                CAST(CAST(aggregate(transform({_TOKS}, t -> length(t)),

@@ -176,7 +176,7 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH chunks AS (
-            SELECT doc_id, i AS chunk_idx,
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
                    substr(text, i * 150 + 1, 200) AS chunk
             FROM documents
             LATERAL VIEW explode(
@@ -185,7 +185,7 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) s AS i
             WHERE length(text) > 0
         )
-        SELECT doc_id, chunk_idx, length(chunk) AS chunk_len,
+        SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
                substr(chunk, 1, 16) AS chunk_head
         FROM chunks
         WHERE length(chunk) > 0
@@ -235,7 +235,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id,
-               length(clean) AS clean_len,
+               CAST(length(clean) AS BIGINT) AS clean_len,
                CAST((length(clean) - length(replace(clean, '<EMAIL>', ''))) / 7
                     AS BIGINT) AS n_emails,
                CAST((length(clean) - length(replace(clean, '<PHONE>', ''))) / 7

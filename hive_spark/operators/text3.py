@@ -59,7 +59,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY score DESC, tok) AS rk
           FROM scored
         )
-        SELECT doc_id, tok, tf, df, score, rk
+        SELECT doc_id, tok, tf, df, score, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 5
         ORDER BY doc_id, rk
         """

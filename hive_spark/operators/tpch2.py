@@ -80,7 +80,7 @@ SELECT supp_nation, cust_nation, l_year,
        CAST(SUM(volume) AS DECIMAL(38,6)) AS revenue
 FROM (
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           year(l_shipdate) AS l_year, {_REV} AS volume
+           CAST(year(l_shipdate) AS BIGINT) AS l_year, {_REV} AS volume
     FROM supplier
     JOIN lineitem ON s_suppkey = l_suppkey
     JOIN orders ON o_orderkey = l_orderkey
@@ -102,7 +102,7 @@ SELECT o_year,
                           THEN volume ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
             / CAST(SUM(volume) AS DOUBLE) AS DECIMAL(18,6)) AS mkt_share
 FROM (
-    SELECT year(o_orderdate) AS o_year,
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
            CAST({_REV} AS DECIMAL(30,6)) AS volume,
            n2.n_name AS nation
     FROM part
@@ -124,7 +124,7 @@ ORDER BY o_year
 _Q9 = f"""
 SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(38,6)) AS sum_profit
 FROM (
-    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
            CAST({_REV} AS DECIMAL(32,6))
            - CAST(CAST(p_retailprice AS DECIMAL(18,2))
                   * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(32,6)) AS amount

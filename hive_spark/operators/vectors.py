@@ -192,7 +192,8 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT * FROM emb WHERE vec_id < 5) q
             JOIN emb t ON q.vec_id != t.vec_id
         )
-        SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine, rnk
+        SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine,
+               CAST(rnk AS BIGINT) AS rnk
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                            ORDER BY cosine DESC, neighbor_id) AS rnk
               FROM scored)
@@ -223,7 +224,8 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON q.band = t.band AND q.sig = t.sig AND q.vec_id != t.vec_id
             GROUP BY q.vec_id, t.vec_id
         )
-        SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine, rnk
+        SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine,
+               CAST(rnk AS BIGINT) AS rnk
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                            ORDER BY cosine DESC, neighbor_id) AS rnk
               FROM scored)
