@@ -538,6 +538,95 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ivf_probe_sql(_DOTQ))
 
 
+_PQ_M = 8  # subspaces (64 dims -> 8 subvectors of 8)
+_PQ_K = 16  # codewords per subspace (codes pack into 4 bits each)
+
+
+def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (FAISS IndexPQ shape): split each
+    vector into M subvectors, assign each to its nearest codeword in a
+    per-subspace codebook (K entries — here the training-free seed:
+    subvectors of the first K vectors, the kmeans_refine loop trains it
+    in production), and emit the M-byte code + exact quantized
+    reconstruction distance. 64 floats become 8 nibbles — the ~64x
+    memory compression that keeps a 100 TB embedding corpus in cluster
+    RAM for ADC search; encoding is a linear scan against a broadcast
+    codebook (M*K tiny rows), one groupBy per vector.
+
+    Distances are floor((x-y)^2 * 1e12) integer sums — IEEE subtract
+    and multiply are bit-identical in both engines, so codes and
+    distances hash-match the DuckDB oracle exactly. Codebook vectors
+    encode to themselves with distance 0 (pinned in tests)."""
+    views(spark, sf_dir)
+    qd = (
+        "aggregate(zip_with(s.svec, cb.cvec, (x, y) -> "
+        "CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    return spark.sql(
+        f"""
+        WITH cb AS (
+          SELECT vec_id AS cid, m, slice(embedding, m * 8 + 1, 8) AS cvec
+          FROM embeddings LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS m
+          WHERE vec_id < {_PQ_K}
+        ),
+        s AS (
+          SELECT vec_id, m, slice(embedding, m * 8 + 1, 8) AS svec
+          FROM embeddings LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS m
+        ),
+        best AS (
+          SELECT vec_id, m, cid, qd FROM (
+            SELECT s.vec_id, s.m, cb.cid, {qd} AS qd,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {qd}, cb.cid) AS rk
+            FROM s JOIN cb ON s.m = cb.m) t
+          WHERE rk = 1
+        )
+        SELECT vec_id,
+               concat_ws(',', transform(
+                 array_sort(collect_list(struct(m, cid))),
+                 x -> CAST(x.cid AS STRING))) AS pq_code,
+               CAST(SUM(CAST(qd AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS recon_qdist
+        FROM best GROUP BY vec_id ORDER BY vec_id
+        """
+    )
+
+
+_PQ_SQL = f"""
+WITH cb AS (
+  SELECT vec_id AS cid, s.m, embedding[s.m * 8 + 1 : s.m * 8 + 8] AS cvec
+  FROM embeddings, (SELECT unnest(range(0, {_PQ_M})) AS m) s
+  WHERE vec_id < {_PQ_K}
+),
+sub AS (
+  SELECT vec_id, s.m, embedding[s.m * 8 + 1 : s.m * 8 + 8] AS svec
+  FROM embeddings, (SELECT unnest(range(0, {_PQ_M})) AS m) s
+),
+best AS (
+  SELECT vec_id, m, cid, qd FROM (
+    SELECT sub.vec_id, sub.m, cb.cid,
+           list_sum(list_transform(list_zip(sub.svec, cb.cvec), z ->
+             CAST(floor((CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                  * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * 1e12)
+                  AS BIGINT))) AS qd,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                              ORDER BY list_sum(list_transform(
+                                list_zip(sub.svec, cb.cvec), z ->
+                                CAST(floor((CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                                     * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * 1e12)
+                                     AS BIGINT))), cb.cid) AS rk
+    FROM sub JOIN cb ON sub.m = cb.m) t
+  WHERE rk = 1
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), ',' ORDER BY m) AS pq_code,
+       CAST(SUM(CAST(qd AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS recon_qdist
+FROM best GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One FULL k-means refinement round (E-step -> quantized M-step ->
     E-step) inside the oracle gate: centroid components are integer
@@ -699,6 +788,11 @@ REGISTRY: dict[str, QuerySpec] = {
         knn_ivf_probe,
         _ivf_probe_sql(_DUCK_DOTQ),
         "IVF probe search: rank only vectors in each query's top-NPROBE cells",
+    ),
+    "vec_pq_encode": QuerySpec(
+        vec_pq_encode,
+        _PQ_SQL,
+        "product-quantization encode: M-nibble codes + exact recon distance",
     ),
     "kmeans_one_round": QuerySpec(
         kmeans_one_round,

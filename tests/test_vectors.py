@@ -132,3 +132,19 @@ def test_ivf_probe_subset_of_brute_force(spark, sf_dir):
     for r in probed:
         if (r.query_id, r.neighbor_id) in bf:
             assert r.cosine == bf[(r.query_id, r.neighbor_id)]
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """PQ identity invariant: every codebook vector's nearest codeword in
+    every subspace is its own subvector — code = (cid,)*M with exact
+    reconstruction distance 0; non-codebook vectors must carry a
+    positive distance (the corpus has no duplicates of the seeds)."""
+    from hive_spark.operators.vectors import _PQ_K, _PQ_M, vec_pq_encode
+
+    rows = {r.vec_id: r for r in vec_pq_encode(spark, sf_dir).collect()}
+    for cid in range(_PQ_K):
+        r = rows[cid]
+        assert r.pq_code == ",".join([str(cid)] * _PQ_M)
+        assert int(r.recon_qdist) == 0
+    others = [r for v, r in rows.items() if v >= _PQ_K]
+    assert others and all(int(r.recon_qdist) > 0 for r in others)
