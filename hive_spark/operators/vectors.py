@@ -627,6 +627,118 @@ FROM best GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes (FAISS IndexPQ
+    .search): each query precomputes an M x K distance table against the
+    codebook (M*K tiny rows), and the distance to an ENCODED vector is
+    the sum of M table lookups on its codes — no decompression, no
+    full-vector math against the corpus. The lookup join runs on
+    (m, cid) with the table side broadcast, so search cost is linear in
+    the encoded corpus and the corpus itself stays at ~1 byte/subvector.
+    Quantized-integer distances make the whole path hash-exact vs the
+    oracle; queries are codebook members here, so their ADC distance to
+    another codebook vector equals the true quantized L2 (pinned in
+    tests)."""
+    views(spark, sf_dir)
+    qd = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    return spark.sql(
+        f"""
+        WITH cb AS (
+          SELECT vec_id AS cid, m, slice(embedding, m * 8 + 1, 8) AS cvec
+          FROM embeddings LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS m
+          WHERE vec_id < {_PQ_K}
+        ),
+        s AS (
+          SELECT vec_id, m, slice(embedding, m * 8 + 1, 8) AS svec
+          FROM embeddings LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS m
+        ),
+        enc AS (
+          SELECT vec_id, m, cid FROM (
+            SELECT s.vec_id, s.m, cb.cid,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {qd.format(a="s.svec", b="cb.cvec")},
+                                               cb.cid) AS rk
+            FROM s JOIN cb ON s.m = cb.m) t
+          WHERE rk = 1
+        ),
+        qt AS (
+          SELECT q.vec_id AS query_id, cb.m, cb.cid,
+                 {qd.format(a="q.svec", b="cb.cvec")} AS qd
+          FROM (SELECT * FROM s WHERE vec_id < 5) q
+          JOIN cb ON q.m = cb.m
+        ),
+        adc AS (
+          SELECT qt.query_id, enc.vec_id AS neighbor_id,
+                 SUM(qt.qd) AS adc_qdist
+          FROM enc JOIN qt ON enc.m = qt.m AND enc.cid = qt.cid
+          WHERE enc.vec_id != qt.query_id
+          GROUP BY qt.query_id, enc.vec_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(adc_qdist AS DECIMAL(38,0)) AS adc_qdist,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adc_qdist, neighbor_id) AS rnk
+              FROM adc)
+        WHERE rnk <= 3
+        ORDER BY query_id, rnk
+        """
+    )
+
+
+def _duck_pq_adc() -> str:
+    qd = (
+        "list_sum(list_transform(list_zip({a}, {b}), z -> "
+        "CAST(floor((CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+        "* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * 1e12) AS BIGINT)))"
+    )
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS cid, s.m, embedding[s.m * 8 + 1 : s.m * 8 + 8] AS cvec
+  FROM embeddings, (SELECT unnest(range(0, {_PQ_M})) AS m) s
+  WHERE vec_id < {_PQ_K}
+),
+sub AS (
+  SELECT vec_id, s.m, embedding[s.m * 8 + 1 : s.m * 8 + 8] AS svec
+  FROM embeddings, (SELECT unnest(range(0, {_PQ_M})) AS m) s
+),
+enc AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT sub.vec_id, sub.m, cb.cid,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                              ORDER BY {qd.format(a="sub.svec", b="cb.cvec")},
+                                       cb.cid) AS rk
+    FROM sub JOIN cb ON sub.m = cb.m) t
+  WHERE rk = 1
+),
+qt AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.cid,
+         {qd.format(a="q.svec", b="cb.cvec")} AS qd
+  FROM (SELECT * FROM sub WHERE vec_id < 5) q
+  JOIN cb ON q.m = cb.m
+),
+adc AS (
+  SELECT qt.query_id, enc.vec_id AS neighbor_id, SUM(qt.qd) AS adc_qdist
+  FROM enc JOIN qt ON enc.m = qt.m AND enc.cid = qt.cid
+  WHERE enc.vec_id != qt.query_id
+  GROUP BY qt.query_id, enc.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(adc_qdist AS DECIMAL(38,0)) AS adc_qdist,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_qdist, neighbor_id) AS rnk
+      FROM adc)
+WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
 def kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One FULL k-means refinement round (E-step -> quantized M-step ->
     E-step) inside the oracle gate: centroid components are integer
@@ -793,6 +905,11 @@ REGISTRY: dict[str, QuerySpec] = {
         vec_pq_encode,
         _PQ_SQL,
         "product-quantization encode: M-nibble codes + exact recon distance",
+    ),
+    "knn_pq_adc": QuerySpec(
+        knn_pq_adc,
+        _duck_pq_adc(),
+        "ADC search over PQ codes: M table lookups per candidate, no decompress",
     ),
     "kmeans_one_round": QuerySpec(
         kmeans_one_round,

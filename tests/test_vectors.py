@@ -148,3 +148,47 @@ def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
         assert int(r.recon_qdist) == 0
     others = [r for v, r in rows.items() if v >= _PQ_K]
     assert others and all(int(r.recon_qdist) > 0 for r in others)
+
+
+def test_pq_adc_matches_numpy_recomputation(spark, sf_dir):
+    """End-to-end ADC check: for every returned (query, neighbor) pair,
+    recompute the asymmetric distance in numpy from the neighbor's PQ
+    code and the query's raw subvectors — sum over subspaces of the
+    quantized L2 to the CODEWORD the neighbor encoded to. Any drift in
+    encode, table build, or lookup breaks the equality."""
+    import numpy as np
+
+    from hive_spark.operators import views
+    from hive_spark.operators.vectors import (
+        _PQ_K,
+        _PQ_M,
+        knn_pq_adc,
+        vec_pq_encode,
+    )
+
+    views(spark, sf_dir)
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.table("embeddings").collect()
+    }
+    codes = {
+        r.vec_id: [int(c) for c in r.pq_code.split(",")]
+        for r in vec_pq_encode(spark, sf_dir).collect()
+    }
+
+    def sub(v, m):
+        return v[m * 8 : m * 8 + 8]
+
+    def qd(a, b):
+        d = a - b
+        return int(np.floor(d * d * 1e12).astype(np.int64).sum())
+
+    rows = knn_pq_adc(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = sum(
+            qd(sub(emb[r.query_id], m), sub(emb[codes[r.neighbor_id][m]], m))
+            for m in range(_PQ_M)
+        )
+        assert int(r.adc_qdist) == expect, (r.query_id, r.neighbor_id)
+        assert all(c < _PQ_K for c in codes[r.neighbor_id])
