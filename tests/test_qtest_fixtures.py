@@ -1309,3 +1309,37 @@ def test_join_condition_with_or(spark, fixtures):
              ON a.key = b.key OR substr(a.key, 1, 1) = substr(b.key, 1, 1)
            ORDER BY a.key, bkey""",
     )
+
+
+def test_having_with_scalar_subquery(spark, fixtures):
+    """HAVING compared against a scalar subquery (Hive having.q family):
+    groups kept only when their count beats the global average group
+    size — decorrelates to a 1-row cross join under Catalyst."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT key, COUNT(*) AS n
+           FROM q_src GROUP BY key
+           HAVING COUNT(*) > (SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT key)
+                              FROM q_src)
+           ORDER BY key""",
+        """SELECT key, COUNT(*) AS n
+           FROM src GROUP BY key
+           HAVING COUNT(*) > (SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT key)
+                              FROM src)
+           ORDER BY key""",
+    )
+
+
+def test_order_by_unselected_expression(spark, fixtures):
+    """ORDER BY an expression not in the select list (Hive allows it;
+    order2.q family) — the sort column is resolved against the input,
+    projected away after the sort."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT value FROM q_src WHERE key < '2'
+           ORDER BY length(value) DESC, substr(key, 1, 2), value""",
+        """SELECT value FROM src WHERE key < '2'
+           ORDER BY length(value) DESC, substr(key, 1, 2), value""",
+    )
