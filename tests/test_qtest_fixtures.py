@@ -1343,3 +1343,45 @@ def test_order_by_unselected_expression(spark, fixtures):
         """SELECT value FROM src WHERE key < '2'
            ORDER BY length(value) DESC, substr(key, 1, 2), value""",
     )
+
+
+def test_rollup_with_count_distinct(spark, fixtures):
+    """ROLLUP combined with COUNT(DISTINCT) (groupby_cube_multi_gby
+    family): distinct aggregation must stay correct on the super-
+    aggregate rows, where it spans the whole partition set."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT ds, COUNT(DISTINCT key) AS dk, COUNT(*) AS n
+           FROM q_srcpart GROUP BY ROLLUP(ds)
+           ORDER BY ds NULLS FIRST""",
+        """SELECT ds, COUNT(DISTINCT key) AS dk, COUNT(*) AS n
+           FROM srcpart GROUP BY ROLLUP(ds)
+           ORDER BY ds NULLS FIRST""",
+    )
+
+
+def test_join_on_coalesced_key(spark, fixtures):
+    """Join on a COALESCE-normalized key (join_nulls family): expression
+    keys still hash-partition, and the normalization makes NULL keys
+    joinable on the sentinel."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT a.k AS k, COUNT(*) AS n FROM
+             (SELECT COALESCE(CASE WHEN key < '3' THEN key END, '~') AS k
+              FROM q_src) a
+           JOIN
+             (SELECT COALESCE(CASE WHEN key < '3' THEN key END, '~') AS k
+              FROM q_src WHERE key < '5') b
+             ON a.k = b.k
+           GROUP BY a.k ORDER BY k""",
+        """SELECT a.k AS k, COUNT(*) AS n FROM
+             (SELECT COALESCE(CASE WHEN key < '3' THEN key END, '~') AS k
+              FROM src) a
+           JOIN
+             (SELECT COALESCE(CASE WHEN key < '3' THEN key END, '~') AS k
+              FROM src WHERE key < '5') b
+             ON a.k = b.k
+           GROUP BY a.k ORDER BY k""",
+    )
