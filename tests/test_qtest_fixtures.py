@@ -1385,3 +1385,36 @@ def test_join_on_coalesced_key(spark, fixtures):
              ON a.k = b.k
            GROUP BY a.k ORDER BY k""",
     )
+
+
+def test_predicate_pushdown_through_window_partition_key(spark, fixtures):
+    """ppd_windows.q: a filter on the window's PARTITION BY key is safe
+    to evaluate below the window (it never changes any partition's
+    content) — Catalyst must push it to the scan as a partition filter,
+    and the values must match the filter-first evaluation."""
+    sdf = spark.sql(
+        """SELECT key, ds, rn FROM (
+             SELECT key, ds,
+                    ROW_NUMBER() OVER (PARTITION BY ds ORDER BY key, hr) AS rn
+             FROM q_srcpart) t
+           WHERE ds = '2008-04-08'
+           ORDER BY rn, key"""
+    )
+    duck = fixtures.sql(
+        """SELECT key, ds, CAST(rn AS BIGINT) AS rn FROM (
+             SELECT key, ds,
+                    ROW_NUMBER() OVER (PARTITION BY ds ORDER BY key, hr) AS rn
+             FROM srcpart) t
+           WHERE ds = '2008-04-08'
+           ORDER BY rn, key"""
+    )
+    from tests.oracle_check import _rows
+
+    sdf_cast = sdf.selectExpr("key", "ds", "CAST(rn AS BIGINT) AS rn")
+    assert _rows(
+        [tuple(r) for r in sdf_cast.collect()], sdf_cast.columns
+    ) == _rows(duck.fetchall(), [d[0] for d in duck.description])
+    # the ds predicate must reach the scan as a partition filter, not
+    # sit above the window
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ds" in plan
