@@ -1418,3 +1418,30 @@ def test_predicate_pushdown_through_window_partition_key(spark, fixtures):
     # sit above the window
     plan = sdf._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(ds" in plan
+
+
+def test_global_window_and_ignore_nulls(spark, fixtures):
+    """windowing.q extras: an un-partitioned COUNT(*) OVER () (single
+    global partition — parity shape, a known scale antipattern kept
+    behind a selective filter) and LAST_VALUE(... IGNORE NULLS) over a
+    running frame skipping NULL markers."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT key,
+                  COUNT(*) OVER () AS total,
+                  LAST_VALUE(CASE WHEN key LIKE '1%' THEN value END) IGNORE NULLS
+                    OVER (ORDER BY key, value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS last_1x
+           FROM q_src WHERE key < '2'
+           ORDER BY key, value""",
+        """SELECT key,
+                  COUNT(*) OVER () AS total,
+                  LAST_VALUE(CASE WHEN key LIKE '1%' THEN value END IGNORE NULLS)
+                    OVER (ORDER BY key, value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS last_1x
+           FROM src WHERE key < '2'
+           ORDER BY key, value""",
+    )
