@@ -1445,3 +1445,20 @@ def test_global_window_and_ignore_nulls(spark, fixtures):
            FROM src WHERE key < '2'
            ORDER BY key, value""",
     )
+
+
+def test_multi_column_in_subquery(spark, fixtures):
+    """(a, b) IN (SELECT x, y ...) — the tuple-IN subquery shape
+    (subquery_in.q): compiles to a left-semi join on both columns."""
+    _cmp(
+        spark,
+        fixtures,
+        """SELECT ds, hr, COUNT(*) AS n
+           FROM q_srcpart
+           WHERE (ds, hr) IN (SELECT ds, MIN(hr) FROM q_srcpart GROUP BY ds)
+           GROUP BY ds, hr ORDER BY ds, hr""",
+        """SELECT ds, hr, COUNT(*) AS n
+           FROM srcpart
+           WHERE (ds, hr) IN (SELECT ds, MIN(hr) FROM srcpart GROUP BY ds)
+           GROUP BY ds, hr ORDER BY ds, hr""",
+    )
