@@ -1458,7 +1458,10 @@ def test_multi_column_in_subquery(spark, fixtures):
            WHERE (ds, hr) IN (SELECT ds, MIN(hr) FROM q_srcpart GROUP BY ds)
            GROUP BY ds, hr ORDER BY ds, hr""",
         """SELECT ds, hr, COUNT(*) AS n
-           FROM srcpart
-           WHERE (ds, hr) IN (SELECT ds, MIN(hr) FROM srcpart GROUP BY ds)
+           FROM srcpart s
+           WHERE EXISTS (SELECT 1
+                         FROM (SELECT ds AS d2, MIN(hr) AS h2
+                               FROM srcpart GROUP BY ds) m
+                         WHERE m.d2 = s.ds AND m.h2 = s.hr)
            GROUP BY ds, hr ORDER BY ds, hr""",
     )
