@@ -49,6 +49,11 @@ _DOTQ = (
 
 _TARGET_BUCKET = 64  # expected rows per band bucket, any corpus size
 _N_BANDS = 4
+_MAX_BITS = 28  # widest band signature (10^10+ rows); hyperplane index
+# space is band*_MAX_BITS+bit so the SAME hyperplane backs bit b of band
+# j at EVERY corpus size — widening a band adds hyperplanes instead of
+# reshuffling them, which is what lets the DuckDB oracle derive its own
+# width from COUNT(*) and still agree bit-for-bit with the Spark side
 _DIM = 64  # embedding dimensionality of the corpus (TESTDATA.md)
 _SEED = 0xC0FFEE
 
@@ -73,90 +78,152 @@ def _hyperplane(i: int) -> list[int]:
 def lsh_cfg(n_rows: int) -> tuple[int, int]:
     """(bits_per_band, n_bands) for a corpus of n_rows vectors.
 
-    bits = ceil(log2(n / TARGET)) keeps E[rows per band bucket] in
-    (TARGET/2, TARGET], so within-bucket pair enumeration is O(N * K)
-    with K <= n_bands * 2 * TARGET — constant per row, linear overall.
-    500 rows -> 3 bits/band (8 buckets); 10^9 rows -> 24 bits/band."""
-    import math
+    bits = smallest k in [2, MAX] with TARGET * 2^k >= n (integer-exact
+    ceil(log2(n/TARGET)) — no float log2, so the DuckDB oracle's SQL
+    reimplementation cannot drift by an ulp at power-of-two corpora).
+    Keeps E[rows per band bucket] in (TARGET/2, TARGET], so
+    within-bucket pair enumeration is O(N * K) with K <= n_bands * 2 *
+    TARGET — constant per row, linear overall. 500 rows -> 3 bits/band
+    (8 buckets); 10^9 rows -> 24 bits/band."""
+    bits = 2
+    while bits < _MAX_BITS and (_TARGET_BUCKET << bits) < n_rows:
+        bits += 1
+    return (bits, _N_BANDS)
 
-    if n_rows <= _TARGET_BUCKET:
-        bits = 2
-    else:
-        bits = math.ceil(math.log2(n_rows / _TARGET_BUCKET))
-    return (min(max(bits, 2), 28), _N_BANDS)
+
+def _pos_idx(i: int) -> list[int]:
+    """0-based dimensions where hyperplane i is +1 (exactly DIM/2)."""
+    return [d for d, s in enumerate(_hyperplane(i)) if s == 1]
 
 
-def _spark_sig_exprs(bits: int, bands: int) -> list[str]:
-    """Per-band signature expressions: bit b of band j = sign of the
-    hyperplane projection of the 1e-6-quantized vector."""
+# Signature identity used by BOTH engines: with eq = floor(v*1e6) per
+# dim and tq = sum(eq), the signed projection sum(eq[d]*s[d]) over a
+# +/-1 hyperplane with equal sign counts equals 2*posSum - tq, where
+# posSum sums only the +1 dims. So each sign bit is ONE 32-term integer
+# sum against a shared tq — the whole bits*bands signature costs a
+# single quantization pass + plain codegen'd adds, instead of
+# bits*bands interpreted higher-order-function traversals (the r3
+# bench regression: 28 aggregate(zip_with(...)) passes per row).
 
-    def proj(i: int) -> str:
-        signs = ", ".join(str(s) for s in _hyperplane(i))
+
+def _duck_sig_exprs(bands: int) -> list[str]:
+    """DuckDB twin of _spark_sig_exprs — same hyperplanes, same identity,
+    1-based list indexing — except the band width is RUNTIME-adaptive:
+    all _MAX_BITS bit terms are emitted, each gated on `b < bits` with
+    bits coming from the cfg CTE's own COUNT(*) (mirrors lsh_cfg
+    integer-exactly). One SQL text therefore oracles ANY scale factor,
+    removing the r3 hardcoded 500-row coupling."""
+
+    def bit(i: int, b: int) -> str:
+        terms = " + ".join(f"eq[{d + 1}]" for d in _pos_idx(i))
         return (
-            f"aggregate(zip_with(embedding, array({signs}), "
-            "(v, s) -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) * s), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            f"(CASE WHEN {b} < bits AND 2 * ({terms}) > tq"
+            f" THEN {1 << b} ELSE 0 END)"
         )
 
     return [
-        "("
-        + " + ".join(
-            f"(CASE WHEN {proj(j * bits + b)} > 0 THEN {1 << b} ELSE 0 END)"
-            for b in range(bits)
-        )
-        + ")"
+        "(" + " + ".join(bit(j * _MAX_BITS + b, b) for b in range(_MAX_BITS)) + ")"
         for j in range(bands)
     ]
 
 
-def _duck_sig_exprs(bits: int, bands: int) -> list[str]:
-    """DuckDB twin of _spark_sig_exprs — same baked sign literals."""
-
-    def proj(i: int) -> str:
-        signs = ", ".join(str(s) for s in _hyperplane(i))
-        return (
-            f"list_sum(list_transform(list_zip(embedding, [{signs}]), "
-            "z -> CAST(floor(CAST(z[1] AS DOUBLE) * 1e6) AS BIGINT) * z[2]))"
-        )
-
-    return [
-        "("
-        + " + ".join(
-            f"(CASE WHEN {proj(j * bits + b)} > 0 THEN {1 << b} ELSE 0 END)"
-            for b in range(bits)
-        )
-        + ")"
-        for j in range(bands)
-    ]
+# (measured dead ends, kept as notes: (a) unrolling dots/signatures
+# into thousands of element_at terms is SLOWER — the giant tree falls
+# out of whole-stage codegen and interpreted GetArrayItem+Floor+Cast
+# per term loses to the HOF's primitive array loop; (b) an extra
+# round-robin repartition to parallelize the interpreted projection
+# costs more in stage overhead than it recovers at bench scale. The
+# scoring dot stays the _DOTQ HOF; signatures move to a vectorized
+# Arrow batch below.)
 
 
-def _register_lsh_views(spark: SparkSession, bits: int, bands: int) -> None:
-    """_emb: the base relation (vec_id, embedding, norm) used by the
-    cosine join-backs; _emb_bands: (vec_id, band, sig) — the only view
-    that pays the hyperplane projections. Temp views re-execute per
-    reference, so keeping the signature arithmetic OUT of _emb means a
-    query touching _emb twice (both cosine sides) does not recompute
-    bits*bands projections twice."""
-    norm = _DOTQ.format(a="embedding", b="embedding")
-    sigs = ", ".join(_spark_sig_exprs(bits, bands))
-    spark.sql(
-        f"""
-        CREATE OR REPLACE TEMPORARY VIEW _emb AS
-        SELECT vec_id, embedding, {norm} AS norm2q FROM embeddings
-        """
-    )
-    # bands carry embedding+norm so the band self-join scores candidates
-    # directly — one shuffle round instead of join-backs to _emb (every
-    # extra all-to-all round is a full barrier at cluster scale); a pair
-    # sharing B bands appears B times, which MIN/MAX aggregation absorbs
+def _register_lsh_sig_udf(spark: SparkSession, bits: int, bands: int) -> None:
+    """Register `lsh_sigs(embedding) -> array<bigint>` — all bits*bands
+    sign projections of one vector batch as ONE int64 matmul.
+
+    The r3 plan computed each sign bit as its own interpreted
+    aggregate(zip_with(...)) traversal (HOFs are CodegenFallback), i.e.
+    bits*bands passes per row re-quantizing from scratch — the whole
+    bench regression. Arrow hands this UDF the embedding column as a
+    numpy batch; eq = floor(v*1e6) is quantized once and eq @ S (64 x
+    bits*bands sign matrix, int64) yields every projection exactly:
+    float32->float64 widening and the 1e6 scale are IEEE-identical to
+    the SQL text the DuckDB oracle runs, and integer matmul is
+    associative, so signatures stay bit-equal across engines at any
+    parallelism. This is the sanctioned Python lane (ArrowEvalPython,
+    see tests/test_plan_lint.py) — vectorized index-build math, not a
+    row-at-a-time UDF."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
+    def lsh_sigs(emb):
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # n x DIM
+        # element 0 = quantized squared norm (same floor((x*x)*1e12)
+        # integers as the _DOTQ SQL text), elements 1.. = band sigs —
+        # one Arrow batch computes the whole index row, so no separate
+        # interpreted norm HOF pass remains in the view
+        norms = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1)
+        sigs = _np_band_sigs(mat, bits, bands)
+        return pd.Series(list(np.concatenate([norms[:, None], sigs], axis=1)))
+
+    spark.udf.register("lsh_sigs", lsh_sigs)
+
+
+def _np_band_sigs(mat, bits: int, bands: int):
+    """Shared numpy signature kernel — executor UDF batches AND the
+    driver-side query-vector path run the identical arithmetic, so
+    both produce the same (band, sig) keys."""
+    import numpy as np
+
+    sign_m = np.array(
+        [_hyperplane(j * _MAX_BITS + b) for j in range(bands) for b in range(bits)],
+        dtype=np.int64,
+    ).T  # DIM x (bands*bits)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    eq = np.floor(mat * 1e6).astype(np.int64)
+    proj = eq @ sign_m  # n x (bands*bits), exact int64
+    bit_on = (proj > 0).astype(np.int64).reshape(-1, bands, bits)
+    return (bit_on * weights).sum(axis=2)
+
+
+def _register_lsh_views(
+    spark: SparkSession, bits: int, bands: int, repartition: bool = False
+) -> None:
+    """_emb_bands: (vec_id, embedding, norm2q, band, sig) — the banded
+    index relation behind every LSH query.
+
+    Plan-shape notes (each measured, see r3->r4 bench):
+    - signatures via the vectorized `lsh_sigs` Arrow UDF — one int64
+      matmul per batch instead of bits*bands interpreted HOF passes.
+    - stack() instead of posexplode(array(...)): the optimizer's
+      InferFiltersFromGenerate rule puts `size(arr) > 0` under
+      explode-family generators and predicate pushdown INLINES the
+      whole signature expression into that filter — everything
+      evaluated twice per row. The rule skips stack.
+    - repartition=True pins REPARTITION(par, band, sig) for queries
+      whose band self-join is EXPLOSIVE on the full corpus (dedup,
+      candidate counting: output pairs >> input rows). AQE coalesces
+      the join's small shuffle input to ~1 partition and per-pair
+      cosine scoring runs single-threaded (measured: half the r3
+      regression); pinning the join's own hash partitioning at
+      defaultParallelism adds no extra exchange and is the standard
+      treatment for a join whose input bytes undersell its downstream
+      work. Point lookups (knn: a handful of query vectors broadcast
+      against the bands) skip it — their candidate set is tiny and the
+      forced exchanges would only add stages."""
+    _register_lsh_sig_udf(spark, bits, bands)
+    par = spark.sparkContext.defaultParallelism
+    hint = f"/*+ REPARTITION({par}, band, sig) */" if repartition else ""
+    stack_args = ", ".join(f"{j}, ns[{j + 1}]" for j in range(bands))
     spark.sql(
         f"""
         CREATE OR REPLACE TEMPORARY VIEW _emb_bands AS
-        SELECT vec_id, embedding, norm2q, band, sig
-        FROM (SELECT vec_id, embedding, {norm} AS norm2q,
-                     array({sigs}) AS sigs
+        SELECT {hint} vec_id, embedding, ns[0] AS norm2q, band, sig
+        FROM (SELECT vec_id, embedding, lsh_sigs(embedding) AS ns
               FROM embeddings)
-        LATERAL VIEW posexplode(sigs) t AS band, sig
+        LATERAL VIEW stack({bands}, {stack_args}) t AS band, sig
         """
     )
 
@@ -207,22 +274,53 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via banded sign-LSH: candidates share at least one band bucket
     (OR-construction), ranked by exact quantized cosine, top-3. The band
     join is a hash equi-join on (band, sig); bits/band scale with the
-    corpus via lsh_cfg, so the candidate set stays O(K) per query."""
+    corpus via lsh_cfg, so the candidate set stays O(K) per query.
+
+    Probe shape: the handful of query vectors is collected once and
+    their signatures/norms computed driver-side with the SAME numpy
+    kernel the index UDF runs, then shipped back as a broadcast local
+    relation. The corpus-side index is therefore evaluated exactly
+    once (a self-join on the view would pay the scan + signature stage
+    twice — temp views re-execute per reference), and the probe is a
+    broadcast hash join against it: index once, probe cheap — the
+    FAISS-style search contract."""
+    import numpy as np
+
     views(spark, sf_dir)
     bits, bands = lsh_cfg(_corpus_rows(spark, sf_dir))
     _register_lsh_views(spark, bits, bands)
-    dot = _DOTQ.format(a="q.embedding", b="t.embedding")
+    qrows = sorted(
+        spark.sql("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    sigs = _np_band_sigs(mat, bits, bands)
+    norms = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1)
+    probe = [
+        (int(r.vec_id), int(norms[i]), j, int(sigs[i][j]), list(r.embedding))
+        for i, r in enumerate(qrows)
+        for j in range(bands)
+    ]
+    spark.createDataFrame(
+        probe, "query_id bigint, qnorm bigint, band int, sig bigint, qemb array<float>"
+    ).createOrReplaceTempView("_lsh_probe")
+    dot = _DOTQ.format(a="q.qemb", b="t.embedding")
+    # BROADCAST(q): the probe rows are the build side; without the hint
+    # Spark broadcasts the INDEX relation (collecting the whole banded
+    # index through the driver — exactly backwards at 100 TB)
     return spark.sql(
         f"""
         WITH scored AS (
-            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+            SELECT /*+ BROADCAST(q) */
+                   q.query_id, t.vec_id AS neighbor_id,
                    MAX(CAST({dot} AS DOUBLE)
-                       / (SQRT(CAST(q.norm2q AS DOUBLE))
+                       / (SQRT(CAST(q.qnorm AS DOUBLE))
                           * SQRT(CAST(t.norm2q AS DOUBLE)))) AS cosine
-            FROM (SELECT * FROM _emb_bands WHERE vec_id < 5) q
+            FROM _lsh_probe q
             JOIN _emb_bands t
-              ON q.band = t.band AND q.sig = t.sig AND q.vec_id != t.vec_id
-            GROUP BY q.vec_id, t.vec_id
+              ON q.band = t.band AND q.sig = t.sig AND q.query_id != t.vec_id
+            GROUP BY q.query_id, t.vec_id
         )
         SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine,
                CAST(rnk AS BIGINT) AS rnk
@@ -241,7 +339,7 @@ def lsh_candidate_pairs(
     """Distinct undirected candidate pairs at an explicit bucket width —
     the measurable quantity behind the O(N*K) claim (see tests)."""
     views(spark, sf_dir)
-    _register_lsh_views(spark, bits, bands)
+    _register_lsh_views(spark, bits, bands, repartition=True)
     return spark.sql(
         """
         SELECT COUNT(*) AS c FROM (
@@ -260,19 +358,28 @@ _DUCK_DOTQ = (
     "CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT)))"
 )
 
-# The driver's oracle runs at sf0.01 (500 embedding rows): bake the same
-# cfg the Spark side derives there so signatures agree bit-for-bit.
-_ORACLE_CFG = lsh_cfg(500)
+_DUCK_EQ = "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT))"
 
 
 def _duck_emb_ctes(with_bands: bool) -> str:
+    """The banded form derives its OWN band width from COUNT(*) (cfg
+    CTE, integer-exact mirror of lsh_cfg), so the one SQL text agrees
+    with the Spark side at any scale factor — no baked row count."""
     norm = _DUCK_DOTQ.format(a="embedding", b="embedding")
     if not with_bands:
         return f"emb AS (SELECT vec_id, embedding, {norm} AS norm2q FROM embeddings)"
-    sigs = ", ".join(_duck_sig_exprs(*_ORACLE_CFG))
-    return f"""emb AS (
-    SELECT vec_id, embedding, {norm} AS norm2q, [{sigs}] AS sigs
-    FROM embeddings
+    sigs = ", ".join(_duck_sig_exprs(_N_BANDS))
+    return f"""cfg AS (
+    SELECT COALESCE(MIN(k.k), {_MAX_BITS}) AS bits
+    FROM (SELECT unnest(range(2, {_MAX_BITS + 1})) AS k) k,
+         (SELECT COUNT(*) AS n FROM embeddings) c
+    WHERE ({_TARGET_BUCKET}::BIGINT << k.k) >= c.n
+),
+emb AS (
+    SELECT vec_id, embedding, norm2q, [{sigs}] AS sigs
+    FROM (SELECT vec_id, embedding, norm2q, eq, list_sum(eq) AS tq
+          FROM (SELECT vec_id, embedding, {norm} AS norm2q, {_DUCK_EQ} AS eq
+                FROM embeddings)), cfg
 ),
 bands AS (
     SELECT vec_id, generate_subscripts(sigs, 1) - 1 AS band, unnest(sigs) AS sig
@@ -365,7 +472,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     constructed-duplicates test."""
     views(spark, sf_dir)
     bits, bands = lsh_cfg(_corpus_rows(spark, sf_dir))
-    _register_lsh_views(spark, bits, bands)
+    _register_lsh_views(spark, bits, bands, repartition=True)
     dot = _DOTQ.format(a="a.embedding", b="b.embedding")
     cos = (
         f"CAST({dot} AS DOUBLE) / (SQRT(CAST(a.norm2q AS DOUBLE)) "

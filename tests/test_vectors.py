@@ -54,6 +54,18 @@ def test_embedding_cosine_dedup_merges_duplicates(spark, sf_dir):
         views(spark, sf_dir)
 
 
+def test_lsh_oracle_adapts_to_corpus_size(spark):
+    """r3 gap closed: the DuckDB twin used to bake lsh_cfg(500) — the
+    sf0.01 corpus — so oracling at any other SF silently diverged. The
+    SQL now derives its band width from its own COUNT(*) (integer-exact
+    lsh_cfg mirror), so a different scale factor must STILL hash-match
+    the Spark side, which derives width from the live row count."""
+    for sf in ("/root/testdata/sf0.001",):
+        for name in ("knn_lsh_bucketed", "dedup_embedding_cosine"):
+            spec = vectors.REGISTRY[name]
+            compare(spec.fn(spark, sf), spec.oracle, sf)
+
+
 def test_lsh_cfg_scales_with_corpus():
     """The bucket space must grow with N (the r2 scale gap): expected
     band-bucket occupancy stays ~TARGET, so bits/band is log2(N/TARGET)
