@@ -373,143 +373,161 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
 
     ensure_engine(spark)
     res = ScriptResult()
-    for stmt in split_statements(text):
-        m = _CREATE_MACRO.match(stmt)
-        if m:
-            name, sig, body = m.group(1).lower(), m.group(2), m.group(3)
-            params = [
-                p.strip().split()[0] for p in sig.split(",") if p.strip()
-            ]
-            _MACROS.setdefault(id(spark), {})[name] = (params, body.strip())
-            continue
-        m = _DROP_MACRO.match(stmt)
-        if m:
-            _MACROS.get(id(spark), {}).pop(m.group(1).lower(), None)
-            continue
-        m = _PREPARE.match(stmt)
-        if m:
-            res.prepared[m.group(1).lower()] = m.group(2).strip()
-            continue
-        m = _EXPLAIN_ANALYZE.match(stmt)
-        if m:
-            from hive_spark.plans import explain_analyze
+    try:
+        for stmt in split_statements(text):
+            m = _CREATE_MACRO.match(stmt)
+            if m:
+                name, sig, body = m.group(1).lower(), m.group(2), m.group(3)
+                params = [
+                    p.strip().split()[0] for p in sig.split(",") if p.strip()
+                ]
+                _MACROS.setdefault(id(spark), {})[name] = (params, body.strip())
+                continue
+            m = _DROP_MACRO.match(stmt)
+            if m:
+                _MACROS.get(id(spark), {}).pop(m.group(1).lower(), None)
+                continue
+            m = _PREPARE.match(stmt)
+            if m:
+                res.prepared[m.group(1).lower()] = m.group(2).strip()
+                continue
+            m = _EXPLAIN_ANALYZE.match(stmt)
+            if m:
+                from hive_spark.plans import explain_analyze
 
-            text_plan = explain_analyze(
-                spark.sql(rewrite_statement(spark, m.group(1)))
-            )
-            res.results.append(
-                spark.createDataFrame([(text_plan,)], "plan string")
-            )
-            continue
-        m = _EXECUTE.match(stmt)
-        if m:
-            name = m.group(1).lower()
-            if name not in res.prepared:
-                raise ValueError(f"EXECUTE of unknown prepared statement {name!r}")
-            args = _parse_literals(spark, m.group(2)) if m.group(2) else []
-            df = spark.sql(
-                rewrite_statement(spark, res.prepared[name]), args=args or None
-            )
-            if df.columns:
-                res.results.append(df)
-            continue
-        if re.match(r"^\s*SHOW\s+LOCKS\s*$", stmt, re.I):
-            from hive_spark.txn import list_locks
-
-            rows = list_locks(VERSIONED_TABLES)
-            res.results.append(
-                spark.createDataFrame(
-                    [
-                        (
-                            r["table"],
-                            r["path"],
-                            r["holder_pid"],
-                            r["holder_alive"],
-                        )
-                        for r in rows
-                    ],
-                    "table string, path string, holder_pid int, holder_alive boolean",
+                text_plan = explain_analyze(
+                    spark.sql(rewrite_statement(spark, m.group(1)))
                 )
-            )
-            continue
-        m = _SCHED_CREATE.match(stmt)
-        if m:
-            from hive_spark.scheduled import ScheduledQueryRegistry
+                res.results.append(
+                    spark.createDataFrame([(text_plan,)], "plan string")
+                )
+                continue
+            m = _EXECUTE.match(stmt)
+            if m:
+                name = m.group(1).lower()
+                if name not in res.prepared:
+                    raise ValueError(f"EXECUTE of unknown prepared statement {name!r}")
+                args = _parse_literals(spark, m.group(2)) if m.group(2) else []
+                df = spark.sql(
+                    rewrite_statement(spark, res.prepared[name]), args=args or None
+                )
+                if df.columns:
+                    res.results.append(df)
+                continue
+            if re.match(r"^\s*SHOW\s+LOCKS\s*$", stmt, re.I):
+                from hive_spark.txn import list_locks
 
-            ScheduledQueryRegistry(spark).create(
-                m.group(2), m.group(3), m.group(4), replace=bool(m.group(1))
-            )
-            continue
-        m = _SCHED_ALTER.match(stmt)
-        if m:
-            from hive_spark.scheduled import ScheduledQueryRegistry
+                rows = list_locks(VERSIONED_TABLES)
+                res.results.append(
+                    spark.createDataFrame(
+                        [
+                            (
+                                r["table"],
+                                r["path"],
+                                r["holder_pid"],
+                                r["holder_alive"],
+                            )
+                            for r in rows
+                        ],
+                        "table string, path string, holder_pid int, holder_alive boolean",
+                    )
+                )
+                continue
+            m = _SCHED_CREATE.match(stmt)
+            if m:
+                from hive_spark.scheduled import ScheduledQueryRegistry
 
-            reg = ScheduledQueryRegistry(spark)
-            verb = m.group(2).upper()
-            if verb.startswith("ENABLE"):
-                reg.set_enabled(m.group(1), True)
-            elif verb.startswith("DISABLE"):
-                reg.set_enabled(m.group(1), False)
-            else:  # EXECUTE — run now, surface its results
-                out = reg.execute(m.group(1))
-                res.results.extend(out.results)
-            continue
-        m = _SCHED_DROP.match(stmt)
-        if m:
-            from hive_spark.scheduled import ScheduledQueryRegistry
+                ScheduledQueryRegistry(spark).create(
+                    m.group(2), m.group(3), m.group(4), replace=bool(m.group(1))
+                )
+                continue
+            m = _SCHED_ALTER.match(stmt)
+            if m:
+                from hive_spark.scheduled import ScheduledQueryRegistry
 
-            ScheduledQueryRegistry(spark).drop(m.group(1))
-            continue
-        if _SHELL.match(stmt):
-            raise ValueError(
-                f"shell/dfs commands are not executed by the engine: {stmt[:60]!r}"
-            )
-        m = _TXN.match(stmt)
-        if m:
-            verb = re.sub(r"\s+", " ", m.group(1)).strip().upper()
-            from hive_spark.txn import Transaction
+                reg = ScheduledQueryRegistry(spark)
+                verb = m.group(2).upper()
+                if verb.startswith("ENABLE"):
+                    reg.set_enabled(m.group(1), True)
+                elif verb.startswith("DISABLE"):
+                    reg.set_enabled(m.group(1), False)
+                else:  # EXECUTE — run now, surface its results
+                    out = reg.execute(m.group(1))
+                    res.results.extend(out.results)
+                continue
+            m = _SCHED_DROP.match(stmt)
+            if m:
+                from hive_spark.scheduled import ScheduledQueryRegistry
 
-            if verb in ("BEGIN", "START TRANSACTION"):
-                if res.txn is not None and res.txn.active:
-                    raise ValueError("transaction already open")
-                res.txn = Transaction(spark, dict(VERSIONED_TABLES)).begin()
-                # repeatable reads: pin every versioned table's view at
-                # the BEGIN version until COMMIT/ROLLBACK
-                for name in VERSIONED_TABLES:
-                    if res.txn.pinned_version(name) is not None:
-                        res.txn.read(name).createOrReplaceTempView(name)
-            elif res.txn is None or not res.txn.active:
-                raise ValueError(f"{verb} without an open transaction")
-            else:
-                if verb == "COMMIT":
-                    res.txn.commit()
+                ScheduledQueryRegistry(spark).drop(m.group(1))
+                continue
+            if _SHELL.match(stmt):
+                raise ValueError(
+                    f"shell/dfs commands are not executed by the engine: {stmt[:60]!r}"
+                )
+            m = _TXN.match(stmt)
+            if m:
+                verb = re.sub(r"\s+", " ", m.group(1)).strip().upper()
+                from hive_spark.txn import Transaction
+
+                if verb in ("BEGIN", "START TRANSACTION"):
+                    if res.txn is not None and res.txn.active:
+                        raise ValueError("transaction already open")
+                    res.txn = Transaction(spark, dict(VERSIONED_TABLES)).begin()
+                    # repeatable reads: pin every versioned table's view at
+                    # the BEGIN version until COMMIT/ROLLBACK
+                    for name in VERSIONED_TABLES:
+                        if res.txn.pinned_version(name) is not None:
+                            res.txn.read(name).createOrReplaceTempView(name)
+                elif res.txn is None or not res.txn.active:
+                    raise ValueError(f"{verb} without an open transaction")
                 else:
-                    res.txn.rollback()
-                for name, path in VERSIONED_TABLES.items():
-                    from hive_spark import snapshots as _snap
-
-                    if os.path.exists(os.path.join(path, "_latest")):
-                        _snap.read_table(spark, path).createOrReplaceTempView(
-                            name
-                        )
-            continue
-        if _ADD.match(stmt):
-            res.skipped.append(stmt)
-            continue
-        m = _SET.match(stmt)
-        if m and m.group(2) is not None:
-            key, val = m.group(1), m.group(2).strip()
-            res.set_commands[key] = val
+                    if verb == "COMMIT":
+                        res.txn.commit()
+                    else:
+                        res.txn.rollback()
+                    _restore_latest_views(spark)
+                continue
+            if _ADD.match(stmt):
+                res.skipped.append(stmt)
+                continue
+            m = _SET.match(stmt)
+            if m and m.group(2) is not None:
+                key, val = m.group(1), m.group(2).strip()
+                res.set_commands[key] = val
+                try:
+                    spark.conf.set(key, val)
+                except Exception:
+                    pass  # hive-only knob: recorded above, nothing to set
+                continue
+            df = spark.sql(rewrite_statement(spark, stmt))
+            if df.columns:  # statements with a result shape (SELECT/SHOW/...)
+                res.results.append(df)
+    except BaseException:
+        # A failing statement inside BEGIN..COMMIT must not strand the
+        # transaction: roll back (releasing the write locks) and restore
+        # the latest-version views before propagating, or every later
+        # writer blocks on the leaked locks and reads see the pinned
+        # BEGIN-time snapshots for the rest of the session.
+        if res.txn is not None and getattr(res.txn, "active", False):
             try:
-                spark.conf.set(key, val)
-            except Exception:
-                pass  # hive-only knob: recorded above, nothing to set
-            continue
-        df = spark.sql(rewrite_statement(spark, stmt))
-        if df.columns:  # statements with a result shape (SELECT/SHOW/...)
-            res.results.append(df)
+                res.txn.rollback()
+            finally:
+                _restore_latest_views(spark)
+        raise
     if res.txn is not None and getattr(res.txn, "active", False):
         # script ended without COMMIT: abort, like a closed Hive session
         res.txn.rollback()
+        _restore_latest_views(spark)
         res.skipped.append("-- open transaction rolled back at script end")
     return res
+
+
+def _restore_latest_views(spark: SparkSession) -> None:
+    """Re-point every versioned table's temp view at its latest committed
+    version (undoes the repeatable-read views pinned at BEGIN)."""
+    from hive_spark import snapshots as _snap
+
+    for name, path in VERSIONED_TABLES.items():
+        if os.path.exists(os.path.join(path, "_latest")):
+            _snap.read_table(spark, path).createOrReplaceTempView(name)

@@ -45,17 +45,50 @@ class ScheduledQuery:
     last_run: str | None = None  # ISO minute of the last execution
 
 
+_DOW_NAMES = {
+    "SUN": 0, "MON": 1, "TUE": 2, "WED": 3, "THU": 4, "FRI": 5, "SAT": 6
+}
+
+
+def _remap_dow(field: str, quartz: bool) -> str:
+    """Normalize a day-of-week field to cron 0=SUN..6=SAT. Quartz uses
+    1=SUN..7=SAT, so numeric Quartz values shift by (v-1) mod 7; standard
+    cron's `7` is a Sunday alias for `0`. Names (SUN..SAT) map directly.
+    Step divisors (after `/`) are left untouched."""
+
+    def one(num: str) -> str:
+        v = int(num)
+        return str((v - 1) % 7 if quartz else v % 7)
+
+    def tok(part: str) -> str:
+        part, slash, step = part.partition("/")
+        if part in ("*", "?"):
+            return part + slash + step
+        ends = part.split("-")
+        ends = [
+            one(e) if e.isdigit() else str(_DOW_NAMES.get(e.upper(), e))
+            for e in ends
+        ]
+        return "-".join(ends) + slash + step
+
+    return ",".join(tok(p) for p in field.split(","))
+
+
 def normalize_cron(expr: str) -> str:
     """Accept 5-field standard or 6/7-field Quartz (sec min hour dom mon
-    dow [year]); return the standard 5 fields. Quartz `?` becomes `*`."""
+    dow [year]); return the standard 5 fields. Quartz `?` becomes `*`,
+    and Quartz's 1=SUN..7=SAT day-of-week numbering is remapped to cron's
+    0=SUN..6=SAT (ref: Hive schedules are Quartz expressions —
+    ql/.../parse/ScheduledQueryAnalyzer.java)."""
     fields = expr.split()
+    quartz = len(fields) in (6, 7)
     if len(fields) == 7:
-        fields = fields[1:6] + [fields[5]]  # drop seconds + year
-        fields = fields[:5]
+        fields = fields[1:6]  # drop seconds + year
     elif len(fields) == 6:
         fields = fields[1:]  # drop seconds
     if len(fields) != 5:
         raise ValueError(f"cron needs 5 (or Quartz 6/7) fields: {expr!r}")
+    fields[4] = _remap_dow(fields[4], quartz)
     return " ".join("*" if f == "?" else f for f in fields)
 
 

@@ -50,6 +50,9 @@ _POLICIES: dict[str, TablePolicy] = {}
 _STASH_SUFFIX = "__unmasked"
 # sessions (by id) with policies currently enabled -> user
 _ACTIVE: dict[int, str] = {}
+# sessions (by id) -> table names rewritten at enable time, so disable()
+# restores exactly what was masked even if a policy is dropped meanwhile
+_REWRITTEN: dict[int, list[str]] = {}
 
 
 def register_policy(policy: TablePolicy) -> None:
@@ -95,18 +98,22 @@ def enable_for_user(spark: SparkSession, user: str) -> list[str]:
             .createOrReplaceTempView(name)
         rewritten.append(name)
     _ACTIVE[id(spark)] = user
+    _REWRITTEN[id(spark)] = list(rewritten)
     return rewritten
 
 
 def disable(spark: SparkSession) -> None:
-    """Restore every stashed pristine relation."""
+    """Restore every stashed pristine relation. Restores from the list
+    recorded at enable time, NOT the live policy dict — a policy dropped
+    while masking is active must still have its view unwound."""
     if id(spark) not in _ACTIVE:
         return
-    for name in _POLICIES:
+    for name in _REWRITTEN.get(id(spark), []):
         stash = name + _STASH_SUFFIX
         try:
             spark.table(stash).createOrReplaceTempView(name)
             spark.catalog.dropTempView(stash)
         except Exception:
-            pass  # table was not governed for the active user
+            pass  # stash vanished (view dropped externally)
     _ACTIVE.pop(id(spark), None)
+    _REWRITTEN.pop(id(spark), None)

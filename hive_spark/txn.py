@@ -48,14 +48,30 @@ class LockTimeout(RuntimeError):
     """Another writer holds the table lock past the timeout."""
 
 
-def _holder_alive(lock_path: str) -> bool:
+def _pid_alive(pid: int) -> bool:
     try:
-        with open(lock_path) as f:
-            pid = int(f.read().split(":", 1)[0])
         os.kill(pid, 0)  # signal 0: existence probe
         return True
-    except (OSError, ValueError):
+    except PermissionError:
+        # EPERM: the pid exists but belongs to another user — alive.
+        return True
+    except OSError:
         return False
+
+
+def _read_lock(lock_path: str) -> tuple[str, int] | None:
+    """Return (raw content, holder pid), or None if unreadable/gone."""
+    try:
+        with open(lock_path) as f:
+            content = f.read()
+        return content, int(content.split(":", 1)[0])
+    except (OSError, ValueError):
+        return None
+
+
+def _holder_alive(lock_path: str) -> bool:
+    got = _read_lock(lock_path)
+    return got is not None and _pid_alive(got[1])
 
 
 def _lock_file(table_path: str) -> str:
@@ -76,14 +92,38 @@ def write_lock(table_path: str, timeout: float = 30.0, poll: float = 0.05):
             os.close(fd)
             break
         except FileExistsError:
-            if not _holder_alive(lock):
-                # holder died without releasing — reclaim (Hive's
-                # heartbeat-expiry equivalent)
+            got = _read_lock(lock)
+            if got is None or not _pid_alive(got[1]):
+                # Holder died without releasing — reclaim (Hive's
+                # heartbeat-expiry equivalent). Atomic: rename the stale
+                # file to a unique name first, then verify we renamed the
+                # SAME stale lock we observed (not one a new writer just
+                # re-created in the window), so two waiters can't both
+                # proceed and a live lock is never silently dropped.
+                grave = f"{lock}.reclaim.{os.getpid()}.{time.monotonic_ns()}"
                 try:
-                    os.remove(lock)
+                    os.rename(lock, grave)
+                except OSError:
+                    continue  # another waiter reclaimed, or holder released
+                observed = got[0] if got is not None else None
+                buried = _read_lock(grave)
+                if buried is None or buried[0] == observed:
+                    try:
+                        os.remove(grave)
+                    except FileNotFoundError:
+                        pass
+                    continue  # reclaimed — retry acquisition
+                # We renamed a DIFFERENT (fresh) lock: restore it if the
+                # slot is still empty, else the newest writer keeps it.
+                try:
+                    os.link(grave, lock)
+                except OSError:
+                    pass
+                try:
+                    os.remove(grave)
                 except FileNotFoundError:
                     pass
-                continue
+                # fall through to timeout check below
             if time.monotonic() >= deadline:
                 raise LockTimeout(
                     f"writer lock on {table_path} held by another process "
@@ -142,14 +182,26 @@ class Transaction:
         self.active = False
 
     def begin(self) -> "Transaction":
-        for name, path in self.tables.items():
-            cm = write_lock(path)
-            cm.__enter__()
-            self._locks.append((name, cm))
-            ptr = os.path.join(path, "_latest")
-            self._pinned[name] = (
-                snapshots.current_version(path) if os.path.exists(ptr) else None
-            )
+        try:
+            for name, path in self.tables.items():
+                cm = write_lock(path)
+                cm.__enter__()
+                self._locks.append((name, cm))
+                ptr = os.path.join(path, "_latest")
+                self._pinned[name] = (
+                    snapshots.current_version(path) if os.path.exists(ptr) else None
+                )
+        except BaseException:
+            # Partial-failure cleanup: a LockTimeout on table N must not
+            # leave tables 1..N-1 locked with no handle for the caller.
+            for _, cm in reversed(self._locks):
+                try:
+                    cm.__exit__(None, None, None)
+                except Exception:
+                    pass
+            self._locks.clear()
+            self._pinned.clear()
+            raise
         self.active = True
         return self
 

@@ -83,3 +83,35 @@ def test_sql_text_surface(spark, sf_dir):
         assert reg.get("sq_text") is None
     finally:
         reg.drop("sq_text")
+
+
+def test_quartz_dow_numbering_remapped():
+    """Quartz uses 1=SUN..7=SAT; the matcher uses cron 0=SUN..6=SAT. A
+    Quartz '... ? * 2' (Monday) must fire on Monday, not Tuesday; and
+    standard-cron dow '7' is a Sunday alias."""
+    from datetime import datetime
+
+    from hive_spark.scheduled import cron_matches, normalize_cron
+
+    # Quartz 6-field, dow=2 -> Monday
+    q = normalize_cron("0 0 12 ? * 2")
+    assert q.split()[4] == "1"
+    mon = datetime(2026, 8, 10, 12, 0)  # a Monday
+    tue = datetime(2026, 8, 11, 12, 0)
+    assert cron_matches(q, mon) and not cron_matches(q, tue)
+
+    # Quartz range 2-6 (MON-FRI) -> cron 1-5
+    assert normalize_cron("0 30 8 ? * 2-6").split()[4] == "1-5"
+    # Quartz 1 (SUN) -> 0; Quartz 7 (SAT) -> 6
+    assert normalize_cron("0 0 0 ? * 1").split()[4] == "0"
+    assert normalize_cron("0 0 0 ? * 7").split()[4] == "6"
+    # names map regardless of dialect
+    assert normalize_cron("0 0 0 ? * MON").split()[4] == "1"
+    assert normalize_cron("0 0 9 * * FRI").split()[4] == "5"
+
+    # standard 5-field: dow 7 == Sunday
+    sun = datetime(2026, 8, 9, 9, 0)  # a Sunday
+    std = normalize_cron("0 9 * * 7")
+    assert cron_matches(std, sun)
+    # step divisor untouched
+    assert normalize_cron("0 0 * * */2").split()[4] == "*/2"

@@ -63,3 +63,36 @@ def test_row_filter_reaches_scan(spark, sf_dir):
     finally:
         disable(spark)
         drop_policy("customer")
+
+
+def test_disable_restores_after_policy_dropped(spark):
+    """drop_policy while masking is enabled must not strand the masked
+    view: disable() restores from the enable-time record, not the live
+    policy dict."""
+    from hive_spark import security
+
+    spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "id int, name string"
+    ).createOrReplaceTempView("gov_drop_demo")
+    security.register_policy(
+        security.TablePolicy(
+            table="gov_drop_demo",
+            column_masks={"name": "concat('XXX', substr({col}, -1))"},
+        )
+    )
+    try:
+        security.enable_for_user(spark, "analyst")
+        assert spark.table("gov_drop_demo").collect()[0].name.startswith("XXX")
+        security.drop_policy("gov_drop_demo")  # dropped WHILE enabled
+        security.disable(spark)
+        names = {r.name for r in spark.table("gov_drop_demo").collect()}
+        assert names == {"alice", "bob"}  # pristine relation restored
+        # stash view cleaned up too
+        assert not any(
+            t.name == "gov_drop_demo__unmasked"
+            for t in spark.catalog.listTables()
+        )
+    finally:
+        security.drop_policy("gov_drop_demo")
+        security.disable(spark)
+        spark.catalog.dropTempView("gov_drop_demo")

@@ -152,3 +152,103 @@ def test_show_locks(spark, tmp_path):
         assert list_locks({"locked_tbl": ta}) == []
     finally:
         VERSIONED_TABLES.pop("locked_tbl", None)
+
+
+def test_begin_partial_failure_releases_acquired_locks(spark, tmp_path):
+    """LockTimeout on table N must release tables 1..N-1's locks before
+    propagating — otherwise later writers block with no handle."""
+    import hive_spark.txn as txn_mod
+
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshots.write_version(spark.range(1), ta)
+    snapshots.write_version(spark.range(1), tb)
+    orig = txn_mod.write_lock
+    txn_mod.write_lock = lambda p, timeout=0.3, poll=0.05: orig(
+        p, timeout=timeout, poll=poll
+    )
+    try:
+        with orig(tb):  # second table's lock is held by "another writer"
+            with pytest.raises(LockTimeout):
+                Transaction(spark, {"a": ta, "b": tb}).begin()
+            # the first table's lock must NOT have leaked
+            with orig(ta, timeout=0.3):
+                pass
+    finally:
+        txn_mod.write_lock = orig
+
+
+def test_pid_alive_eperm_means_alive(monkeypatch):
+    """EPERM from kill(pid, 0) = pid exists under another user — the
+    lock must be treated as held, not reclaimed."""
+    from hive_spark.txn import _pid_alive
+
+    def eperm(pid, sig):
+        raise PermissionError("not permitted")
+
+    monkeypatch.setattr(os, "kill", eperm)
+    assert _pid_alive(12345)
+
+
+def test_reclaim_restores_fresh_lock(tmp_path):
+    """If the reclaim rename grabs a DIFFERENT (fresh, live) lock than
+    the stale one observed, the fresh lock is restored, not dropped."""
+    import hive_spark.txn as txn_mod
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    lock = path + "._lock"
+    stale = "999999999:0"
+    fresh = f"{os.getpid()}:1.0"
+
+    real_rename = os.rename
+    swapped = {}
+
+    def racing_rename(src, dst):
+        # simulate: holder released and a live writer re-created the lock
+        # file in the window between our staleness check and the rename
+        if src == lock and not swapped:
+            swapped["done"] = True
+            with open(lock, "w") as f:
+                f.write(fresh)
+        real_rename(src, dst)
+
+    with open(lock, "w") as f:
+        f.write(stale)
+    orig_rename = txn_mod.os.rename
+    txn_mod.os.rename = racing_rename
+    try:
+        with pytest.raises(LockTimeout):
+            with write_lock(path, timeout=0.4):
+                pass
+    finally:
+        txn_mod.os.rename = orig_rename
+    # the live writer's lock survived the attempted reclaim
+    with open(lock) as f:
+        assert f.read() == fresh
+
+
+def test_script_error_inside_txn_rolls_back_and_releases(spark, tmp_path):
+    """A failing statement between BEGIN and COMMIT must roll the txn
+    back (releasing write locks) and restore latest-version views."""
+    from hive_spark.hqlscript import (
+        VERSIONED_TABLES,
+        register_versioned,
+        run_script,
+    )
+
+    ta = str(tmp_path / "vt_err")
+    snapshots.write_version(spark.range(6), ta)
+    register_versioned("vt_err_demo", ta)
+    try:
+        with pytest.raises(Exception):
+            run_script(
+                spark,
+                "BEGIN; SELECT * FROM table_that_does_not_exist_xyz;",
+            )
+        # lock released (would LockTimeout if leaked)
+        with write_lock(ta, timeout=0.5):
+            pass
+        # view restored to the latest committed version, not the pin
+        assert spark.table("vt_err_demo").count() == 6
+    finally:
+        VERSIONED_TABLES.pop("vt_err_demo", None)
