@@ -15,14 +15,26 @@ pretraining-data curation job takes:
 Every stage is declarative; Catalyst fuses 1-2-4 into the scan projection
 and the only shuffles are the dedup digest groupBy and the final summary
 agg. The DuckDB oracle recomputes the whole pipeline (it is exactly
-SQL-expressible because the dedup keep-rule is deterministic min-id)."""
+SQL-expressible because the dedup keep-rule is deterministic min-id).
+
+Perf notes (r4): the stopword gate is a single codegen'd `regexp_count`
+over the lowered text — provably equivalent to filtering the
+split-on-space token list (a token IS a maximal run of non-space chars,
+so ` stopword ` occurrences are exactly stopword-valued tokens; the
+equivalence is asserted corpus-wide in tests/test_pipeline.py). The r3
+higher-order-function formulation was interpreted, not codegen'd, and
+was re-evaluated by both the filter and the window stages — it alone
+was the r3 bench regression. Dedup is a `min_by` hash aggregation, not
+a window: partial aggregation collapses duplicates map-side, so the
+shuffle carries ~unique digests instead of every row + a sort."""
 
 from __future__ import annotations
 
 import os
 import shutil
+import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_spark.operators import QuerySpec, views
@@ -30,42 +42,53 @@ from hive_spark.operators import QuerySpec, views
 _SCRATCH = f"/tmp/hive_spark_pipeline_{os.getpid()}"  # pid-unique: concurrent sessions must not collide
 
 _STOPWORDS = ("the", "a", "of", "and", "to")
+# " stopword " bounded by start/space and lookahead space/end == the
+# count of split-on-space tokens equal to a stopword (see module doc)
+_STOP_RE = r"(^| )(" + "|".join(_STOPWORDS) + r")(?= |$)"
+
+# write/read-back seconds of the most recent run, for bench breakdown
+LAST_TIMINGS: dict[str, float] = {}
+
+
+def gated_documents(docs: DataFrame) -> DataFrame:
+    """Quality + language gate with per-doc token counts (all codegen)."""
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    stop_hits = F.regexp_count(F.lower("text"), F.lit(_STOP_RE))
+    return (
+        docs.filter(F.col("lang").isin("en", "de", "fr"))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("_stop_hits", stop_hits)
+        .filter(
+            (F.length("text") >= 50)
+            & (F.col("n_tokens") >= 10)
+            & ((F.col("_stop_hits") / F.col("n_tokens")) <= 0.5)
+        )
+        .drop("_stop_hits")
+    )
 
 
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    docs = spark.table("documents")
-
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    n_tokens = F.size(toks)
-    stop_hits = F.size(
-        F.filter(toks, lambda x: F.lower(x).isin(*_STOPWORDS))
-    )
-    quality = (
-        (F.length("text") >= 50)
-        & (n_tokens >= 10)
-        & ((stop_hits / n_tokens) <= 0.5)
+    gated = gated_documents(spark.table("documents")).withColumn(
+        "digest", F.md5("text")
     )
 
-    gated = (
-        docs.withColumn("n_tokens", n_tokens)
-        .filter(quality)
-        .filter(F.col("lang").isin("en", "de", "fr"))
-    )
-
+    # keep the min-doc_id row per digest: one aggregate shuffle with
+    # map-side partial_min_by (duplicates collapse before the exchange,
+    # so the shuffle carries ~unique digests — a window must shuffle
+    # every row and can never combine map-side)
+    row = F.struct(*[F.col(c) for c in gated.columns if c != "digest"])
     deduped = (
-        gated.withColumn("digest", F.md5("text"))
-        .withColumn(
-            "keep_id",
-            F.min("doc_id").over(Window.partitionBy("digest")),
-        )
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .drop("keep_id")
+        gated.groupBy("digest")
+        .agg(F.min_by(row, F.col("doc_id")).alias("_r"))
+        .select("digest", "_r.*")
     )
 
     out = os.path.join(_SCRATCH, f"out_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
     deduped.write.partitionBy("lang").parquet(out)
+    LAST_TIMINGS["write_sec"] = round(time.perf_counter() - t0, 3)
 
     return (
         spark.read.parquet(out)

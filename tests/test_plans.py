@@ -101,6 +101,23 @@ def test_q18_single_fact_pass(spark, sf_dir, registry):
     assert plan.count("lineitem.parquet") == 1
 
 
+def test_q18_single_exchange_plan(spark, sf_dir, registry):
+    """r4 sweep closure: the executed q18 plan has exactly ONE shuffle
+    exchange (the lineitem aggregation). The filtered per-order sums and
+    customer both broadcast, so orders never shuffles, and the top-100
+    is a TakeOrderedAndProject (no global sort exchange). With this
+    shape ~90% of the sf0.1 runtime is fixed session overhead (3-point
+    fit in SCALE.md), so the sweep's time_ratio is overhead arithmetic,
+    not scaling."""
+    df = registry["tpch_q18"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_q21_single_fact_shuffle(spark, sf_dir, registry):
     """q21's EXISTS pair is rewritten to one window pass: lineitem is
     scanned once and shuffled once (the window's hashpartitioning on
