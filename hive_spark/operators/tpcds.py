@@ -1,0 +1,518 @@
+"""TPC-DS query-shape coverage (Hive's perf corpus).
+
+Hive's entire performance suite is the 99 TPC-DS queries
+(ref: ql/src/test/queries/clientpositive/perf/query1.q..query99.q,
+driver itests/qtest/.../TestTezTPCDS30TBPerfCliDriver.java). This
+module ports the 13 most representative SHAPES onto a star schema
+DERIVED from the driver's TPC-H-ish testdata:
+
+  star joins with 2-6 dimensions  -> q3, q42, q52, q55 (date x item),
+                                     q7 (5-way), q19 (6-way, dim<>dim
+                                     predicate), q96 (count-only)
+  ticket-bucket HAVING reports    -> q34, q73 (inner fact agg joined
+                                     out to customer, cnt BETWEEN)
+  two-address city comparison     -> q68
+  grouping-set rollup report      -> q27 (ROLLUP category x brand)
+  repeated CTE reuse              -> q59 (monthly-sales CTE self-joined
+                                     year-over-year)
+  multi-channel fact union        -> q71 (3 channel subselects UNION
+                                     ALL, joined to item + time_dim)
+
+The star tables are pure, deterministic projections of the testdata
+(no randomness, no engine-specific hashing), expressed once in Spark
+SQL (temp views) and once in DuckDB SQL (a WITH prelude), so the
+driver's oracle can replay every query bit-for-bit:
+
+  store_sales            <- lineitem  (keys are modular arithmetic on
+                                       l_orderkey/l_partkey/l_suppkey;
+                                       money columns are the DOUBLE
+                                       products of lineitem columns)
+  date_dim               <- generated 1992..1998 calendar
+  time_dim               <- generated 86400 seconds-of-day
+  item                   <- part      (brand/manufact parsed from
+                                       p_brand, category from p_type)
+  store                  <- supplier  (first <=25 suppliers)
+  customer_ds            <- customer
+  customer_address       <- customer
+  household_demographics <- generated 100 rows
+  customer_demographics  <- generated 7200 rows
+  promotion              <- generated 300 rows
+
+All money aggregates are quantized to BIGINT cents before summing
+(SUM over DOUBLE is accumulation-order-dependent; integer sums are
+exact and engine-identical — the q1/q18 fixed-point pattern), and
+emitted as DOUBLE cents/100.
+
+Scale notes: every query keeps the classic star plan — dimensions
+broadcast (explicit hints mirror Hive's MAPJOIN auto-conversion,
+ref: ql/.../optimizer/ConvertJoinMapJoin.java), the fact table is
+scanned once and shuffles exactly once (the GROUP BY), LIMIT reports
+are TakeOrderedAndProject. Plan-pinned in tests/test_tpcds.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_spark.operators import QuerySpec, views
+
+_NCUST = "(SELECT max(c_custkey) FROM customer)"
+_NSTORE = "(SELECT CAST(least(count(*), 25) AS INT) FROM supplier)"
+
+
+def _store_sales(datefmt: str) -> str:
+    """The fact projection; `datefmt` renders a timestamp as yyyyMMdd."""
+    return f"""
+SELECT
+  CAST({datefmt} AS INT)                                        AS ss_sold_date_sk,
+  CAST((l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS INT) AS ss_sold_time_sk,
+  l_partkey                                                     AS ss_item_sk,
+  CAST(1 + (l_suppkey % {_NSTORE}) AS INT)                      AS ss_store_sk,
+  CAST(1 + ((l_orderkey * 13 + l_linenumber) % 100) AS INT)     AS ss_hdemo_sk,
+  CAST(1 + ((l_orderkey * 17 + l_partkey) % 7200) AS INT)       AS ss_cdemo_sk,
+  CAST(1 + (l_partkey % 300) AS INT)                            AS ss_promo_sk,
+  1 + (l_orderkey % {_NCUST})                                   AS ss_customer_sk,
+  1 + ((l_orderkey * 31 + l_suppkey) % {_NCUST})                AS ss_addr_sk,
+  l_orderkey                                                    AS ss_ticket_number,
+  l_quantity                                                    AS ss_quantity,
+  l_extendedprice                                               AS ss_ext_sales_price,
+  l_extendedprice * (1.0 + l_tax)                               AS ss_ext_list_price,
+  l_extendedprice * l_tax                                       AS ss_ext_tax,
+  l_extendedprice * l_discount                                  AS ss_coupon_amt,
+  l_extendedprice * (1.0 - l_discount)                          AS ss_sales_price
+FROM lineitem"""
+
+
+def _item(strtype: str) -> str:
+    return f"""
+SELECT p_partkey AS i_item_sk,
+       concat('ITEM', lpad(CAST(p_partkey AS {strtype}), 10, '0')) AS i_item_id,
+       p_brand AS i_brand,
+       CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
+       split_part(p_type, ' ', 1) AS i_category,
+       CASE split_part(p_type, ' ', 1)
+            WHEN 'STANDARD' THEN 1 WHEN 'SMALL' THEN 2 WHEN 'MEDIUM' THEN 3
+            WHEN 'LARGE' THEN 4 WHEN 'ECONOMY' THEN 5 WHEN 'PROMO' THEN 6
+            ELSE 0 END AS i_category_id,
+       CAST(substr(p_brand, 7, 1) AS INT) AS i_manufact_id,
+       concat('Manufacturer#', substr(p_brand, 7, 1)) AS i_manufact,
+       CAST(1 + (p_size % 40) AS INT) AS i_manager_id
+FROM part"""
+
+
+def _store(strtype: str) -> str:
+    return f"""
+SELECT s_suppkey AS s_store_sk,
+       concat('Store_', CAST(s_suppkey % 3 AS {strtype})) AS s_store_name,
+       concat('City_', CAST(s_nationkey AS {strtype})) AS s_city,
+       concat('County_', CAST(s_nationkey % 10 AS {strtype})) AS s_county,
+       lpad(CAST((s_nationkey * 371) % 100000 AS {strtype}), 5, '0') AS s_zip
+FROM supplier WHERE s_suppkey <= {_NSTORE}"""
+
+
+def _customer_ds(strtype: str) -> str:
+    return f"""
+SELECT c_custkey AS c_customer_sk,
+       CASE c_custkey % 5 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.' WHEN 2 THEN 'Ms.'
+            WHEN 3 THEN 'Dr.' ELSE 'Sir' END AS c_salutation,
+       concat('First', CAST(c_custkey % 1000 AS {strtype})) AS c_first_name,
+       c_name AS c_last_name,
+       CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+       1 + ((c_custkey * 7) % {_NCUST}) AS c_current_addr_sk
+FROM customer"""
+
+
+def _customer_address(strtype: str) -> str:
+    return f"""
+SELECT c_custkey AS ca_address_sk,
+       concat('City_', CAST((c_custkey * 7) % 30 AS {strtype})) AS ca_city,
+       lpad(CAST((c_custkey * 17) % 100000 AS {strtype}), 5, '0') AS ca_zip
+FROM customer"""
+
+
+_HOUSEHOLD = """
+SELECT CAST(sk AS INT) AS hd_demo_sk,
+       CAST(sk % 10 AS INT) AS hd_dep_count,
+       CAST(sk % 5 AS INT) AS hd_vehicle_count,
+       CASE sk % 4 WHEN 0 THEN '>10000' WHEN 1 THEN 'unknown'
+            WHEN 2 THEN '1001-5000' ELSE '0-500' END AS hd_buy_potential
+FROM {range_1_101}"""
+
+_CDEMO = """
+SELECT CAST(sk AS INT) AS cd_demo_sk,
+       CASE sk % 2 WHEN 0 THEN 'M' ELSE 'F' END AS cd_gender,
+       CASE sk % 5 WHEN 0 THEN 'M' WHEN 1 THEN 'S' WHEN 2 THEN 'D'
+            WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
+       CASE sk % 7 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
+            WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree'
+            WHEN 4 THEN '4 yr Degree' WHEN 5 THEN 'Advanced Degree'
+            ELSE 'Unknown' END AS cd_education_status
+FROM {range_1_7201}"""
+
+_PROMO = """
+SELECT CAST(sk AS INT) AS p_promo_sk,
+       CASE WHEN sk % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+       CASE WHEN sk % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+FROM {range_1_301}"""
+
+_TIME_DIM = """
+SELECT CAST(sk AS INT) AS t_time_sk,
+       CAST(floor(sk / 3600) AS INT) AS t_hour,
+       CAST(floor((sk % 3600) / 60) AS INT) AS t_minute
+FROM {range_0_86400}"""
+
+# monthly store sales — the q59 reused CTE
+_MSS = """
+SELECT ss_store_sk, d_year, d_moy,
+       CAST(SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS DOUBLE) / 100 AS sales
+FROM store_sales, date_dim
+WHERE ss_sold_date_sk = d_date_sk
+GROUP BY ss_store_sk, d_year, d_moy"""
+
+# three-channel union — the q71 fact
+_CHANNEL = """
+SELECT 'web' AS channel, ss_item_sk AS sold_item_sk,
+       ss_sold_time_sk AS sold_time_sk, ss_ext_sales_price AS ext_price
+FROM store_sales WHERE ss_ticket_number % 3 = 0
+UNION ALL
+SELECT 'catalog' AS channel, ss_item_sk, ss_sold_time_sk, ss_ext_sales_price
+FROM store_sales WHERE ss_ticket_number % 3 = 1
+UNION ALL
+SELECT 'store' AS channel, ss_item_sk, ss_sold_time_sk, ss_ext_sales_price
+FROM store_sales WHERE ss_ticket_number % 3 = 2"""
+
+
+def _star_sql(dialect: str) -> list[tuple[str, str]]:
+    """Ordered (name, SELECT body) pairs for one engine dialect."""
+    if dialect == "spark":
+        datefmt = "date_format(l_shipdate, 'yyyyMMdd')"
+        strtype = "STRING"
+        date_src = (
+            "SELECT explode(sequence(DATE'1992-01-01', DATE'1998-12-31',"
+            " INTERVAL 1 DAY)) AS d"
+        )
+        rng = lambda a, b: f"(SELECT id AS sk FROM range({a}, {b}))"
+    else:
+        datefmt = "strftime(l_shipdate, '%Y%m%d')"
+        strtype = "VARCHAR"
+        date_src = (
+            "SELECT unnest(generate_series(DATE '1992-01-01',"
+            " DATE '1998-12-31', INTERVAL 1 DAY)) AS d"
+        )
+        rng = lambda a, b: f"range({a}, {b}) AS t(sk)"
+
+    date_dim = f"""
+SELECT CAST({datefmt.replace('l_shipdate', 'd')} AS INT) AS d_date_sk,
+       CAST(d AS DATE) AS d_date,
+       CAST(year(d) AS INT) AS d_year,
+       CAST(month(d) AS INT) AS d_moy,
+       CAST(day(d) AS INT) AS d_dom
+FROM ({date_src})"""
+
+    return [
+        ("date_dim", date_dim),
+        ("time_dim", _TIME_DIM.format(range_0_86400=rng(0, 86400))),
+        ("item", _item(strtype)),
+        ("store", _store(strtype)),
+        ("customer_ds", _customer_ds(strtype)),
+        ("customer_address", _customer_address(strtype)),
+        ("household_demographics", _HOUSEHOLD.format(range_1_101=rng(1, 101))),
+        ("customer_demographics", _CDEMO.format(range_1_7201=rng(1, 7201))),
+        ("promotion", _PROMO.format(range_1_301=rng(1, 301))),
+        ("store_sales", _store_sales(datefmt)),
+        ("mss", _MSS),
+        ("channel_sales", _CHANNEL),
+    ]
+
+
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def _register_star(spark: SparkSession, sf_dir: str) -> None:
+    """Create the derived star views over this sf_dir's base views."""
+    views(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
+    for name, sql in _star_sql("spark"):
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+    _REGISTERED.add(key)
+
+
+def _oracle(body: str) -> str:
+    ctes = ",\n".join(f"{n} AS ({sql})" for n, sql in _star_sql("duck"))
+    return f"WITH {ctes}\n{body}"
+
+
+# SUM of money quantized to exact integer cents, emitted as DOUBLE —
+# identical accumulation in both engines regardless of row order
+def _qsum(col: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE) / 100"
+        f" AS {alias}"
+    )
+
+
+def _qavg(col: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE) / 100"
+        f" / COUNT(*) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query bodies — shared verbatim between Spark (over temp views) and the
+# DuckDB oracle (over the WITH prelude). Shapes mirror the reference .q
+# files cited on each entry; constants adapted to the derived data.
+# ---------------------------------------------------------------------------
+
+# ref: ql/src/test/queries/clientpositive/perf/query3.q
+_Q3 = f"""
+SELECT /*+ BROADCAST(dt, item) */
+       dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+       {_qsum("ss_ext_sales_price", "sum_agg")}
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manufact_id = 4
+  AND dt.d_moy = 12
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+ORDER BY dt.d_year, sum_agg DESC, brand_id
+LIMIT 100"""
+
+# ref: perf/query7.q
+_Q7 = f"""
+SELECT /*+ BROADCAST(customer_demographics, dt, item, promotion) */
+       i_item_id,
+       {_qavg("ss_quantity", "agg1")},
+       {_qavg("ss_ext_list_price", "agg2")},
+       {_qavg("ss_coupon_amt", "agg3")},
+       {_qavg("ss_sales_price", "agg4")}
+FROM store_sales, customer_demographics, date_dim dt, item, promotion
+WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  AND ss_cdemo_sk = cd_demo_sk AND ss_promo_sk = p_promo_sk
+  AND cd_gender = 'F' AND cd_marital_status = 'W'
+  AND cd_education_status = 'Primary'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 1996
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100"""
+
+# ref: perf/query19.q — 6-table star with a dim<>dim zip predicate
+_Q19 = f"""
+SELECT /*+ BROADCAST(dt, item, customer_ds, customer_address, store) */
+       i_brand_id AS brand_id, i_brand AS brand, i_manufact_id, i_manufact,
+       {_qsum("ss_ext_sales_price", "ext_price")}
+FROM date_dim dt, store_sales, item, customer_ds, customer_address, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND ss_item_sk = i_item_sk
+  AND i_manager_id = 7
+  AND d_moy = 11 AND d_year = 1996
+  AND ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+  AND ss_store_sk = s_store_sk
+GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+ORDER BY ext_price DESC, i_brand, i_brand_id, i_manufact_id, i_manufact
+LIMIT 100"""
+
+# ref: perf/query27.q — grouping-set rollup report over the star
+_Q27 = f"""
+SELECT /*+ BROADCAST(customer_demographics, dt, store, item) */
+       i_category, i_brand,
+       {_qavg("ss_quantity", "agg1")},
+       {_qavg("ss_ext_list_price", "agg2")},
+       {_qavg("ss_coupon_amt", "agg3")},
+       {_qavg("ss_sales_price", "agg4")}
+FROM store_sales, customer_demographics, date_dim dt, store, item
+WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+  AND ss_cdemo_sk = cd_demo_sk AND ss_item_sk = i_item_sk
+  AND cd_gender = 'M' AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND d_year = 1996
+  AND s_county IN ('County_0','County_1','County_2','County_3','County_4')
+GROUP BY ROLLUP (i_category, i_brand)"""
+
+# ref: perf/query34.q — ticket-bucket HAVING report joined to customer
+_Q34 = """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT /*+ BROADCAST(date_dim, store, household_demographics) */
+             ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND ss_hdemo_sk = hd_demo_sk
+        AND (d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28)
+        AND (hd_buy_potential = '>10000' OR hd_buy_potential = 'unknown')
+        AND hd_vehicle_count > 0
+        AND (CASE WHEN hd_vehicle_count > 0
+                  THEN hd_dep_count / hd_vehicle_count
+                  ELSE NULL END) > 1.2
+        AND d_year IN (1995, 1996, 1997)
+        AND s_county IN ('County_0','County_1','County_2','County_3',
+                         'County_4','County_5','County_6','County_7')
+      GROUP BY ss_ticket_number, ss_customer_sk) dn, customer_ds
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 2 AND 5
+ORDER BY c_last_name, c_first_name, c_salutation,
+         c_preferred_cust_flag DESC, ss_ticket_number"""
+
+# ref: perf/query42.q
+_Q42 = f"""
+SELECT /*+ BROADCAST(dt, item) */
+       dt.d_year, item.i_category_id, item.i_category,
+       {_qsum("ss_ext_sales_price", "sum_sales")}
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 12 AND dt.d_year = 1997
+GROUP BY dt.d_year, item.i_category_id, item.i_category
+ORDER BY sum_sales DESC, dt.d_year, item.i_category_id, item.i_category
+LIMIT 100"""
+
+# ref: perf/query52.q
+_Q52 = f"""
+SELECT /*+ BROADCAST(dt, item) */
+       dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+       {_qsum("ss_ext_sales_price", "ext_price")}
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 12 AND dt.d_year = 1996
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+ORDER BY dt.d_year, ext_price DESC, brand_id
+LIMIT 100"""
+
+# ref: perf/query55.q
+_Q55 = f"""
+SELECT /*+ BROADCAST(date_dim, item) */
+       i_brand_id AS brand_id, i_brand AS brand,
+       {_qsum("ss_ext_sales_price", "ext_price")}
+FROM date_dim, store_sales, item
+WHERE d_date_sk = ss_sold_date_sk
+  AND ss_item_sk = i_item_sk
+  AND i_manager_id = 28
+  AND d_moy = 11 AND d_year = 1995
+GROUP BY i_brand, i_brand_id
+ORDER BY ext_price DESC, brand_id
+LIMIT 100"""
+
+# ref: perf/query59.q — the monthly-sales CTE consumed TWICE
+# (year-over-year self-join); mss is one shared relation in both engines
+_Q59 = """
+SELECT y.ss_store_sk AS store_sk, y.d_moy AS moy,
+       y.sales AS sales_cur, x.sales AS sales_prev,
+       y.sales / x.sales AS ratio
+FROM mss y, mss x
+WHERE y.ss_store_sk = x.ss_store_sk
+  AND y.d_moy = x.d_moy
+  AND y.d_year = x.d_year + 1
+  AND y.d_year = 1997
+ORDER BY store_sk, moy"""
+
+# ref: perf/query68.q — per-ticket sums, bought city <> current city
+_Q68 = f"""
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       extended_price, extended_tax, list_price
+FROM (SELECT /*+ BROADCAST(date_dim, store, household_demographics, customer_address) */
+             ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+             {_qsum("ss_ext_sales_price", "extended_price")},
+             {_qsum("ss_ext_list_price", "list_price")},
+             {_qsum("ss_ext_tax", "extended_tax")}
+      FROM store_sales, date_dim, store, household_demographics,
+           customer_address
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND ss_hdemo_sk = hd_demo_sk
+        AND ss_addr_sk = ca_address_sk
+        AND d_dom BETWEEN 1 AND 7
+        AND (hd_dep_count = 2 OR hd_vehicle_count = 1)
+        AND d_year IN (1995, 1996, 1997)
+        AND s_city IN ('City_0','City_3','City_5','City_8','City_10',
+                       'City_14','City_15','City_20','City_22')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city
+     ) dn, customer_ds, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, ss_ticket_number, bought_city,
+         extended_price, list_price, extended_tax
+LIMIT 100"""
+
+# ref: perf/query71.q — three-channel UNION ALL fact joined to dims
+_Q71 = f"""
+SELECT /*+ BROADCAST(item, time_dim) */
+       i_brand_id AS brand_id, i_brand AS brand, t_hour,
+       {_qsum("ext_price", "ext_price")}
+FROM channel_sales, item, time_dim
+WHERE sold_item_sk = i_item_sk
+  AND i_manager_id = 1
+  AND sold_time_sk = t_time_sk
+  AND t_hour IN (8, 9)
+GROUP BY i_brand_id, i_brand, t_hour"""
+
+# ref: perf/query73.q
+_Q73 = """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT /*+ BROADCAST(date_dim, store, household_demographics) */
+             ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND ss_hdemo_sk = hd_demo_sk
+        AND d_dom BETWEEN 1 AND 2
+        AND (hd_buy_potential = '>10000' OR hd_buy_potential = 'unknown')
+        AND hd_vehicle_count > 0
+        AND (CASE WHEN hd_vehicle_count > 0
+                  THEN hd_dep_count / hd_vehicle_count
+                  ELSE NULL END) > 1
+        AND d_year IN (1995, 1996, 1997)
+        AND s_county IN ('County_0','County_1','County_2','County_3')
+      GROUP BY ss_ticket_number, ss_customer_sk) dj, customer_ds
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC, c_last_name, ss_ticket_number"""
+
+# ref: perf/query96.q — count-only 4-way star
+_Q96 = """
+SELECT /*+ BROADCAST(household_demographics, time_dim, store) */
+       COUNT(*) AS cnt
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = t_time_sk
+  AND ss_hdemo_sk = hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND t_hour = 8 AND t_minute >= 30
+  AND hd_dep_count = 5
+  AND s_store_name = 'Store_1'"""
+
+_BODIES = {
+    "tpcds_q3": _Q3,
+    "tpcds_q7": _Q7,
+    "tpcds_q19": _Q19,
+    "tpcds_q27_rollup": _Q27,
+    "tpcds_q34": _Q34,
+    "tpcds_q42": _Q42,
+    "tpcds_q52": _Q52,
+    "tpcds_q55": _Q55,
+    "tpcds_q59_cte_reuse": _Q59,
+    "tpcds_q68": _Q68,
+    "tpcds_q71_multichannel": _Q71,
+    "tpcds_q73": _Q73,
+    "tpcds_q96": _Q96,
+}
+
+
+def _mk(body: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_star(spark, sf_dir)
+        return spark.sql(body)
+
+    return fn
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    name: QuerySpec(_mk(body), _oracle(body)) for name, body in _BODIES.items()
+}

