@@ -126,6 +126,397 @@ FROM (SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer) t
 """
 
 
+# ---------------------------------------------------------------------------
+# Theta sketches (set algebra) and KLL-style quantile sketches.
+#
+# Hive registers ds_theta_{sketch,union,intersect,exclude,estimate} and
+# ds_kll_{sketch,quantile,rank,n} (ref: ql/src/java/org/apache/hadoop/
+# hive/ql/exec/DataSketchesFunctions.java:91-97). Spark has no native
+# theta/kll, so these are built from first principles on the same
+# distributive shape Hive's UDAFs use:
+#
+#   theta  = KMV/bottom-K sketch: the K smallest xxhash64 values of the
+#            key, normalized to [0,1). theta = Kth smallest, entries =
+#            hashes < theta; estimate = |entries| / theta. Set algebra
+#            is ARRAY algebra on retained entries below min(theta) —
+#            array_union / array_intersect / array_except, all JVM-side.
+#   kll    = bottom-K BY ROW-HASH sample carrying the value: a uniform
+#            mergeable row sample; quantile(q) = sample quantile, with
+#            rank error ~ sqrt(q(1-q)/K) (K=4096 -> ~0.8% rse).
+#
+# Build is ONE linear Arrow-batched pass (mapInPandas keeps a running
+# bottom-K per group per partition and emits <= groups x K rows per
+# partition — the Java UDAF partial analog), then one tiny final merge
+# (#partitions x groups rows). No shuffle of raw data.
+#
+# Oracle protocol: like HLL above — emit (op/group, exact, within_bound)
+# where the engine checks its own estimate against the exact answer;
+# DuckDB recomputes the exact side with literal TRUE. Deterministic:
+# xxhash64 is fixed, so the boolean is stable for given data.
+# ---------------------------------------------------------------------------
+
+_THETA_K = 4096
+
+
+def _bottom_k_hashes(df: DataFrame, group_col, hash_col, k: int) -> DataFrame:
+    """Partial bottom-k of DISTINCT hash values per group: one linear
+    pass, <= k entries per (partition, group) emitted."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(
+        F.col(group_col).alias("g"), F.col(hash_col).alias("h")
+    )
+
+    def partials(batches):
+        best: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g"):
+                h = sub["h"].to_numpy(dtype=np.int64)
+                cur = best.get(g)
+                merged = np.unique(h if cur is None else np.concatenate([cur, h]))
+                if len(merged) > k:
+                    merged = np.partition(merged, k)[:k]
+                    merged.sort()
+                best[g] = merged
+        if best:
+            yield pd.DataFrame(
+                {"g": list(best), "hs": [b.tolist() for b in best.values()]}
+            )
+
+    part = src.mapInPandas(partials, "g string, hs array<long>")
+    return (
+        part.groupBy("g")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("hs")))),
+                1,
+                k,
+            ).alias("hs")
+        )
+    )
+
+
+# hash -> uniform double in [0,1): (unsigned h) / 2^64
+_U01 = "(CAST({h} AS DOUBLE) / 18446744073709551616.0 + 0.5)"
+
+
+def _theta_cols(df: DataFrame, k: int) -> DataFrame:
+    """(g, hs) -> (g, entries array<double> below theta, theta)."""
+    u = F.expr(f"transform(hs, h -> {_U01.format(h='h')})")
+    df = df.withColumn("us", u)
+    sat = F.size("us") >= k
+    theta = F.when(sat, F.element_at("us", k)).otherwise(F.lit(1.0))
+    df = df.withColumn("theta", theta)
+    return df.select(
+        "g",
+        F.expr("filter(us, x -> x < theta)").alias("entries"),
+        "theta",
+    )
+
+
+def _theta_estimate(entries_col: str, theta_col: str):
+    return F.size(entries_col) / F.col(theta_col)
+
+
+def sketch_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds_theta set algebra across two tables: sketches of orders.o_custkey
+    and customer.c_custkey; union / intersect / a_not_b estimates checked
+    against exact set counts (ref: DataSketchesFunctions.java theta
+    family — union/intersect/exclude are sketch-object operations)."""
+    views(spark, sf_dir)
+    k = _THETA_K
+
+    def table_sketch(table: str, col: str) -> DataFrame:
+        df = spark.table(table).select(
+            F.lit(table).alias("g"), F.xxhash64(F.col(col)).alias("h")
+        )
+        return _theta_cols(_bottom_k_hashes(df, "g", "h", k), k)
+
+    a = table_sketch("orders", "o_custkey").select(
+        F.col("entries").alias("ea"), F.col("theta").alias("ta")
+    )
+    b = table_sketch("customer", "c_custkey").select(
+        F.col("entries").alias("eb"), F.col("theta").alias("tb")
+    )
+    both = a.crossJoin(b).withColumn("tmin", F.least("ta", "tb"))
+    # retained entries below the common theta; array algebra is exact on
+    # the retained sets, so the estimate is |result| / tmin
+    ests = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("union").alias("op"),
+                    (
+                        F.size(
+                            F.expr(
+                                "filter(array_union(ea, eb), x -> x < tmin)"
+                            )
+                        )
+                        / F.col("tmin")
+                    ).alias("est"),
+                ),
+                F.struct(
+                    F.lit("intersect").alias("op"),
+                    (
+                        F.size(
+                            F.expr(
+                                "filter(array_intersect(ea, eb), x -> x < tmin)"
+                            )
+                        )
+                        / F.col("tmin")
+                    ).alias("est"),
+                ),
+                F.struct(
+                    F.lit("a_not_b").alias("op"),
+                    (
+                        F.size(
+                            F.expr("filter(array_except(ea, eb), x -> x < tmin)")
+                        )
+                        / F.col("tmin")
+                    ).alias("est"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.op", "r.est")
+    exact = spark.sql(
+        """
+        SELECT 'union' AS op, COUNT(DISTINCT k) AS exact FROM (
+            SELECT o_custkey AS k FROM orders
+            UNION ALL SELECT c_custkey FROM customer) t
+        UNION ALL
+        SELECT 'intersect', COUNT(*) FROM (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer)) t
+        UNION ALL
+        SELECT 'a_not_b', COUNT(*) FROM (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) t
+        """
+    )
+    return (
+        ests.join(exact, "op")
+        .selectExpr(
+            "op",
+            "exact",
+            "CAST(abs(est - exact) <= greatest(0.08 * exact, 8.0) AS BOOLEAN)"
+            " AS within_bound",
+        )
+        .orderBy("op")
+    )
+
+
+_THETA_ALGEBRA_SQL = """
+SELECT 'a_not_b' AS op, COUNT(*) AS exact, TRUE AS within_bound FROM (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) t
+UNION ALL
+SELECT 'intersect', COUNT(*), TRUE FROM (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer)) t
+UNION ALL
+SELECT 'union', COUNT(DISTINCT k), TRUE FROM (
+    SELECT o_custkey AS k FROM orders
+    UNION ALL SELECT c_custkey FROM customer) t
+ORDER BY op
+"""
+
+
+def sketch_theta_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketch persist/read/merge lifecycle (the ds_theta_sketch ->
+    store -> ds_theta_union ACROSS stored rows path): per-returnflag
+    sketches of l_orderkey written to parquet, read back, estimated per
+    group, and merged into a '~TOTAL' union row."""
+    views(spark, sf_dir)
+    k = _THETA_K
+    src = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("g"), F.xxhash64("l_orderkey").alias("h")
+    )
+    sk = _theta_cols(_bottom_k_hashes(src, "g", "h", k), k)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"hive_spark_theta_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sk.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    per_group = stored.select(
+        F.col("g").alias("l_returnflag"),
+        _theta_estimate("entries", "theta").alias("est"),
+    )
+    # union across stored sketches: every retained entry below the
+    # smallest theta participates (capping at k BEFORE the theta filter
+    # would truncate the union and bias the estimate low — the union of
+    # G saturated sketches legitimately retains up to G*k entries)
+    merged = stored.agg(
+        F.min("theta").alias("tmin"),
+        F.array_distinct(F.flatten(F.collect_list("entries"))).alias("es"),
+    ).select(
+        F.lit("~TOTAL").alias("l_returnflag"),
+        (F.size(F.expr("filter(es, x -> x < tmin)")) / F.col("tmin")).alias(
+            "est"
+        ),
+    )
+    exact = spark.sql(
+        """
+        SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT '~TOTAL', COUNT(DISTINCT l_orderkey) FROM lineitem
+        """
+    )
+    return (
+        per_group.unionAll(merged)
+        .join(exact, "l_returnflag")
+        .selectExpr(
+            "l_returnflag",
+            "exact_orders",
+            "CAST(abs(est - exact_orders) <="
+            " greatest(0.08 * exact_orders, 8.0) AS BOOLEAN) AS within_bound",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_THETA_LIFECYCLE_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT '~TOTAL', COUNT(DISTINCT l_orderkey), TRUE FROM lineitem
+ORDER BY l_returnflag
+"""
+
+
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style quantile sketch lifecycle: per-returnflag mergeable
+    row-hash samples of l_extendedprice persisted to parquet, read back,
+    merged to '~TOTAL', quantiles estimated at q=0.5/0.9, and the EXACT
+    rank of each estimate checked within +-0.03 of q (ref:
+    DataSketchesFunctions kll family — sketch/quantile/rank/n)."""
+    import numpy as np
+    import pandas as pd
+
+    views(spark, sf_dir)
+    k = _THETA_K
+    src = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.xxhash64("l_orderkey", "l_linenumber").alias("h"),
+        F.col("l_extendedprice").alias("v"),
+    )
+
+    def partials(batches):
+        best: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g"):
+                h = sub["h"].to_numpy(dtype=np.int64)
+                v = sub["v"].to_numpy(dtype=np.float64)
+                n = len(h)
+                cur = best.get(g)
+                if cur is not None:
+                    h = np.concatenate([cur[0], h])
+                    v = np.concatenate([cur[1], v])
+                    n += cur[2]
+                if len(h) > k:
+                    idx = np.argpartition(h, k)[:k]
+                    h, v = h[idx], v[idx]
+                best[g] = (h, v, n)
+        if best:
+            yield pd.DataFrame(
+                {
+                    "g": list(best),
+                    "hs": [b[0].tolist() for b in best.values()],
+                    "vs": [b[1].tolist() for b in best.values()],
+                    "n": [b[2] for b in best.values()],
+                }
+            )
+
+    part = src.mapInPandas(
+        partials, "g string, hs array<long>, vs array<double>, n long"
+    )
+    # final merge per group: bottom-k pairs by row-hash across partials
+    # (collect_list sees <= #partitions arrays of <= k pairs), and the
+    # TRUE row count is the sum of the partials' per-partition counts
+    _by_h = (
+        "(a, b) -> CASE WHEN a.hs < b.hs THEN -1"
+        " WHEN a.hs > b.hs THEN 1 ELSE 0 END"
+    )
+    sk = part.groupBy("g").agg(
+        F.expr(
+            f"transform(slice(array_sort(flatten(collect_list("
+            f"arrays_zip(hs, vs))), {_by_h}), 1, {k}),"
+            " p -> struct(p.hs AS h, p.vs AS v))"
+        ).alias("pairs"),
+        F.sum("n").alias("n"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"hive_spark_kll_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sk.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    # merge ALL stored sketches into '~TOTAL' (the ds_kll merge path):
+    # bottom-k of the concatenated pair sets, counts added
+    _by_h2 = (
+        "(a, b) -> CASE WHEN a.h < b.h THEN -1"
+        " WHEN a.h > b.h THEN 1 ELSE 0 END"
+    )
+    total = stored.agg(
+        F.expr(
+            f"slice(array_sort(flatten(collect_list(pairs)), {_by_h2}),"
+            f" 1, {k})"
+        ).alias("pairs"),
+        F.sum("n").alias("n"),
+    ).select(F.lit("~TOTAL").alias("g"), "pairs", "n")
+    per = stored.select("g", "pairs", "n").unionAll(total)
+
+    qs = per.select(
+        "g",
+        "n",
+        F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("q"),
+        F.expr("array_sort(transform(pairs, p -> p.v))").alias("vs"),
+    ).select(
+        "g",
+        "n",
+        "q",
+        F.expr(
+            "element_at(vs, CAST(greatest(1, ceil(q * size(vs))) AS INT))"
+        ).alias("est_v"),
+    )
+    # exact rank of the estimated quantile, computed over the raw data
+    lineitem = spark.table("lineitem")
+    ranks = (
+        qs.join(
+            lineitem.select(
+                F.col("l_returnflag").alias("g0"),
+                F.col("l_extendedprice").alias("v0"),
+            ),
+            F.expr("g0 = g OR g = '~TOTAL'"),
+        )
+        .groupBy("g", "n", "q", "est_v")
+        .agg(F.avg(F.expr("CAST(v0 <= est_v AS DOUBLE)")).alias("rank"))
+    )
+    return ranks.selectExpr(
+        "g AS l_returnflag",
+        "n",
+        "q",
+        "CAST(abs(rank - q) <= 0.03 AS BOOLEAN) AS within_bound",
+    ).orderBy("l_returnflag", "q")
+
+
+_KLL_SQL = """
+SELECT l_returnflag, COUNT(*) AS n, q, TRUE AS within_bound
+FROM lineitem, (SELECT 0.5 AS q UNION ALL SELECT 0.9) qs
+GROUP BY l_returnflag, q
+UNION ALL
+SELECT '~TOTAL', COUNT(*), q, TRUE
+FROM lineitem, (SELECT 0.5 AS q UNION ALL SELECT 0.9) qs
+GROUP BY q
+ORDER BY l_returnflag, q
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "sketch_hll_lifecycle": QuerySpec(
         sketch_hll_lifecycle,
@@ -136,5 +527,20 @@ REGISTRY: dict[str, QuerySpec] = {
         sketch_hll_cross_table_union,
         _CROSS_UNION_SQL,
         "sketches from two tables merged via hll_union_agg; bound vs exact",
+    ),
+    "sketch_theta_set_algebra": QuerySpec(
+        sketch_theta_set_algebra,
+        _THETA_ALGEBRA_SQL,
+        "theta union/intersect/a_not_b across two tables; bound vs exact",
+    ),
+    "sketch_theta_lifecycle": QuerySpec(
+        sketch_theta_lifecycle,
+        _THETA_LIFECYCLE_SQL,
+        "theta sketches persisted, read back, merged; bound vs exact",
+    ),
+    "sketch_kll_quantiles": QuerySpec(
+        sketch_kll_quantiles,
+        _KLL_SQL,
+        "mergeable quantile sketches; exact-rank-of-estimate bound",
     ),
 }

@@ -38,6 +38,8 @@ CARTESIAN_OK = {
     "kmeans_one_round",  # same centroid-broadcast shape, twice
     "text_decontaminate",  # tiny denylist broadcast, contains-join
     "sketch_hll_cross_table_union",  # 1-row estimate x 1-row exact count
+    "sketch_theta_set_algebra",  # two 1-row sketches crossed for algebra
+    "sketch_kll_quantiles",  # <=2*groups quantile rows NLJ'd over the fact
 }
 
 # queries allowed a row-at-a-time Python UDF

@@ -47,3 +47,48 @@ def test_stored_sketches_merge_like_global(spark, sf_dir):
     assert abs(merged - single) / exact < 0.005
     assert abs(merged - exact) / exact < 0.05
     assert abs(single - exact) / exact < 0.05
+
+
+def test_theta_sketch_partition_invariant(spark):
+    """The bottom-k theta sketch is a deterministic function of the data
+    SET: any partitioning/merge order yields identical retained entries
+    and theta (the property that makes stored sketches mergeable)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark.operators.sketches import _bottom_k_hashes, _theta_cols
+
+    base = spark.range(0, 50_000).select(
+        F.lit("g").alias("g"), F.xxhash64("id").alias("h")
+    )
+    outs = []
+    for nparts in (1, 7):
+        sk = _theta_cols(
+            _bottom_k_hashes(base.repartition(nparts), "g", "h", 1024), 1024
+        ).collect()[0]
+        outs.append((sk.entries, sk.theta))
+    assert outs[0] == outs[1]
+
+
+def test_theta_estimate_accuracy_known_cardinality(spark):
+    """|est - n| / n within the KMV bound for an exact known n, in both
+    exact mode (n < k) and estimation mode (n >> k)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark.operators.sketches import (
+        _bottom_k_hashes,
+        _theta_cols,
+        _theta_estimate,
+    )
+
+    for n, k in ((1000, 4096), (200_000, 4096)):
+        base = spark.range(0, n).select(
+            F.lit("g").alias("g"), F.xxhash64("id").alias("h")
+        )
+        sk = _theta_cols(_bottom_k_hashes(base, "g", "h", k), k)
+        est = sk.select(_theta_estimate("entries", "theta").alias("e")).collect()[
+            0
+        ].e
+        if n < k:
+            assert est == n  # exact mode: every distinct hash retained
+        else:
+            assert abs(est - n) / n < 0.08
