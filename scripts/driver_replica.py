@@ -47,6 +47,19 @@ def pandas_rows(pdf):
     )
 
 
+def normalize_units(pdf):
+    """Unify datetime RESOLUTION across transports: Spark's Arrow path
+    yields datetime64[ns], DuckDB's .df() yields datetime64[us] for the
+    same logical DATE/TIMESTAMP. The unit is a transport artifact, not a
+    logical-type difference — normalize to [us] (every engine value is
+    at most microsecond-precise) so the dtype check flags only REAL
+    mismatches (int vs float, object vs datetime, ...)."""
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64[ns"):
+            pdf[c] = pdf[c].astype(str(pdf[c].dtype).replace("[ns", "[us"))
+    return pdf
+
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 prefixes = sys.argv[2:]
 qs, os_ = mod.queries(), mod.oracle_sql()
@@ -58,13 +71,13 @@ t0 = time.time()
 for name, fn in sorted(qs.items()):
     try:
         df = fn(spark, SF)
-        spdf = df.toPandas()
+        spdf = normalize_units(df.toPandas())
         if name not in os_:
             n_rows_only += 1
             status[name] = f"rows-only ({len(spdf)} rows)"
             print(f"{name}: ROWS-ONLY ({len(spdf)} rows)", flush=True)
             continue
-        opdf = duck(SF).execute(os_[name]).df()
+        opdf = normalize_units(duck(SF).execute(os_[name]).df())
         if sorted(spdf.columns) != sorted(opdf.columns):
             bad.append(name)
             status[name] = "bad: schema mismatch"
