@@ -28,6 +28,15 @@ working-ETL core of that language directly over the engine:
   (``<spark.sql.warehouse.dir>/_hpl_procedures/<name>.json``), so a NEW
   interpreter/Engine instance can ``CALL name(args)`` later (Hive keeps
   procedures in the metastore the same way). ``DROP PROCEDURE name``.
+- ``CREATE [OR REPLACE] PACKAGE name AS <var decls + PROCEDUREs> END``
+  and ``CREATE PACKAGE BODY name AS ... END`` (merges procedures into
+  the spec) — ref: Exec.java:96 packCallStack / Package.java. The
+  package DEFINITION persists next to procedures
+  (``_hpl_packages/<name>.json``); package VARIABLE STATE is
+  session-scoped (as in Hive), lazily initialized from the declared
+  defaults, readable anywhere as ``pkg.var``, and mutated by package
+  procedures (``CALL pkg.proc(args)``) whose bodies see the package
+  variables as bare names. ``DROP PACKAGE name``.
 - every other statement runs through `hqlscript` (so HiveQL rewrites —
   macros, ds_*, time travel — apply inside procedures too)
 
@@ -35,9 +44,10 @@ Variables substitute as SQL literals at word boundaries before execution
 (HPL/SQL semantics: untyped-ish, late-bound text substitution — Exec.java
 resolves identifiers against its variable scope the same way).
 
-Out of scope (documented): packages, RESIGNAL/GET DIAGNOSTICS, handler
-scoping narrower than the script (handlers declared anywhere guard every
-later statement). The subset is the part used by batch ETL control flow.
+Out of scope (documented): RESIGNAL/GET DIAGNOSTICS, package functions
+in expressions (procedures only), handler scoping narrower than the
+script (handlers declared anywhere guard every later statement). The
+subset is the part used by batch ETL control flow.
 
 Scale note: control flow runs on the driver; every SQL statement inside
 is a full distributed query. A WHILE loop over micro-batches is the
@@ -86,6 +96,25 @@ _CREATE_PROC = re.compile(
 )
 _DROP_PROC = re.compile(r"^\s*DROP\s+PROCEDURE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
 _CALL = re.compile(r"^\s*(?:CALL|EXEC)\s+(\w+)\s*(?:\((.*)\))?\s*$", re.I | re.S)
+_CREATE_PKG = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PACKAGE\s+(BODY\s+)?(\w+)\s*"
+    r"(?:AS|IS)\b(.*)\bEND\s*$",
+    re.I | re.S,
+)
+_DROP_PKG = re.compile(r"^\s*DROP\s+PACKAGE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
+_PKG_CALL = re.compile(
+    r"^\s*(?:CALL|EXEC)\s+(\w+)\.(\w+)\s*(?:\((.*)\))?\s*$", re.I | re.S
+)
+_PKG_PROC = re.compile(
+    r"^\s*PROCEDURE\s+(\w+)\s*(?:\(([^)]*)\))?\s*(?:AS|IS)?\s*BEGIN\b(.*)$",
+    re.I | re.S,
+)
+_PKG_VAR = re.compile(
+    r"^\s*(?:DECLARE\s+)?(\w+)\s+\w+(?:\(\d+(?:\s*,\s*\d+)?\))?"
+    r"\s*(?::=\s*(.*))?$",
+    re.I | re.S,
+)
+_PKG_REF = re.compile(r"\b(\w+)\.(\w+)\b")
 
 
 class HplSignal(Exception):
@@ -132,6 +161,10 @@ class HplInterpreter:
         # use them for control flow, not bulk data movement.
         self.cursors: dict[str, dict] = {}
         self.open_cursors: dict[str, dict] = {}
+        # package variable state, session-scoped like Hive HPL/SQL's
+        # (ref: hplsql/.../Exec.java:96 packCallStack; package DEFINITION
+        # persists in warehouse metadata, package STATE does not)
+        self.pkg_state: dict[str, dict[str, object]] = {}
 
     # -- procedure persistence (warehouse metadata) -------------------------
 
@@ -181,6 +214,131 @@ class HplInterpreter:
         finally:
             self.res.variables = saved
 
+    # -- packages (CREATE PACKAGE [BODY], pkg.proc calls, pkg.var refs) -----
+
+    def _pkg_dir(self) -> str:
+        wh = self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        d = os.path.join(wh, "_hpl_packages")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _find_pkg(self, name: str) -> dict | None:
+        path = os.path.join(self._pkg_dir(), f"{name.lower()}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _create_pkg(self, name: str, body: str, is_body: bool) -> None:
+        """Parse a package block into variable declarations + procedure
+        definitions. CREATE PACKAGE BODY merges into the existing spec
+        (procedures add/override, variables keep their declarations)."""
+        pkg = (self._find_pkg(name) if is_body else None) or {
+            "name": name.lower(),
+            "vars": [],
+            "procs": {},
+        }
+        stmts = split_statements(body)
+        i = 0
+        while i < len(stmts):
+            s = stmts[i]
+            if not s.strip():
+                i += 1
+                continue
+            m = _PKG_PROC.match(s)
+            if m:
+                # accumulate statements until the BEGIN..END balance of
+                # the procedure closes (same bookkeeping as script-level
+                # CREATE PROCEDURE grouping)
+                block = [s]
+                depth = self._delta_proc(s)
+                while depth > 0:
+                    i += 1
+                    if i >= len(stmts):
+                        raise ValueError(
+                            f"unterminated PROCEDURE in package {name}"
+                        )
+                    block.append(stmts[i])
+                    depth += self._delta_proc(stmts[i])
+                text = ";\n".join(block)
+                m2 = re.match(
+                    r"^\s*PROCEDURE\s+(\w+)\s*(?:\(([^)]*)\))?"
+                    r"\s*(?:AS|IS)?\s*BEGIN\b(.*)\bEND\s*$",
+                    text,
+                    re.I | re.S,
+                )
+                params = [
+                    t.strip().split()[0]
+                    for t in (m2.group(2) or "").split(",")
+                    if t.strip()
+                ]
+                pkg["procs"][m2.group(1).lower()] = {
+                    "params": params,
+                    "body": m2.group(3),
+                }
+                i += 1
+                continue
+            m = _PKG_VAR.match(s)
+            if m and not is_body:
+                pkg["vars"] = [
+                    v for v in pkg["vars"] if v[0] != m.group(1).lower()
+                ] + [[m.group(1).lower(), m.group(2)]]
+            i += 1
+        path = os.path.join(self._pkg_dir(), f"{name.lower()}.json")
+        with open(path, "w") as f:
+            json.dump(pkg, f)
+        self.pkg_state.pop(name.lower(), None)  # re-init on next touch
+
+    def _ensure_pkg_state(self, name: str) -> dict | None:
+        """Lazy session-init of a package's variables from their
+        declared defaults; returns the live state dict or None."""
+        key = name.lower()
+        if key in self.pkg_state:
+            return self.pkg_state[key]
+        pkg = self._find_pkg(key)
+        if pkg is None:
+            return None
+        state = {
+            var: (self._eval(init) if init else None)
+            for var, init in pkg["vars"]
+        }
+        self.pkg_state[key] = state
+        return state
+
+    def _exec_pkg_call(self, pkg_name: str, proc_name: str, argstr: str) -> None:
+        from hive_spark.hqlscript import _split_args
+
+        pkg = self._find_pkg(pkg_name)
+        proc = (pkg or {}).get("procs", {}).get(proc_name.lower())
+        if proc is None:
+            raise HplSignal(
+                "sqlexception", f"unknown procedure {pkg_name}.{proc_name}"
+            )
+        state = self._ensure_pkg_state(pkg_name)
+        args = _split_args(argstr) if argstr.strip() else []
+        vals = [self._eval(a) for a in args]
+        if len(vals) != len(proc["params"]):
+            raise HplSignal(
+                "sqlexception",
+                f"procedure {pkg_name}.{proc_name} expects "
+                f"{len(proc['params'])} args, got {len(vals)}",
+            )
+        # package vars are in scope as bare names inside the body; their
+        # post-call values flow back into the package state
+        saved = dict(self.res.variables)
+        self.res.variables.update(state)
+        self.res.variables.update(
+            {p.lower(): v for p, v in zip(proc["params"], vals)}
+        )
+        try:
+            for s in self._group_blocks(split_statements(proc["body"])):
+                if s.strip():
+                    self._exec_guarded(s)
+            for var in state:
+                state[var] = self.res.variables.get(var, state[var])
+        finally:
+            self.res.variables = saved
+
     # -- expression layer ---------------------------------------------------
 
     def _lit(self, v) -> str:
@@ -193,6 +351,16 @@ class HplInterpreter:
         return repr(v)
 
     def _substitute(self, text: str) -> str:
+        # pkg.var references first (the dotted form would otherwise be
+        # split by the bare-name pass); only tokens whose qualifier IS a
+        # known package substitute — table.column references pass through
+        def pkg_ref(m: re.Match) -> str:
+            state = self._ensure_pkg_state(m.group(1))
+            if state is not None and m.group(2).lower() in state:
+                return self._lit(state[m.group(2).lower()])
+            return m.group(0)
+
+        text = _PKG_REF.sub(pkg_ref, text)
         for name, val in self.res.variables.items():
             text = re.sub(rf"\b{re.escape(name)}\b", self._lit(val), text, flags=re.I)
         return text
@@ -209,6 +377,18 @@ class HplInterpreter:
         )
 
     # -- block parsing ------------------------------------------------------
+
+    @staticmethod
+    def _delta_proc(s: str) -> int:
+        # BEGIN...END balance; CASE...END pairs inside SQL cancel out,
+        # END IF / END LOOP belong to the inner block grammar; keyword
+        # counting must not see into string literals
+        s = re.sub(r"'[^']*'", "''", s)
+        opens = len(re.findall(r"\bBEGIN\b", s, re.I)) + len(
+            re.findall(r"\bCASE\b", s, re.I)
+        )
+        closes = len(re.findall(r"\bEND\b(?!\s+(?:IF|LOOP)\b)", s, re.I))
+        return opens - closes
 
     @staticmethod
     def _group_blocks(stmts: list[str]) -> list[str]:
@@ -229,28 +409,28 @@ class HplInterpreter:
             n_end = len(re.findall(rf"\bEND\s+{kw}\b", s, re.I))
             return n_kw - 2 * n_end
 
-        def delta_proc(s: str) -> int:
-            # BEGIN...END balance; CASE...END pairs inside SQL cancel out,
-            # END IF / END LOOP belong to the inner block grammar
-            s = bare(s)
-            opens = len(re.findall(r"\bBEGIN\b", s, re.I)) + len(
-                re.findall(r"\bCASE\b", s, re.I)
-            )
-            closes = len(re.findall(r"\bEND\b(?!\s+(?:IF|LOOP)\b)", s, re.I))
-            return opens - closes
+        delta_proc = HplInterpreter._delta_proc
 
         out: list[str] = []
         i = 0
         while i < len(stmts):
             s = stmts[i]
-            if re.match(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\b", s, re.I):
+            is_proc = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\b", s, re.I
+            )
+            is_pkg = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PACKAGE\b", s, re.I
+            )
+            if is_proc or is_pkg:
                 block = [s]
-                depth = delta_proc(s)
+                # a package's `AS ... END` bracket is one extra open that
+                # its own header doesn't count (no BEGIN keyword)
+                depth = delta_proc(s) + (1 if is_pkg else 0)
                 while depth > 0:
                     i += 1
                     if i >= len(stmts):
                         raise ValueError(
-                            f"unterminated PROCEDURE: {block[0][:60]!r}"
+                            f"unterminated block: {block[0][:60]!r}"
                         )
                     block.append(stmts[i])
                     depth += delta_proc(stmts[i])
@@ -430,6 +610,21 @@ class HplInterpreter:
             path = os.path.join(self._proc_dir(), f"{m.group(1).lower()}.json")
             if os.path.exists(path):
                 os.remove(path)
+            return
+        m = _CREATE_PKG.match(stmt)
+        if m:
+            self._create_pkg(m.group(2), m.group(3), bool(m.group(1)))
+            return
+        m = _DROP_PKG.match(stmt)
+        if m:
+            path = os.path.join(self._pkg_dir(), f"{m.group(1).lower()}.json")
+            if os.path.exists(path):
+                os.remove(path)
+            self.pkg_state.pop(m.group(1).lower(), None)
+            return
+        m = _PKG_CALL.match(stmt)
+        if m and self._find_pkg(m.group(1)) is not None:
+            self._exec_pkg_call(m.group(1), m.group(2), m.group(3) or "")
             return
         m = _CALL.match(stmt)
         if m and self._find_proc(m.group(1)) is not None:

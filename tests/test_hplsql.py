@@ -286,3 +286,84 @@ def test_fetch_unopened_cursor_hits_handler(spark, sf_dir):
            PRINT 'after';""",
     )
     assert out.printed == ["caught", "after"]
+
+
+def test_package_state_across_calls(spark):
+    """CREATE PACKAGE with variables + procedures: package state
+    persists ACROSS calls within the session, pkg.var reads resolve
+    anywhere, and procedures see package vars as bare names."""
+    from hive_spark.hplsql import run_hplsql
+
+    out = run_hplsql(
+        spark,
+        """
+        CREATE OR REPLACE PACKAGE counter AS
+          cnt INT := 0;
+          step INT := 2;
+          PROCEDURE inc(delta INT) AS
+          BEGIN
+            SET cnt := cnt + delta;
+          END;
+          PROCEDURE bump() AS
+          BEGIN
+            SET cnt := cnt + step;
+          END;
+        END;
+        CALL counter.inc(5);
+        CALL counter.inc(10);
+        CALL counter.bump();
+        PRINT counter.cnt;
+        SET x := counter.cnt * 100;
+        PRINT x;
+        """,
+    )
+    assert out.printed[-2] == "17"
+    assert out.printed[-1] == "1700"
+
+
+def test_package_body_merges_and_persists(spark):
+    """CREATE PACKAGE BODY adds procedures to a persisted spec; a NEW
+    interpreter sees the package definition (metadata persistence) but
+    fresh state (session-scoped, like Hive)."""
+    from hive_spark.hplsql import HplInterpreter, run_hplsql
+
+    run_hplsql(
+        spark,
+        """
+        CREATE OR REPLACE PACKAGE acc AS
+          total INT := 100;
+        END;
+        CREATE PACKAGE BODY acc AS
+          PROCEDURE add(v INT) AS
+          BEGIN
+            SET total := total + v;
+          END;
+        END;
+        CALL acc.add(11);
+        """,
+    )
+    # a brand-new interpreter: definition persisted, state re-initialized
+    out2 = run_hplsql(spark, "CALL acc.add(1); PRINT acc.total;")
+    assert out2.printed == ["101"]
+    run_hplsql(spark, "DROP PACKAGE acc;")
+    i3 = HplInterpreter(spark)
+    assert i3._find_pkg("acc") is None
+
+
+def test_package_unknown_proc_signals(spark):
+    """Calling a missing package procedure raises through the normal
+    handler machinery (EXIT handler catches it)."""
+    from hive_spark.hplsql import run_hplsql
+
+    out = run_hplsql(
+        spark,
+        """
+        CREATE OR REPLACE PACKAGE p1 AS
+          v INT := 1;
+        END;
+        DECLARE EXIT HANDLER FOR SQLEXCEPTION PRINT 'caught';
+        CALL p1.missing(1);
+        PRINT 'unreached';
+        """,
+    )
+    assert out.printed == ["caught"]
