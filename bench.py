@@ -170,6 +170,19 @@ def main() -> None:
 
     overhead = _fixed_overhead(spark)
 
+    # TPC-DS star-shape timings (r4): reported separately so the
+    # headline total stays comparable across rounds
+    extra: dict[str, float] = {}
+    for name in ("tpcds_q3", "tpcds_q19", "tpcds_q25_sales_returns",
+                 "tpcds_q68", "tpcds_q98_class_ratio"):
+        spec = registry[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extra[name] = round(best, 3)
+
     # Two-point scaling table: same queries, SCALE_FACTOR× the fact rows.
     # time_ratio << data_ratio demonstrates the fixed overhead amortizing
     # (the local[32] stand-in for the 1000-executor scale-up argument).
@@ -218,6 +231,7 @@ def main() -> None:
                 },
                 "scale_sweep": sweep,
                 "breakdowns": breakdowns,
+                "extra_queries": extra,
             }
         )
     )

@@ -82,6 +82,12 @@ _HANDLER = re.compile(
 _CONDITION = re.compile(r"^\s*DECLARE\s+(\w+)\s+CONDITION\s*$", re.I)
 _SIGNAL = re.compile(r"^\s*SIGNAL\s+(\w+)\s*(?:,?\s*'([^']*)')?\s*$", re.I)
 _RAISE = re.compile(r"^\s*RAISE\s*(?:'([^']*)')?\s*$", re.I)
+_RESIGNAL = re.compile(r"^\s*RESIGNAL\s*(\w+)?\s*(?:,?\s*'([^']*)')?\s*$", re.I)
+_GET_DIAG = re.compile(
+    r"^\s*GET\s+DIAGNOSTICS\s+(?:EXCEPTION\s+1\s+)?(\w+)\s*=\s*"
+    r"(MESSAGE_TEXT|CONDITION_IDENTIFIER|ROW_COUNT)\s*$",
+    re.I,
+)
 _DECLARE_CURSOR = re.compile(
     r"^\s*DECLARE\s+(\w+)\s+CURSOR\s*(?:\(([^)]*)\))?\s+FOR\s+(.*)$",
     re.I | re.S,
@@ -165,6 +171,10 @@ class HplInterpreter:
         # (ref: hplsql/.../Exec.java:96 packCallStack; package DEFINITION
         # persists in warehouse metadata, package STATE does not)
         self.pkg_state: dict[str, dict[str, object]] = {}
+        # diagnostics area (GET DIAGNOSTICS / RESIGNAL): the condition
+        # currently being handled, and the last statement's row count
+        self.current_condition: tuple[str, str] | None = None
+        self.last_row_count: int = 0
 
     # -- procedure persistence (warehouse metadata) -------------------------
 
@@ -495,9 +505,14 @@ class HplInterpreter:
                 self.res.variables["sqlcode"] = 100 if cond == "not found" else -1
                 self.res.variables["errormsg"] = msg
                 self.res.handled_errors.append(msg)
-                for s in self._group_blocks(split_statements(h.body)):
-                    if s.strip():
-                        self._exec_stmt(s)
+                prev = self.current_condition
+                self.current_condition = (cond, msg)
+                try:
+                    for s in self._group_blocks(split_statements(h.body)):
+                        if s.strip():
+                            self._exec_stmt(s)
+                finally:
+                    self.current_condition = prev
                 if h.mode == "exit":
                     raise _ExitScript()
                 return
@@ -601,6 +616,36 @@ class HplInterpreter:
         m = _RAISE.match(stmt)
         if m:
             raise HplSignal("sqlexception", m.group(1) or "raised")
+        m = _RESIGNAL.match(stmt)
+        if m:
+            # re-raise the condition being handled (optionally renamed /
+            # re-messaged). With the flat script scope, the resignaled
+            # condition surfaces to the caller — MySQL/HPL-SQL outer-
+            # scope semantics (ref: Exec.java visitResignal_stmt)
+            if m.group(1) or self.current_condition:
+                cond = (m.group(1) or self.current_condition[0]).lower()
+                msg = m.group(2) or (
+                    self.current_condition[1] if self.current_condition else ""
+                )
+                raise HplSignal(cond, msg)
+            raise HplSignal("sqlexception", m.group(2) or "resignal")
+        m = _GET_DIAG.match(stmt)
+        if m:
+            what = m.group(2).upper()
+            if what == "MESSAGE_TEXT":
+                val: object = (
+                    self.current_condition[1]
+                    if self.current_condition
+                    else self.res.variables.get("errormsg")
+                )
+            elif what == "CONDITION_IDENTIFIER":
+                val = (
+                    self.current_condition[0] if self.current_condition else None
+                )
+            else:  # ROW_COUNT
+                val = self.last_row_count
+            self.res.variables[m.group(1).lower()] = val
+            return
         m = _CREATE_PROC.match(stmt)
         if m:
             self._create_proc(m.group(1), m.group(2), m.group(3))
@@ -660,9 +705,11 @@ class HplInterpreter:
 
         out = run_script(self.spark, self._substitute(stmt) + ";")
         if out.results:
-            self.res.printed.extend(
-                str(tuple(r)) for r in out.results[-1].collect()
-            )
+            rows = out.results[-1].collect()
+            self.last_row_count = len(rows)  # GET DIAGNOSTICS ROW_COUNT
+            self.res.printed.extend(str(tuple(r)) for r in rows)
+        else:
+            self.last_row_count = 0
 
     def _exec_if(self, stmt: str) -> None:
         body = re.sub(r"\bEND\s+IF\s*$", "", stmt, flags=re.I)

@@ -517,6 +517,89 @@ ORDER BY l_returnflag, q
 """
 
 
+def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (heavy hitters) sketch over document tokens (ref:
+    DataSketchesFunctions.java frequencies family — ds_freq_items).
+
+    Space-saving shape: each partition computes EXACT token counts
+    locally (partition-local vocabulary), emits its top-k counters plus
+    the residual bound r_i = the largest dropped count; the merge sums
+    counters and the bounds. Any token whose true count exceeds
+    sum(r_i) is guaranteed retained, and every estimate satisfies
+    exact - sum(r_i) <= est <= exact — the bound the output checks row
+    by row against the exact top-10 (which the DuckDB oracle recomputes
+    with literal TRUE). One linear pass + a p*k-row merge shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    views(spark, sf_dir)
+    k = 256
+    toks = spark.table("documents").select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("tok")
+    )
+
+    def partials(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf["tok"].tolist())
+        if not counts:
+            return
+        top = counts.most_common(k)
+        dropped = counts.most_common(k + 1)[k:]  # [] if <= k distinct
+        yield pd.DataFrame(
+            {
+                "tok": [t for t, _ in top],
+                "cnt": np.array([c for _, c in top], dtype=np.int64),
+                "residual": np.int64(dropped[0][1] if dropped else 0),
+            }
+        )
+
+    part = toks.mapInPandas(partials, "tok string, cnt long, residual long")
+    # the residual column repeats per row within a partition's output;
+    # sum of per-partition DISTINCT residuals = the global bound. Tag
+    # rows with their partition to dedupe residuals exactly.
+    part = part.withColumn("pid", F.spark_partition_id())
+    bound = (
+        part.groupBy("pid")
+        .agg(F.first("residual").alias("r"))
+        .agg(F.sum("r").alias("bound"))
+    )
+    est = part.groupBy("tok").agg(F.sum("cnt").alias("est"))
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "tok")
+        .limit(10)
+    )
+    return (
+        exact_top.join(est, "tok", "left")
+        .crossJoin(bound)
+        .selectExpr(
+            "tok",
+            "exact_count",
+            "CAST(est IS NOT NULL AND est <= exact_count"
+            " AND exact_count - est <= bound AS BOOLEAN) AS within_bound",
+        )
+        .orderBy(F.desc("exact_count"), "tok")
+    )
+
+
+_FREQ_SQL = """
+SELECT tok, COUNT(*) AS exact_count, TRUE AS within_bound
+FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           AS tok
+    FROM documents) t
+GROUP BY tok
+ORDER BY exact_count DESC, tok
+LIMIT 10
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "sketch_hll_lifecycle": QuerySpec(
         sketch_hll_lifecycle,
@@ -542,5 +625,10 @@ REGISTRY: dict[str, QuerySpec] = {
         sketch_kll_quantiles,
         _KLL_SQL,
         "mergeable quantile sketches; exact-rank-of-estimate bound",
+    ),
+    "sketch_freq_items": QuerySpec(
+        sketch_freq_items,
+        _FREQ_SQL,
+        "space-saving heavy hitters over tokens; residual-bound vs exact",
     ),
 }

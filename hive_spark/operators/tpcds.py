@@ -87,6 +87,7 @@ def _item(strtype: str) -> str:
     return f"""
 SELECT p_partkey AS i_item_sk,
        concat('ITEM', lpad(CAST(p_partkey AS {strtype}), 10, '0')) AS i_item_id,
+       p_name AS i_item_desc,
        p_brand AS i_brand,
        CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
        split_part(p_type, ' ', 1) AS i_category,
@@ -94,10 +95,25 @@ SELECT p_partkey AS i_item_sk,
             WHEN 'STANDARD' THEN 1 WHEN 'SMALL' THEN 2 WHEN 'MEDIUM' THEN 3
             WHEN 'LARGE' THEN 4 WHEN 'ECONOMY' THEN 5 WHEN 'PROMO' THEN 6
             ELSE 0 END AS i_category_id,
+       split_part(p_type, ' ', 2) AS i_class,
+       p_retailprice AS i_current_price,
        CAST(substr(p_brand, 7, 1) AS INT) AS i_manufact_id,
        concat('Manufacturer#', substr(p_brand, 7, 1)) AS i_manufact,
        CAST(1 + (p_size % 40) AS INT) AS i_manager_id
 FROM part"""
+
+
+def _store_returns(datefmt: str) -> str:
+    """Returns fact: the 'R'-flagged lineitem rows, keyed like the
+    sales fact so sales<->returns joins on (ticket, item, customer)."""
+    return f"""
+SELECT
+  l_orderkey                                   AS sr_ticket_number,
+  l_partkey                                    AS sr_item_sk,
+  1 + (l_orderkey % {_NCUST})                  AS sr_customer_sk,
+  CAST({datefmt} AS INT)                       AS sr_returned_date_sk,
+  l_extendedprice * l_tax                      AS sr_net_loss
+FROM lineitem WHERE l_returnflag = 'R'"""
 
 
 def _store(strtype: str) -> str:
@@ -220,6 +236,7 @@ FROM ({date_src})"""
         ("customer_demographics", _CDEMO.format(range_1_7201=rng(1, 7201))),
         ("promotion", _PROMO.format(range_1_301=rng(1, 301))),
         ("store_sales", _store_sales(datefmt)),
+        ("store_returns", _store_returns(datefmt)),
         ("mss", _MSS),
         ("channel_sales", _CHANNEL),
     ]
@@ -476,6 +493,68 @@ FROM (SELECT /*+ BROADCAST(date_dim, store, household_demographics) */
 WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
 ORDER BY cnt DESC, c_last_name, ss_ticket_number"""
 
+# ref: perf/query25.q — MULTI-FACT join: sales matched to their returns
+# on (customer, item, ticket), each fact gated by its own date_dim alias
+_Q25 = f"""
+SELECT /*+ BROADCAST(d1, d2, store, item) */
+       i_item_id, s_store_name,
+       {_qsum("ss_ext_sales_price", "store_sales_revenue")},
+       {_qsum("sr_net_loss", "store_returns_loss")}
+FROM store_sales, store_returns, date_dim d1, date_dim d2, store, item
+WHERE d1.d_moy = 4 AND d1.d_year = 1996
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 1996
+GROUP BY i_item_id, s_store_name
+ORDER BY i_item_id, s_store_name
+LIMIT 100"""
+
+# ref: perf/query88.q — N independent time-band counts cross-joined into
+# one row (each subquery reduces to a single count)
+_TIMEBAND_TMPL = """
+ (SELECT COUNT(*) AS {alias}
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = t_time_sk
+    AND ss_hdemo_sk = hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND t_hour = {hour} AND t_minute {minute_cond}
+    AND ((hd_dep_count = 3 AND hd_vehicle_count <= 5) OR
+         (hd_dep_count = 0 AND hd_vehicle_count <= 2) OR
+         (hd_dep_count = 1 AND hd_vehicle_count <= 3))
+    AND s_store_name = 'Store_1') {tag}"""
+
+_Q88 = "SELECT * FROM" + ",".join(
+    _TIMEBAND_TMPL.format(alias=a, hour=h, minute_cond=mc, tag=t)
+    for a, h, mc, t in [
+        ("h8_30_to_9", 8, ">= 30", "s1"),
+        ("h9_to_9_30", 9, "< 30", "s2"),
+        ("h9_30_to_10", 9, ">= 30", "s3"),
+        ("h10_to_10_30", 10, "< 30", "s4"),
+    ]
+)
+
+# ref: perf/query98.q — class-relative revenue ratio: window over the
+# grouped aggregate (SUM(SUM(..)) OVER (PARTITION BY i_class))
+_Q98 = """
+SELECT /*+ BROADCAST(item, date_dim) */
+       i_item_desc, i_category, i_class, i_current_price,
+       CAST(SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS itemrevenue,
+       CAST(SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS DOUBLE)
+         * 100 / CAST(SUM(SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)))
+                      OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+FROM store_sales, item, date_dim
+WHERE ss_item_sk = i_item_sk
+  AND i_category IN ('STANDARD', 'SMALL', 'PROMO')
+  AND ss_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1996-01-12' AND DATE '1996-02-11'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price"""
+
 # ref: perf/query96.q — count-only 4-way star
 _Q96 = """
 SELECT /*+ BROADCAST(household_demographics, time_dim, store) */
@@ -492,6 +571,7 @@ _BODIES = {
     "tpcds_q3": _Q3,
     "tpcds_q7": _Q7,
     "tpcds_q19": _Q19,
+    "tpcds_q25_sales_returns": _Q25,
     "tpcds_q27_rollup": _Q27,
     "tpcds_q34": _Q34,
     "tpcds_q42": _Q42,
@@ -501,7 +581,9 @@ _BODIES = {
     "tpcds_q68": _Q68,
     "tpcds_q71_multichannel": _Q71,
     "tpcds_q73": _Q73,
+    "tpcds_q88_time_bands": _Q88,
     "tpcds_q96": _Q96,
+    "tpcds_q98_class_ratio": _Q98,
 }
 
 

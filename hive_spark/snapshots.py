@@ -76,3 +76,48 @@ def expire(path: str, keep_last: int = 2) -> list[int]:
     for v in to_drop:
         shutil.rmtree(_vdir(path, v), ignore_errors=True)
     return to_drop
+
+
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot history relation (Iceberg's `<table>$history` /
+    `$snapshots` metadata-table analog, ref: iceberg-handler
+    HiveIcebergStorageHandler metadata tables): one row per retained
+    version with its commit time, current-pointer flag, and schema —
+    schema is PER VERSION, so this also surfaces schema evolution."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    cur = current_version(path)
+    rows = []
+    for v in versions(path):
+        vd = _vdir(path, v)
+        mtime = datetime.datetime.fromtimestamp(
+            os.stat(vd).st_mtime, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+        schema = spark.read.parquet(vd).columns
+        rows.append(
+            Row(
+                version=v,
+                committed_at=mtime,
+                is_current=(v == cur),
+                columns=schema,
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def evolve_add_columns(
+    spark: SparkSession, path: str, new_cols: dict[str, str]
+) -> int:
+    """Schema evolution, add-column flavor (Iceberg's most common DDL):
+    publish a NEW version whose schema adds `new_cols` (name -> SQL
+    expression over the existing columns, or a literal for a constant
+    default). Old versions keep their original schema — time travel
+    returns the schema AS OF that version, exactly like Iceberg."""
+    from pyspark.sql import functions as F
+
+    df = read_table(spark, path)
+    for name, expr in new_cols.items():
+        df = df.withColumn(name, F.expr(expr))
+    return write_version(df, path)

@@ -367,3 +367,49 @@ def test_package_unknown_proc_signals(spark):
         """,
     )
     assert out.printed == ["caught"]
+
+
+def test_resignal_and_get_diagnostics(spark):
+    """RESIGNAL re-raises the condition under handling (surfacing to the
+    caller in the flat script scope); GET DIAGNOSTICS reads the
+    diagnostics area (MESSAGE_TEXT / CONDITION_IDENTIFIER / ROW_COUNT)."""
+    import pytest
+
+    from hive_spark.hplsql import HplSignal, run_hplsql
+
+    # GET DIAGNOSTICS inside a handler sees the condition being handled
+    # (a handler body is one statement; ERRORMSG carries the text out)
+    out = run_hplsql(
+        spark,
+        """
+        DECLARE bad_load CONDITION;
+        DECLARE CONTINUE HANDLER FOR bad_load
+          GET DIAGNOSTICS c = CONDITION_IDENTIFIER;
+        SIGNAL bad_load, 'file missing';
+        PRINT c;
+        PRINT errormsg;
+        """,
+    )
+    assert out.printed == ["bad_load", "file missing"]
+
+    # ROW_COUNT tracks the last SQL statement's result size
+    out2 = run_hplsql(
+        spark,
+        """
+        SELECT * FROM (VALUES (1), (2), (3)) AS t(x);
+        GET DIAGNOSTICS n = ROW_COUNT;
+        PRINT n;
+        """,
+    )
+    assert out2.printed[-1] == "3"
+
+    # RESIGNAL from a handler surfaces the (renamed) condition
+    with pytest.raises(HplSignal, match="escalated"):
+        run_hplsql(
+            spark,
+            """
+            DECLARE oops CONDITION;
+            DECLARE CONTINUE HANDLER FOR oops RESIGNAL worse, 'escalated';
+            SIGNAL oops, 'minor';
+            """,
+        )

@@ -40,6 +40,8 @@ CARTESIAN_OK = {
     "sketch_hll_cross_table_union",  # 1-row estimate x 1-row exact count
     "sketch_theta_set_algebra",  # two 1-row sketches crossed for algebra
     "sketch_kll_quantiles",  # <=2*groups quantile rows NLJ'd over the fact
+    "sketch_freq_items",  # 1-row residual bound crossed with top-10
+    "tpcds_q88_time_bands",  # q88 shape: 1-row time-band counts crossed
 }
 
 # queries allowed a row-at-a-time Python UDF

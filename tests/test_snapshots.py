@@ -86,3 +86,30 @@ def test_schema_evolution_across_versions(spark, sf_dir):
     assert (
         snapshots.read_table(spark, path, 1).filter("tier = 0").count() == 3
     )
+
+
+def test_schema_evolution_add_column_with_time_travel(spark, tmp_path):
+    """Add-column evolution publishes a new version; time travel to the
+    old version returns the OLD schema (per-version schema, the Iceberg
+    semantics), and $history-style metadata surfaces both."""
+    from pyspark.sql import functions as F
+
+    from hive_spark import snapshots
+
+    path = str(tmp_path / "evolving")
+    snapshots.write_version(
+        spark.range(4).select(F.col("id"), (F.col("id") * 2).alias("v")), path
+    )
+    v1 = snapshots.evolve_add_columns(
+        spark, path, {"v_sq": "v * v", "tag": "'backfilled'"}
+    )
+    assert snapshots.read_table(spark, path).columns == ["id", "v", "v_sq", "tag"]
+    assert snapshots.read_table(spark, path, 0).columns == ["id", "v"]
+    assert (
+        snapshots.read_table(spark, path, v1).filter("v_sq <> v * v").count()
+        == 0
+    )
+
+    hist = {r.version: r for r in snapshots.history(spark, path).collect()}
+    assert hist[0].columns == ["id", "v"] and not hist[0].is_current
+    assert hist[v1].columns == ["id", "v", "v_sq", "tag"] and hist[v1].is_current
