@@ -142,6 +142,42 @@ def main() -> None:
     for df in views(spark, SF_DIR).values():
         df.limit(1).count()
 
+    # Two-point scaling table FIRST, right after warm-up: the sweep is
+    # the noise-sensitive measurement, and running it before the 19-query
+    # suite keeps heap/GC state comparable between base and scaled runs
+    # (measured: ratios match isolated runs; at the END of the session
+    # they inflate ~1.4x). Same queries, SCALE_FACTOR× the fact rows.
+    # time_ratio << data_ratio demonstrates the fixed overhead amortizing
+    # (the local[32] stand-in for the 1000-executor scale-up argument).
+    sweep: dict[str, dict[str, float]] = {}
+    if SCALE_FACTOR > 1:
+        scaled_dir = _build_scaled_dir(spark, SF_DIR, SCALE_FACTOR)
+
+        def _best2(spec, d: str) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        for name in SCALE_SWEEP:
+            spec = registry[name]
+            # re-measure the base back-to-back with the scaled run: the
+            # suite timing above was taken early in the session (lower
+            # heap/GC pressure), and a ratio of measurements taken under
+            # DIFFERENT session states overstated scaling by up to 1.6x
+            # (r3's q18 "2.05x" was 1.28x when base and scaled ran
+            # adjacently — the plan shape was never the cause)
+            base = _best2(spec, SF_DIR)
+            scaled = _best2(spec, scaled_dir)
+            sweep[name] = {
+                "t_base": round(base, 3),
+                "t_scaled": round(scaled, 3),
+                "data_ratio": float(SCALE_FACTOR),
+                "time_ratio": round(scaled / max(base, 1e-9), 2),
+            }
+
     # best-of-2 per query: the first run pays one-time costs (plan
     # compile, codegen, scratch writes); the min is the steady-state
     # number a long-lived session sees, and damps co-tenant noise
@@ -182,39 +218,6 @@ def main() -> None:
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         extra[name] = round(best, 3)
-
-    # Two-point scaling table: same queries, SCALE_FACTOR× the fact rows.
-    # time_ratio << data_ratio demonstrates the fixed overhead amortizing
-    # (the local[32] stand-in for the 1000-executor scale-up argument).
-    sweep: dict[str, dict[str, float]] = {}
-    if SCALE_FACTOR > 1:
-        scaled_dir = _build_scaled_dir(spark, SF_DIR, SCALE_FACTOR)
-
-        def _best2(spec, d: str) -> float:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                spec.fn(spark, d).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        for name in SCALE_SWEEP:
-            spec = registry[name]
-            # re-measure the base back-to-back with the scaled run: the
-            # suite timing above was taken early in the session (lower
-            # heap/GC pressure), and a ratio of measurements taken under
-            # DIFFERENT session states overstated scaling by up to 1.6x
-            # (r3's q18 "2.05x" was 1.28x when base and scaled ran
-            # adjacently — the plan shape was never the cause)
-            base = _best2(spec, SF_DIR)
-            scaled = _best2(spec, scaled_dir)
-            sweep[name] = {
-                "t_base": round(base, 3),
-                "t_base_suite": timings[name],
-                "t_scaled": round(scaled, 3),
-                "data_ratio": float(SCALE_FACTOR),
-                "time_ratio": round(scaled / max(base, 1e-9), 2),
-            }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -308,19 +308,28 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = _DOTQ.format(a="q.qemb", b="t.embedding")
     # BROADCAST(q): the probe rows are the build side; without the hint
     # Spark broadcasts the INDEX relation (collecting the whole banded
-    # index through the driver — exactly backwards at 100 TB)
+    # index through the driver — exactly backwards at 100 TB).
+    # REPARTITION(query_id) right after the join: HashPartitioning on
+    # query_id satisfies the dedup GROUP BY (query_id, neighbor_id) AND
+    # the top-k window's PARTITION BY query_id, so the dedup, the
+    # window, and the rank filter all ride ONE exchange instead of the
+    # r3 chain of (query_id, vec_id) + (query_id) exchanges (~15%
+    # of the query's wall time at sf0.1).
     return spark.sql(
         f"""
-        WITH scored AS (
-            SELECT /*+ BROADCAST(q) */
+        WITH pairs AS (
+            SELECT /*+ BROADCAST(q), REPARTITION(8, query_id) */
                    q.query_id, t.vec_id AS neighbor_id,
-                   MAX(CAST({dot} AS DOUBLE)
-                       / (SQRT(CAST(q.qnorm AS DOUBLE))
-                          * SQRT(CAST(t.norm2q AS DOUBLE)))) AS cosine
+                   CAST({dot} AS DOUBLE)
+                     / (SQRT(CAST(q.qnorm AS DOUBLE))
+                        * SQRT(CAST(t.norm2q AS DOUBLE))) AS c
             FROM _lsh_probe q
             JOIN _emb_bands t
               ON q.band = t.band AND q.sig = t.sig AND q.query_id != t.vec_id
-            GROUP BY q.query_id, t.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, MAX(c) AS cosine
+            FROM pairs GROUP BY query_id, neighbor_id
         )
         SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,9)) AS cosine,
                CAST(rnk AS BIGINT) AS rnk
