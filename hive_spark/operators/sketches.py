@@ -517,6 +517,106 @@ ORDER BY l_returnflag, q
 """
 
 
+def sketch_tuple_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple sketch: theta's key sample with a per-key SUMMARY column
+    (ref: DataSketchesFunctions.java tuple family — ds_tuple_arrayofdoubles
+    carries per-key aggregates through sketch set operations).
+
+    Build: aggregate orders to (custkey, revenue_cents) — the tuple
+    sketch's per-key summary — then keep the k keys with smallest
+    xxhash64, carrying their summaries (one agg shuffle + a p*k merge;
+    the retained set is a uniform key sample with inclusion probability
+    theta). Estimators: distinct customers = |retained|/theta (theta),
+    total revenue = sum(retained summaries)/theta (Horvitz-Thompson over
+    the key sample). Both checked against exact answers; the DuckDB
+    oracle recomputes the exact side with literal TRUE."""
+    import numpy as np
+    import pandas as pd
+
+    views(spark, sf_dir)
+    k = _THETA_K
+    per_key = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "s"
+            )
+        )
+        .select(F.xxhash64("o_custkey").alias("h"), "s")
+    )
+
+    def partials(batches):
+        hs = np.empty(0, dtype=np.int64)
+        ss = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            hs = np.concatenate([hs, pdf["h"].to_numpy(dtype=np.int64)])
+            ss = np.concatenate([ss, pdf["s"].to_numpy(dtype=np.int64)])
+            if len(hs) > k:
+                idx = np.argpartition(hs, k)[:k]
+                hs, ss = hs[idx], ss[idx]
+        if len(hs):
+            yield pd.DataFrame({"hs": [hs.tolist()], "ss": [ss.tolist()]})
+
+    part = per_key.mapInPandas(partials, "hs array<long>, ss array<long>")
+    _by_h = (
+        "(a, b) -> CASE WHEN a.hs < b.hs THEN -1"
+        " WHEN a.hs > b.hs THEN 1 ELSE 0 END"
+    )
+    sk = part.agg(
+        F.expr(
+            f"slice(array_sort(flatten(collect_list(arrays_zip(hs, ss))),"
+            f" {_by_h}), 1, {k})"
+        ).alias("pairs")
+    ).select(
+        F.expr(f"transform(pairs, p -> {_U01.format(h='p.hs')})").alias("us"),
+        F.expr("transform(pairs, p -> p.ss)").alias("sums"),
+    )
+    sat = F.size("us") >= k
+    sk = sk.withColumn(
+        "theta", F.when(sat, F.element_at("us", k)).otherwise(F.lit(1.0))
+    ).select(
+        (
+            F.size(F.expr("filter(us, x -> x < theta)")) / F.col("theta")
+        ).alias("est_distinct"),
+        F.expr(
+            "aggregate(zip_with(us, sums, (u, s) ->"
+            " IF(u < theta, s, 0L)), 0L, (acc, x) -> acc + x)"
+        ).cast("double").alias("_ret_sum"),
+        "theta",
+    ).select(
+        "est_distinct",
+        (F.col("_ret_sum") / F.col("theta") / 100.0).alias("est_revenue"),
+    )
+    exact = spark.sql(
+        """
+        SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS exact_revenue
+        FROM orders
+        """
+    )
+    return sk.crossJoin(exact).selectExpr(
+        "exact_customers",
+        "CAST(exact_revenue AS DECIMAL(18,2)) AS exact_revenue",
+        "CAST(abs(est_distinct - exact_customers)"
+        " <= greatest(0.08 * exact_customers, 8.0) AS BOOLEAN)"
+        " AS distinct_within_bound",
+        "CAST(abs(est_revenue - exact_revenue)"
+        " <= 0.10 * exact_revenue AS BOOLEAN) AS revenue_within_bound",
+    )
+
+
+_TUPLE_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+       CAST(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100 AS DECIMAL(18,2)) AS exact_revenue,
+       TRUE AS distinct_within_bound,
+       TRUE AS revenue_within_bound
+FROM orders
+"""
+
+
 def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items (heavy hitters) sketch over document tokens (ref:
     DataSketchesFunctions.java frequencies family — ds_freq_items).
@@ -630,5 +730,10 @@ REGISTRY: dict[str, QuerySpec] = {
         sketch_freq_items,
         _FREQ_SQL,
         "space-saving heavy hitters over tokens; residual-bound vs exact",
+    ),
+    "sketch_tuple_sum": QuerySpec(
+        sketch_tuple_sum,
+        _TUPLE_SQL,
+        "tuple sketch: key sample + summaries; HT estimators vs exact",
     ),
 }
