@@ -79,7 +79,9 @@ SELECT
   l_extendedprice * (1.0 + l_tax)                               AS ss_ext_list_price,
   l_extendedprice * l_tax                                       AS ss_ext_tax,
   l_extendedprice * l_discount                                  AS ss_coupon_amt,
-  l_extendedprice * (1.0 - l_discount)                          AS ss_sales_price
+  l_extendedprice * (1.0 - l_discount)                          AS ss_sales_price,
+  l_extendedprice * (1.0 - l_tax)                               AS ss_ext_wholesale_cost,
+  l_extendedprice * (l_tax - l_discount)                        AS ss_net_profit
 FROM lineitem"""
 
 
@@ -142,6 +144,7 @@ def _customer_address(strtype: str) -> str:
     return f"""
 SELECT c_custkey AS ca_address_sk,
        concat('City_', CAST((c_custkey * 7) % 30 AS {strtype})) AS ca_city,
+       concat('ST_', CAST((c_custkey * 3) % 10 AS {strtype})) AS ca_state,
        lpad(CAST((c_custkey * 17) % 100000 AS {strtype}), 5, '0') AS ca_zip
 FROM customer"""
 
@@ -203,6 +206,7 @@ def _star_sql(dialect: str) -> list[tuple[str, str]]:
     if dialect == "spark":
         datefmt = "date_format(l_shipdate, 'yyyyMMdd')"
         strtype = "STRING"
+        dayname = "date_format(d, 'EEEE')"
         date_src = (
             "SELECT explode(sequence(DATE'1992-01-01', DATE'1998-12-31',"
             " INTERVAL 1 DAY)) AS d"
@@ -211,6 +215,7 @@ def _star_sql(dialect: str) -> list[tuple[str, str]]:
     else:
         datefmt = "strftime(l_shipdate, '%Y%m%d')"
         strtype = "VARCHAR"
+        dayname = "dayname(d)"
         date_src = (
             "SELECT unnest(generate_series(DATE '1992-01-01',"
             " DATE '1998-12-31', INTERVAL 1 DAY)) AS d"
@@ -222,7 +227,9 @@ SELECT CAST({datefmt.replace('l_shipdate', 'd')} AS INT) AS d_date_sk,
        CAST(d AS DATE) AS d_date,
        CAST(year(d) AS INT) AS d_year,
        CAST(month(d) AS INT) AS d_moy,
-       CAST(day(d) AS INT) AS d_dom
+       CAST(day(d) AS INT) AS d_dom,
+       {dayname} AS d_day_name,
+       CAST((year(d) - 1992) * 12 + month(d) AS INT) AS d_month_seq
 FROM ({date_src})"""
 
     return [
@@ -493,6 +500,154 @@ FROM (SELECT /*+ BROADCAST(date_dim, store, household_demographics) */
 WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
 ORDER BY cnt DESC, c_last_name, ss_ticket_number"""
 
+# ref: perf/query6.q — state report gated by a scalar month_seq subquery
+# AND a CORRELATED per-category average-price subquery (price compare in
+# exact integer cents so the decorrelated average is engine-identical)
+_Q6 = """
+SELECT a.ca_state AS state, COUNT(*) AS cnt
+FROM customer_address a, customer_ds c, store_sales s, date_dim d, item i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq =
+      (SELECT DISTINCT d_month_seq FROM date_dim
+       WHERE d_year = 1996 AND d_moy = 2)
+  AND CAST(round(i.i_current_price * 100) AS BIGINT) > 1.03 *
+      (SELECT AVG(CAST(round(j.i_current_price * 100) AS BIGINT))
+       FROM item j WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING COUNT(*) >= 2
+ORDER BY cnt, state
+LIMIT 100"""
+
+# ref: perf/query13.q — disjunctive demographic/price bands: each OR arm
+# pairs different cd/hd predicates with a different sales-price range
+_Q13 = f"""
+SELECT {_qavg("ss_quantity", "avg_qty")},
+       {_qavg("ss_ext_sales_price", "avg_sales")},
+       {_qavg("ss_ext_wholesale_cost", "avg_wholesale")},
+       {_qsum("ss_ext_wholesale_cost", "sum_wholesale")}
+FROM store_sales, store, customer_demographics, household_demographics,
+     customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 1996
+  AND ss_addr_sk = ca_address_sk
+  AND ca_state IN ('ST_0', 'ST_2', 'ST_4', 'ST_6', 'ST_8')
+  AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M' AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price BETWEEN 10000.0 AND 80000.0 AND hd_dep_count = 3)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'S' AND cd_education_status = 'College'
+        AND ss_sales_price BETWEEN 5000.0 AND 60000.0 AND hd_dep_count = 1)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price BETWEEN 1000.0 AND 90000.0 AND hd_dep_count = 0))"""
+
+# ref: perf/query32.q — "excess discount": rows whose coupon amount
+# exceeds 1.3x the per-item average (correlated subquery, cents-exact)
+_Q32 = f"""
+SELECT {_qsum("ss_coupon_amt", "excess_discount_amount")}
+FROM store_sales, item, date_dim
+WHERE i_manufact_id = 2
+  AND i_item_sk = ss_item_sk
+  AND d_date BETWEEN DATE '1996-03-18' AND DATE '1996-06-16'
+  AND d_date_sk = ss_sold_date_sk
+  AND CAST(round(ss_coupon_amt * 100) AS BIGINT) >
+      (SELECT 1.3 * AVG(CAST(round(s2.ss_coupon_amt * 100) AS BIGINT))
+       FROM store_sales s2, date_dim d2
+       WHERE s2.ss_item_sk = i_item_sk
+         AND d2.d_date BETWEEN DATE '1996-03-18' AND DATE '1996-06-16'
+         AND d2.d_date_sk = s2.ss_sold_date_sk)"""
+
+# ref: perf/query36.q — gross-margin ROLLUP with RANK WITHIN PARENT
+# (window partitioned by the grouping level over the grouped aggregate)
+_Q36 = """
+SELECT CAST(SUM(CAST(round(ss_net_profit * 100) AS BIGINT)) AS DOUBLE)
+         / SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT))
+         AS gross_margin,
+       i_category, i_class,
+       CAST(grouping(i_category) + grouping(i_class) AS BIGINT)
+         AS lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY grouping(i_category) + grouping(i_class),
+                      CASE WHEN grouping(i_class) = 0 THEN i_category END
+         ORDER BY CAST(SUM(CAST(round(ss_net_profit * 100) AS BIGINT))
+                       AS DOUBLE)
+                  / SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT))
+                  ASC) AS BIGINT) AS rank_within_parent
+FROM store_sales, date_dim d1, item, store
+WHERE d1.d_year = 1996
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND s_county IN ('County_0','County_1','County_2','County_3',
+                   'County_4','County_5','County_6','County_7')
+GROUP BY ROLLUP(i_category, i_class)"""
+
+# ref: perf/query43.q — day-of-week pivot report per store
+_Q43 = """
+SELECT s_store_name, s_store_sk AS s_store_id,
+       CAST(SUM(CASE WHEN d_day_name = 'Sunday'
+            THEN CAST(round(ss_sales_price * 100) AS BIGINT) END) AS DOUBLE)
+         / 100 AS sun_sales,
+       CAST(SUM(CASE WHEN d_day_name = 'Monday'
+            THEN CAST(round(ss_sales_price * 100) AS BIGINT) END) AS DOUBLE)
+         / 100 AS mon_sales,
+       CAST(SUM(CASE WHEN d_day_name = 'Tuesday'
+            THEN CAST(round(ss_sales_price * 100) AS BIGINT) END) AS DOUBLE)
+         / 100 AS tue_sales,
+       CAST(SUM(CASE WHEN d_day_name = 'Wednesday'
+            THEN CAST(round(ss_sales_price * 100) AS BIGINT) END) AS DOUBLE)
+         / 100 AS wed_sales,
+       CAST(SUM(CASE WHEN d_day_name = 'Thursday'
+            THEN CAST(round(ss_sales_price * 100) AS BIGINT) END) AS DOUBLE)
+         / 100 AS thu_sales,
+       CAST(SUM(CASE WHEN d_day_name = 'Friday'
+            THEN CAST(round(ss_sales_price * 100) AS BIGINT) END) AS DOUBLE)
+         / 100 AS fri_sales,
+       CAST(SUM(CASE WHEN d_day_name = 'Saturday'
+            THEN CAST(round(ss_sales_price * 100) AS BIGINT) END) AS DOUBLE)
+         / 100 AS sat_sales
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_county IN ('County_0','County_2','County_4','County_6','County_8')
+  AND d_year = 1996
+GROUP BY s_store_name, s_store_sk
+ORDER BY s_store_name, s_store_id
+LIMIT 100"""
+
+# ref: perf/query61.q — promotional vs total sales: two independent
+# star aggregates crossed into one ratio row
+_Q61 = f"""
+SELECT promotions, total,
+       CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE) * 100 AS promo_pct
+FROM
+  (SELECT {_qsum("ss_ext_sales_price", "promotions")}
+   FROM store_sales, store, promotion, date_dim, customer_ds,
+        customer_address, item
+   WHERE ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND ss_promo_sk = p_promo_sk
+     AND ss_customer_sk = c_customer_sk
+     AND ca_address_sk = c_current_addr_sk
+     AND ss_item_sk = i_item_sk
+     AND ca_state IN ('ST_1', 'ST_3', 'ST_5')
+     AND i_category = 'STANDARD'
+     AND (p_channel_email = 'Y' OR p_channel_event = 'Y')
+     AND d_year = 1996 AND d_moy = 11) promotional_sales,
+  (SELECT {_qsum("ss_ext_sales_price", "total")}
+   FROM store_sales, store, date_dim, customer_ds, customer_address, item
+   WHERE ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND ss_customer_sk = c_customer_sk
+     AND ca_address_sk = c_current_addr_sk
+     AND ss_item_sk = i_item_sk
+     AND ca_state IN ('ST_1', 'ST_3', 'ST_5')
+     AND i_category = 'STANDARD'
+     AND d_year = 1996 AND d_moy = 11) all_sales"""
+
 # ref: perf/query25.q — MULTI-FACT join: sales matched to their returns
 # on (customer, item, ticket), each fact gated by its own date_dim alias
 _Q25 = f"""
@@ -569,12 +724,18 @@ WHERE ss_sold_time_sk = t_time_sk
 
 _BODIES = {
     "tpcds_q3": _Q3,
+    "tpcds_q6_correlated_avg": _Q6,
     "tpcds_q7": _Q7,
+    "tpcds_q13_or_bands": _Q13,
     "tpcds_q19": _Q19,
     "tpcds_q25_sales_returns": _Q25,
     "tpcds_q27_rollup": _Q27,
+    "tpcds_q32_excess_discount": _Q32,
     "tpcds_q34": _Q34,
+    "tpcds_q36_margin_rank": _Q36,
     "tpcds_q42": _Q42,
+    "tpcds_q43_dayofweek": _Q43,
+    "tpcds_q61_promo_ratio": _Q61,
     "tpcds_q52": _Q52,
     "tpcds_q55": _Q55,
     "tpcds_q59_cte_reuse": _Q59,
