@@ -97,7 +97,7 @@ SELECT p_partkey AS i_item_sk,
             WHEN 'STANDARD' THEN 1 WHEN 'SMALL' THEN 2 WHEN 'MEDIUM' THEN 3
             WHEN 'LARGE' THEN 4 WHEN 'ECONOMY' THEN 5 WHEN 'PROMO' THEN 6
             ELSE 0 END AS i_category_id,
-       split_part(p_type, ' ', 2) AS i_class,
+       concat('CLASS_', CAST(p_size % 5 AS {strtype})) AS i_class,
        p_retailprice AS i_current_price,
        CAST(substr(p_brand, 7, 1) AS INT) AS i_manufact_id,
        concat('Manufacturer#', substr(p_brand, 7, 1)) AS i_manufact,
@@ -122,6 +122,7 @@ def _store(strtype: str) -> str:
     return f"""
 SELECT s_suppkey AS s_store_sk,
        concat('Store_', CAST(s_suppkey % 3 AS {strtype})) AS s_store_name,
+       concat('Company_', CAST(s_suppkey % 2 AS {strtype})) AS s_company_name,
        concat('City_', CAST(s_nationkey AS {strtype})) AS s_city,
        concat('County_', CAST(s_nationkey % 10 AS {strtype})) AS s_county,
        lpad(CAST((s_nationkey * 371) % 100000 AS {strtype}), 5, '0') AS s_zip
@@ -265,6 +266,10 @@ def _register_star(spark: SparkSession, sf_dir: str) -> None:
 
 def _oracle(body: str) -> str:
     ctes = ",\n".join(f"{n} AS ({sql})" for n, sql in _star_sql("duck"))
+    stripped = body.lstrip()
+    if stripped.upper().startswith("WITH "):
+        # merge the body's own CTEs into the star prelude's WITH chain
+        return f"WITH {ctes},\n{stripped[5:]}"
     return f"WITH {ctes}\n{body}"
 
 
@@ -710,6 +715,60 @@ WHERE ss_item_sk = i_item_sk
   AND d_date BETWEEN DATE '1996-01-12' AND DATE '1996-02-11'
 GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price"""
 
+# ref: perf/query65.q — two-level aggregation: per-(store,item) revenue
+# joined against the per-store AVERAGE of those revenues (the inner
+# relation is a CTE consumed twice, as in q59); cents-exact revenues so
+# the avg and the <= comparison are engine-identical
+_Q65 = """
+WITH sa AS (
+  SELECT ss_store_sk, ss_item_sk,
+         SUM(CAST(round(ss_sales_price * 100) AS BIGINT)) AS revenue_cents
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 49 AND 60
+  GROUP BY ss_store_sk, ss_item_sk),
+sb AS (
+  SELECT ss_store_sk, AVG(revenue_cents) AS ave
+  FROM sa GROUP BY ss_store_sk)
+SELECT s_store_name, s_store_sk AS s_store_id, i_item_id, i_item_desc,
+       CAST(sc.revenue_cents AS DOUBLE) / 100 AS revenue,
+       i_current_price, i_brand
+FROM store, item, sb, sa sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  AND sc.revenue_cents <= 0.5 * sb.ave
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name, i_item_desc, i_item_id, s_store_id
+LIMIT 100"""
+
+# ref: perf/query89.q — monthly sales vs the brand/store average: AVG
+# window over the grouped aggregate, deviation filter on the ratio
+_Q89 = """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+         d_moy,
+         CAST(SUM(CAST(round(ss_sales_price * 100) AS BIGINT)) AS DOUBLE)
+           / 100 AS sum_sales,
+         AVG(SUM(CAST(round(ss_sales_price * 100) AS BIGINT))) OVER
+           (PARTITION BY i_category, i_brand, s_store_name,
+                         s_company_name) / 100 AS avg_monthly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_year IN (1996)
+    AND ((i_category IN ('STANDARD', 'SMALL', 'MEDIUM')
+          AND i_class IN ('CLASS_0', 'CLASS_2'))
+      OR (i_category IN ('LARGE', 'ECONOMY', 'PROMO')
+          AND i_class IN ('CLASS_1', 'CLASS_3')))
+  GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name,
+           d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales <> 0
+           THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_brand, i_class,
+         i_category, d_moy
+LIMIT 100"""
+
 # ref: perf/query96.q — count-only 4-way star
 _Q96 = """
 SELECT /*+ BROADCAST(household_demographics, time_dim, store) */
@@ -736,6 +795,7 @@ _BODIES = {
     "tpcds_q42": _Q42,
     "tpcds_q43_dayofweek": _Q43,
     "tpcds_q61_promo_ratio": _Q61,
+    "tpcds_q65_below_avg_items": _Q65,
     "tpcds_q52": _Q52,
     "tpcds_q55": _Q55,
     "tpcds_q59_cte_reuse": _Q59,
@@ -743,6 +803,7 @@ _BODIES = {
     "tpcds_q71_multichannel": _Q71,
     "tpcds_q73": _Q73,
     "tpcds_q88_time_bands": _Q88,
+    "tpcds_q89_deviation": _Q89,
     "tpcds_q96": _Q96,
     "tpcds_q98_class_ratio": _Q98,
 }

@@ -88,3 +88,21 @@ def test_q59_cte_computed_once_per_side(spark, sf_dir, registry):
     assert all(r.sales_prev != 0 for r in rows)
     # year-over-year pairing: every row joins d_year 1997 to 1996
     assert len(rows) > 0
+
+
+@pytest.mark.parametrize(
+    "table",
+    [n for n, _ in __import__(
+        "hive_spark.operators.tpcds", fromlist=["tpcds"]
+    )._star_sql("spark")],
+)
+def test_star_table_matches_oracle(spark, sf_dir, table):
+    """Foundation check: every derived star relation is IDENTICAL between
+    the Spark temp-view derivation and the DuckDB CTE derivation — any
+    drift here would silently skew every query on top."""
+    tpcds._register_star(spark, sf_dir)
+    compare(
+        spark.table(table),
+        tpcds._oracle(f"SELECT * FROM {table}"),
+        sf_dir,
+    )
