@@ -20,8 +20,11 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 def main() -> None:
     spark = get_session(app_name="plan_shapes", master="local[8]", shuffle_partitions=8)
     reg = full_registry()
+    names = list(HEADLINE) + sorted(
+        n for n in reg if n.startswith("tpcds_")
+    )
     out = {}
-    for name in HEADLINE:
+    for name in names:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             reg[name].fn(spark, SF).explain("formatted")
