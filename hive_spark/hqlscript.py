@@ -24,6 +24,18 @@ Command mapping:
                             tables stay outside txn scope (no multi-
                             stmt txn in Spark itself — boundary
                             documented in txn.py)
+- ACID DML statements    -> ``UPDATE t SET ... [WHERE]``,
+                            ``DELETE FROM t [WHERE]``, ``MERGE INTO t
+                            USING s ON ... WHEN [NOT] MATCHED ...``
+                            (ref: ql/.../parse/UpdateDeleteSemantic-
+                            Analyzer.java, MergeSemanticAnalyzer.java)
+                            resolve the target table to its storage
+                            path (versioned registry ->
+                            `register_table_path` -> catalog location)
+                            and run the dml.py copy-on-write rewrites;
+                            VERSIONED targets publish a new snapshot
+                            version and participate in open
+                            BEGIN/COMMIT/ROLLBACK transactions
 - ``ADD JAR/FILE``       -> recorded no-op (cluster-level concern)
 - ``!shell`` / ``dfs``   -> rejected (side effects a query engine
                             should not silently run)
@@ -60,6 +72,29 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 _TXN = re.compile(r"^\s*(START\s+TRANSACTION|BEGIN|COMMIT|ROLLBACK)\b", re.I)
+_UPDATE_STMT = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
+    re.I | re.S,
+)
+_DELETE_STMT = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$", re.I | re.S
+)
+_MERGE_STMT = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+USING\s+"
+    r"(\((?:[^()]|\([^()]*\))*\)|[\w.]+)\s+(?:AS\s+)?(\w+)\s+ON\s+(.+?)"
+    r"\s+(WHEN\s+.+?)\s*$",
+    re.I | re.S,
+)
+_WHEN_MATCHED = re.compile(
+    r"WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+(.+?)|DELETE)\s*(?=WHEN\s|$)",
+    re.I | re.S,
+)
+_WHEN_NOT_MATCHED = re.compile(
+    r"WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s*"
+    r"(?:\(([^)]*)\))?\s*VALUES\s*\((.+?)\)\s*(?=WHEN\s|$)",
+    re.I | re.S,
+)
 # CREATE SCHEDULED QUERY q CRON '<expr>' AS <stmt> (Hive 4 grammar; ref
 # ql/.../scheduled/ScheduledQueryExecutionService.java + parser rule)
 _SCHED_CREATE = re.compile(
@@ -237,6 +272,137 @@ def _matching_paren(s: str, i: int) -> int:
             if depth == 0:
                 return j
     raise ValueError(f"unbalanced parens in {s[i:i+60]!r}")
+
+
+def _publish_dml(spark: SparkSession, res, name: str, path: str, build) -> None:
+    """Apply `build(latest_df) -> df` to a VERSIONED table: inside an
+    open transaction the new version goes through the txn (so ROLLBACK
+    undoes it); otherwise it publishes under the writer lock and the
+    session view re-points at the new latest."""
+    from hive_spark import snapshots
+    from hive_spark.txn import write_lock
+
+    key = name.lower()
+    if res is not None and res.txn is not None and getattr(res.txn, "active", False):
+        out = build(snapshots.read_table(spark, path))
+        res.txn.write(key, out)
+        return
+    with write_lock(path):
+        out = build(snapshots.read_table(spark, path))
+        snapshots.write_version(out, path)
+    snapshots.read_table(spark, path).createOrReplaceTempView(key)
+
+
+def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
+    """SQL-text UPDATE / DELETE / MERGE (Hive ACID DML statements, ref:
+    ql/.../parse/UpdateDeleteSemanticAnalyzer + MergeSemanticAnalyzer) —
+    rewritten onto the dml.py copy-on-write primitives. Returns True if
+    the statement was a DML statement (handled)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark import dml
+
+    m = _UPDATE_STMT.match(stmt)
+    if m and not re.match(r"^\s*UPDATE\s+STATISTICS\b", stmt, re.I):
+        name, set_text, where = m.group(1), m.group(2), m.group(3)
+        path, versioned = _resolve_dml_target(spark, name)
+        assigns = {}
+        for pair in _split_args(set_text):
+            pm = re.match(r"\s*([\w.]+)\s*=\s*(.+?)\s*$", pair, re.S)
+            assigns[pm.group(1).split(".")[-1]] = F.expr(pm.group(2))
+        cond = F.expr(where) if where else F.lit(True)
+        if versioned:
+            _publish_dml(
+                spark, res, name, path,
+                lambda t: dml.update_frame(t, cond, assigns),
+            )
+        else:
+            dml.update_where(spark, path, cond, assigns)
+        return True
+    m = _DELETE_STMT.match(stmt)
+    if m:
+        name, where = m.group(1), m.group(2)
+        path, versioned = _resolve_dml_target(spark, name)
+        cond = F.expr(where) if where else F.lit(True)
+        if versioned:
+            _publish_dml(
+                spark, res, name, path, lambda t: dml.delete_frame(t, cond)
+            )
+        else:
+            dml.delete_where(spark, path, cond)
+        return True
+    m = _MERGE_STMT.match(stmt)
+    if m:
+        name, talias, src_text, salias, on_text, when_text = m.groups()
+        path, versioned = _resolve_dml_target(spark, name)
+        source = (
+            spark.sql(src_text[1:-1].strip())
+            if src_text.startswith("(")
+            else spark.table(src_text)
+        )
+
+        def rw(e: str) -> str:
+            # user aliases -> the t/s aliases merge_frame joins under
+            e = re.sub(rf"\b{re.escape(talias)}\.", "t.", e, flags=re.I)
+            e = re.sub(rf"\b{re.escape(salias)}\.", "s.", e, flags=re.I)
+            return e
+
+        matched_update = None
+        matched_delete = None
+        not_matched_insert = None
+        for wm in _WHEN_MATCHED.finditer(when_text):
+            and_cond, action, set_text = wm.group(1), wm.group(2), wm.group(3)
+            if action.upper().startswith("DELETE"):
+                matched_delete = (
+                    F.expr(rw(and_cond)) if and_cond else F.lit(True)
+                )
+                continue
+            matched_update = {}
+            for pair in _split_args(set_text):
+                pm = re.match(r"\s*([\w.]+)\s*=\s*(.+?)\s*$", pair, re.S)
+                col, expr = pm.group(1).split(".")[-1], rw(pm.group(2))
+                if and_cond:
+                    expr = (
+                        f"CASE WHEN {rw(and_cond)} THEN ({expr})"
+                        f" ELSE t.{col} END"
+                    )
+                matched_update[col] = F.expr(expr)
+        for wm in _WHEN_NOT_MATCHED.finditer(when_text):
+            if wm.group(1):
+                raise ValueError(
+                    "WHEN NOT MATCHED AND <cond> is not supported: "
+                    "filter the USING source instead"
+                )
+            vals = [rw(v) for v in _split_args(wm.group(3))]
+            if wm.group(2):
+                cols = [c.strip().split(".")[-1] for c in wm.group(2).split(",")]
+            else:
+                from hive_spark import snapshots
+
+                cols = (
+                    snapshots.read_table(spark, path).columns
+                    if versioned
+                    else spark.read.parquet(path).columns
+                )
+            not_matched_insert = {
+                c: F.expr(v) for c, v in zip(cols, vals)
+            }
+        on = F.expr(rw(on_text))
+        if versioned:
+            _publish_dml(
+                spark, res, name, path,
+                lambda t: dml.merge_frame(
+                    t, source, on, matched_update, matched_delete,
+                    not_matched_insert,
+                ),
+            )
+        else:
+            dml.merge_into(
+                spark, path, source, on, matched_update, matched_delete,
+                not_matched_insert,
+            )
+        return True
+    return False
 
 
 def _split_args(s: str) -> list[str]:
@@ -532,6 +698,8 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     spark.conf.set(key, val)
                 except Exception:
                     pass  # hive-only knob: recorded above, nothing to set
+                continue
+            if _exec_dml(spark, res, stmt):
                 continue
             df = spark.sql(rewrite_statement(spark, stmt))
             if df.columns:  # statements with a result shape (SELECT/SHOW/...)

@@ -23,6 +23,7 @@ operator.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hive_spark.operators import QuerySpec, views
 
@@ -142,6 +143,83 @@ SELECT 'latest' AS snap, n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS ksum
 FROM nation WHERE n_regionkey <> 0 GROUP BY n_regionkey
 """
 
+def acid_dml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text UPDATE / DELETE / MERGE end-to-end (Hive ACID DML, ref:
+    ql/.../parse/UpdateDeleteSemanticAnalyzer.java,
+    MergeSemanticAnalyzer.java:85-102): a versioned copy of nation goes
+    through all three statements via run_script, and the summary reads
+    the final state back. The DuckDB oracle recomputes the same three
+    mutations as pure SQL over the pristine table."""
+    import os
+    import shutil
+    import tempfile
+
+    from hive_spark import snapshots
+    from hive_spark.hqlscript import VERSIONED_TABLES, register_versioned, run_script
+
+    v = views(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"hive_spark_acid_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    snapshots.write_version(
+        v["nation"].select("n_nationkey", "n_name", "n_regionkey"), path
+    )
+    register_versioned("nation_acid", path)
+    try:
+        run_script(
+            spark,
+            """
+            UPDATE nation_acid SET n_name = lower(n_name)
+            WHERE n_regionkey = 0;
+            DELETE FROM nation_acid WHERE n_nationkey % 7 = 3;
+            MERGE INTO nation_acid t USING (
+                SELECT n_nationkey + 100 AS k, n_name AS nm,
+                       n_regionkey AS rk
+                FROM nation_acid WHERE n_regionkey = 1
+            ) s ON t.n_nationkey = s.k
+            WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+                 VALUES (s.k, concat('copy_', s.nm), s.rk);
+            """,
+        )
+        return (
+            snapshots.read_table(spark, path)
+            .groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_nationkey").alias("ksum"),
+                F.sum(
+                    (F.col("n_name") == F.lower("n_name")).cast("int")
+                ).alias("n_lower"),
+            )
+            .orderBy("n_regionkey")
+        )
+    finally:
+        VERSIONED_TABLES.pop("nation_acid", None)
+
+
+_ACID_ORACLE = """
+WITH updated AS (
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN lower(n_name) ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation
+),
+deleted AS (
+    SELECT * FROM updated WHERE n_nationkey % 7 <> 3
+),
+merged AS (
+    SELECT * FROM deleted
+    UNION ALL
+    SELECT n_nationkey + 100, concat('copy_', n_name), n_regionkey
+    FROM deleted WHERE n_regionkey = 1
+)
+SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS ksum,
+       SUM(CASE WHEN n_name = lower(n_name) THEN 1 ELSE 0 END) AS n_lower
+FROM merged GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "hql_etl_multi_insert": QuerySpec(
         fn=etl_multi_insert_transform,
@@ -154,5 +232,11 @@ REGISTRY: dict[str, QuerySpec] = {
         oracle=_TT_ORACLE,
         doc="FOR SYSTEM_VERSION AS OF via SQL text over snapshots.py "
         "(FromClauseParser.g:220-224)",
+    ),
+    "hql_acid_dml": QuerySpec(
+        fn=acid_dml_text,
+        oracle=_ACID_ORACLE,
+        doc="SQL-text UPDATE/DELETE/MERGE through run_script onto the "
+        "CoW rewrites (Update/Delete/MergeSemanticAnalyzer)",
     ),
 }

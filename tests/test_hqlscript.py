@@ -67,3 +67,92 @@ def test_shell_commands_rejected(spark):
         run_script(spark, "!rm -rf /tmp/x;")
     with pytest.raises(ValueError, match="shell/dfs"):
         run_script(spark, "dfs -ls /;")
+
+
+def test_sql_text_update_delete_on_registered_path(spark, tmp_path):
+    """UPDATE/DELETE as SQL text over a plain parquet table registered
+    via register_table_path — routed to the copy-on-write DML rewrites
+    (Hive Update/DeleteSemanticAnalyzer surface)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark.hqlscript import TABLE_PATHS, register_table_path, run_script
+
+    path = str(tmp_path / "acct")
+    spark.range(10).withColumn("bal", F.col("id") * 10).write.parquet(path)
+    register_table_path("acct", path)
+    try:
+        run_script(spark, "UPDATE acct SET bal = bal + 5 WHERE id < 3;")
+        rows = {r.id: r.bal for r in spark.read.parquet(path).collect()}
+        assert rows[0] == 5 and rows[2] == 25 and rows[5] == 50
+
+        run_script(spark, "DELETE FROM acct WHERE id >= 8;")
+        assert spark.read.parquet(path).count() == 8
+    finally:
+        TABLE_PATHS.pop("acct", None)
+
+
+def test_sql_text_merge_on_registered_path(spark, tmp_path):
+    """MERGE INTO ... USING (subquery) with matched UPDATE + DELETE and
+    NOT MATCHED INSERT clauses, alias-rewritten onto the merge_frame
+    join (MergeSemanticAnalyzer surface)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark.hqlscript import TABLE_PATHS, register_table_path, run_script
+
+    path = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "k int, v int"
+    ).write.parquet(path)
+    register_table_path("tgt", path)
+    try:
+        run_script(
+            spark,
+            """
+            MERGE INTO tgt t USING (
+                SELECT * FROM VALUES (2, 999), (3, -1), (4, 400) AS s(k, v)
+            ) s ON t.k = s.k
+            WHEN MATCHED AND s.v < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);
+            """,
+        )
+        rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert rows == {1: 100, 2: 999, 4: 400}  # 3 deleted, 4 inserted
+    finally:
+        TABLE_PATHS.pop("tgt", None)
+
+
+def test_sql_text_dml_versioned_respects_transaction(spark, tmp_path):
+    """DML on a VERSIONED table inside BEGIN..ROLLBACK is undone; after
+    COMMIT it sticks and time travel still sees the old version."""
+    from pyspark.sql import functions as F
+
+    from hive_spark import snapshots
+    from hive_spark.hqlscript import (
+        VERSIONED_TABLES,
+        register_versioned,
+        run_script,
+    )
+
+    path = str(tmp_path / "vt")
+    snapshots.write_version(
+        spark.range(4).withColumn("v", F.lit(1)), path
+    )
+    register_versioned("vt_dml", path)
+    try:
+        run_script(
+            spark, "BEGIN; UPDATE vt_dml SET v = 2 WHERE id < 2; ROLLBACK;"
+        )
+        assert snapshots.read_table(spark, path).filter("v = 2").count() == 0
+
+        run_script(
+            spark, "BEGIN; UPDATE vt_dml SET v = 2 WHERE id < 2; COMMIT;"
+        )
+        assert snapshots.read_table(spark, path).filter("v = 2").count() == 2
+        # prior version still time-travelable
+        assert snapshots.read_table(spark, path, 0).filter("v = 2").count() == 0
+
+        run_script(spark, "DELETE FROM vt_dml WHERE id = 0;")
+        assert snapshots.read_table(spark, path).count() == 3
+    finally:
+        VERSIONED_TABLES.pop("vt_dml", None)
