@@ -90,6 +90,12 @@ _WHEN_MATCHED = re.compile(
     r"(UPDATE\s+SET\s+(.+?)|DELETE)\s*(?=WHEN\s|$)",
     re.I | re.S,
 )
+_INSERT_STMT = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*"
+    r"((?:SELECT|VALUES|WITH|FROM)\b.*)$",
+    re.I | re.S,
+)
+_TRUNCATE_STMT = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", re.I)
 _WHEN_NOT_MATCHED = re.compile(
     r"WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s*"
     r"(?:\(([^)]*)\))?\s*VALUES\s*\((.+?)\)\s*(?=WHEN\s|$)",
@@ -330,6 +336,26 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
             )
         else:
             dml.delete_where(spark, path, cond)
+        return True
+    m = _INSERT_STMT.match(stmt)
+    if m and m.group(2).lower() in VERSIONED_TABLES:
+        # INSERT over a VERSIONED table: append/replace as a new snapshot
+        # version (plain catalog tables fall through to native spark.sql)
+        mode, name, query = m.group(1).upper(), m.group(2), m.group(3)
+        path = VERSIONED_TABLES[name.lower()]
+        rows = spark.sql(rewrite_statement(spark, query))
+        _publish_dml(
+            spark, res, name, path,
+            (lambda t: rows.toDF(*t.columns))  # positional, like Hive
+            if mode == "OVERWRITE"
+            else (lambda t: t.unionByName(rows.toDF(*t.columns))),
+        )
+        return True
+    m = _TRUNCATE_STMT.match(stmt)
+    if m and m.group(1).lower() in VERSIONED_TABLES:
+        name = m.group(1)
+        path = VERSIONED_TABLES[name.lower()]
+        _publish_dml(spark, res, name, path, lambda t: t.limit(0))
         return True
     m = _MERGE_STMT.match(stmt)
     if m:

@@ -156,3 +156,39 @@ def test_sql_text_dml_versioned_respects_transaction(spark, tmp_path):
         assert snapshots.read_table(spark, path).count() == 3
     finally:
         VERSIONED_TABLES.pop("vt_dml", None)
+
+
+def test_sql_text_insert_truncate_versioned(spark, tmp_path):
+    """INSERT INTO / INSERT OVERWRITE / TRUNCATE TABLE as SQL text over
+    a versioned table: each publishes a new snapshot version; plain
+    catalog tables keep Spark's native INSERT path."""
+    from pyspark.sql import functions as F
+
+    from hive_spark import snapshots
+    from hive_spark.hqlscript import (
+        VERSIONED_TABLES,
+        register_versioned,
+        run_script,
+    )
+
+    path = str(tmp_path / "vt_ins")
+    snapshots.write_version(
+        spark.range(3).withColumn("v", F.lit(10)), path
+    )
+    register_versioned("vt_ins", path)
+    try:
+        run_script(spark, "INSERT INTO vt_ins VALUES (7, 70), (8, 80);")
+        assert snapshots.read_table(spark, path).count() == 5
+
+        run_script(
+            spark, "INSERT OVERWRITE vt_ins SELECT id, id FROM range(2);"
+        )
+        assert snapshots.read_table(spark, path).count() == 2
+        # old versions retained: time travel sees the 5-row state
+        assert snapshots.read_table(spark, path, 1).count() == 5
+
+        run_script(spark, "TRUNCATE TABLE vt_ins;")
+        assert snapshots.read_table(spark, path).count() == 0
+        assert snapshots.read_table(spark, path).columns == ["id", "v"]
+    finally:
+        VERSIONED_TABLES.pop("vt_ins", None)
