@@ -234,3 +234,9 @@ def _rewrite(df: DataFrame, path: str) -> None:
         df.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
         shutil.move(tmp, path)
+    # a flat-path rewrite keeps the same scan location, so cached plan
+    # fingerprints would serve PRE-write results — invalidate, the way
+    # Hive's QueryResultsCache invalidates on ACID writes
+    from hive_spark.plans import invalidate_results_caches
+
+    invalidate_results_caches()

@@ -25,6 +25,7 @@ so the canonical form strips them; everything else of the optimized plan
 from __future__ import annotations
 
 import hashlib
+import weakref
 import os
 import re
 import shutil
@@ -42,19 +43,34 @@ def plan_fingerprint(df: DataFrame) -> str:
     return hashlib.md5(_EXPR_ID.sub("#x", plan).encode()).hexdigest()
 
 
+# live caches, so an ACID write can invalidate every session's entries
+# (Hive QueryResultsCache invalidates on table writes the same way)
+_LIVE_CACHES: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def invalidate_results_caches() -> None:
+    """Called by dml._rewrite after any copy-on-write table rewrite: a
+    flat-path rewrite keeps the same scan location, so a cached plan
+    fingerprint would otherwise serve PRE-write results."""
+    for cache in list(_LIVE_CACHES):
+        cache.clear()
+
+
 class ResultsCache:
     """Cross-query results cache: fingerprint -> parquet snapshot.
 
     `get_or_compute(df)` returns the cached relation when an identical
     optimized plan was materialized before (Hive QueryResultsCache.java:83
-    semantics: exact-plan match, no staleness tracking — caller owns
-    invalidation via `clear()`, same as Hive's cache on ACID write).
+    semantics: exact-plan match). ACID writes through dml.py invalidate
+    every live cache (Hive invalidates on table writes the same way);
+    out-of-band file mutations still need an explicit `clear()`.
     """
 
     def __init__(self, spark: SparkSession, root: str = "/tmp/hive_spark_qcache"):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        _LIVE_CACHES.add(self)
 
     def _path(self, fp: str) -> str:
         return os.path.join(self.root, fp)

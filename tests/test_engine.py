@@ -83,3 +83,27 @@ def test_script_roundtrip(engine):
            SELECT COUNT(*) AS n FROM li_slim;"""
     )
     assert out.results[-1].collect()[0].n > 0
+
+
+def test_results_cache_invalidated_by_dml(spark, tmp_path):
+    """An ACID rewrite on a table must invalidate cached query results —
+    a flat-path rewrite keeps the same scan location, so a stale
+    fingerprint would otherwise serve pre-write answers (Hive
+    QueryResultsCache invalidates on table writes)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark import dml
+    from hive_spark.plans import ResultsCache
+
+    path = str(tmp_path / "t")
+    spark.range(5).withColumn("v", F.lit(1)).write.parquet(path)
+    cache = ResultsCache(spark, root=str(tmp_path / "qc"))
+
+    q = lambda: spark.read.parquet(path).agg(F.sum("v").alias("s"))
+    r1, hit1 = cache.get_or_compute(q())
+    assert not hit1 and r1.collect()[0].s == 5
+
+    dml.update_where(spark, path, F.lit(True), {"v": F.lit(2)})
+    r2, hit2 = cache.get_or_compute(q())
+    assert not hit2  # cache was invalidated by the write
+    assert r2.collect()[0].s == 10

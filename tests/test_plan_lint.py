@@ -42,6 +42,7 @@ CARTESIAN_OK = {
     "sketch_kll_quantiles",  # <=2*groups quantile rows NLJ'd over the fact
     "sketch_freq_items",  # 1-row residual bound crossed with top-10
     "tpcds_q88_time_bands",  # q88 shape: 1-row time-band counts crossed
+    "tpcds_q61_promo_ratio",  # q61 shape: two 1-row star aggs crossed
     "sketch_tuple_sum",  # 1-row estimators crossed with 1-row exact
 }
 
