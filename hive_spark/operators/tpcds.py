@@ -233,7 +233,19 @@ SELECT CAST({datefmt.replace('l_shipdate', 'd')} AS INT) AS d_date_sk,
        CAST((year(d) - 1992) * 12 + month(d) AS INT) AS d_month_seq
 FROM ({date_src})"""
 
+    # days between order and ship — the q62 delay measure; datediff
+    # argument order differs per engine, so it lives in the dialect layer
+    if dialect == "spark":
+        delay = "datediff(l_shipdate, o_orderdate)"
+    else:
+        delay = "datediff('day', o_orderdate, l_shipdate)"
+    order_delays = f"""
+SELECT l_orderkey, l_linenumber, l_returnflag, o_orderpriority,
+       CAST({delay} AS INT) AS delay_days
+FROM lineitem, orders WHERE l_orderkey = o_orderkey"""
+
     return [
+        ("order_delays", order_delays),
         ("date_dim", date_dim),
         ("time_dim", _TIME_DIM.format(range_0_86400=rng(0, 86400))),
         ("item", _item(strtype)),
@@ -769,6 +781,57 @@ ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_brand, i_class,
          i_category, d_moy
 LIMIT 100"""
 
+# ref: perf/query41.q — dim-only correlated COUNT(*) subquery over
+# disjunctive attribute bands (no fact table at all)
+_Q41 = """
+SELECT DISTINCT(i_item_desc)
+FROM item i1
+WHERE i_manufact_id BETWEEN 2 AND 4
+  AND (SELECT COUNT(*) FROM item
+       WHERE i_manufact = i1.i_manufact
+         AND ((i_category = 'STANDARD'
+               AND i_class IN ('CLASS_0', 'CLASS_1')
+               AND i_manager_id BETWEEN 1 AND 10)
+           OR (i_category = 'SMALL'
+               AND i_class IN ('CLASS_2', 'CLASS_3')
+               AND i_manager_id BETWEEN 11 AND 20)
+           OR (i_category = 'PROMO'
+               AND i_class IN ('CLASS_1', 'CLASS_4')
+               AND i_manager_id BETWEEN 21 AND 30))) > 0
+ORDER BY i_item_desc
+LIMIT 100"""
+
+# ref: perf/query62.q — shipping-delay bucket report (CASE bands over
+# the order->ship day gap, a two-date fact measure)
+_Q62 = """
+SELECT l_returnflag, o_orderpriority,
+       SUM(CASE WHEN delay_days <= 30 THEN 1 ELSE 0 END) AS d_30,
+       SUM(CASE WHEN delay_days > 30 AND delay_days <= 60
+                THEN 1 ELSE 0 END) AS d_31_60,
+       SUM(CASE WHEN delay_days > 60 AND delay_days <= 90
+                THEN 1 ELSE 0 END) AS d_61_90,
+       SUM(CASE WHEN delay_days > 90 AND delay_days <= 120
+                THEN 1 ELSE 0 END) AS d_91_120,
+       SUM(CASE WHEN delay_days > 120 THEN 1 ELSE 0 END) AS d_over_120
+FROM order_delays
+GROUP BY l_returnflag, o_orderpriority
+ORDER BY l_returnflag, o_orderpriority"""
+
+# ref: perf/query93.q — net sales excluding returned items: LEFT join
+# of the sales fact to the returns fact, anti-style CASE aggregation
+_Q93 = """
+SELECT customer_sk, sumsales
+FROM (
+  SELECT ss_customer_sk AS customer_sk,
+         CAST(SUM(CASE WHEN sr_ticket_number IS NULL
+                  THEN CAST(round(ss_sales_price * 100) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE) / 100 AS sumsales
+  FROM store_sales LEFT JOIN store_returns
+    ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+  GROUP BY ss_customer_sk) t
+ORDER BY sumsales, customer_sk
+LIMIT 100"""
+
 # ref: perf/query96.q — count-only 4-way star
 _Q96 = """
 SELECT /*+ BROADCAST(household_demographics, time_dim, store) */
@@ -792,8 +855,10 @@ _BODIES = {
     "tpcds_q32_excess_discount": _Q32,
     "tpcds_q34": _Q34,
     "tpcds_q36_margin_rank": _Q36,
+    "tpcds_q41_attr_exists": _Q41,
     "tpcds_q42": _Q42,
     "tpcds_q43_dayofweek": _Q43,
+    "tpcds_q62_ship_delay": _Q62,
     "tpcds_q61_promo_ratio": _Q61,
     "tpcds_q65_below_avg_items": _Q65,
     "tpcds_q52": _Q52,
@@ -804,6 +869,7 @@ _BODIES = {
     "tpcds_q73": _Q73,
     "tpcds_q88_time_bands": _Q88,
     "tpcds_q89_deviation": _Q89,
+    "tpcds_q93_net_sales": _Q93,
     "tpcds_q96": _Q96,
     "tpcds_q98_class_ratio": _Q98,
 }
