@@ -99,6 +99,16 @@ def main() -> None:
     overhead = round(time.perf_counter() - t0, 3)
 
     per_query = _run_pair(spark, con, registry, HEADLINE, SF_DIR)
+    # TPC-DS star shapes (r4): the same cross-engine protocol over the
+    # derived star schema — reported separately
+    per_query_tpcds = _run_pair(
+        spark,
+        con,
+        registry,
+        ["tpcds_q3", "tpcds_q19", "tpcds_q25_sales_returns",
+         "tpcds_q68", "tpcds_q98_class_ratio"],
+        SF_DIR,
+    )
 
     # Two-point ratio evidence: same queries, same multi-file layout, 1x
     # vs SCALE_FACTOR x the fact rows. Layout is held constant on purpose:
@@ -137,6 +147,7 @@ def main() -> None:
                 ),
                 "spark_fixed_overhead_sec": overhead,
                 "per_query": per_query,
+                "per_query_tpcds": per_query_tpcds,
                 "scale_factor": SCALE_FACTOR,
                 "per_query_x1_multifile": per_query_x1,
                 "per_query_scaled": per_query_scaled,
