@@ -105,17 +105,120 @@ SELECT p_partkey AS i_item_sk,
 FROM part"""
 
 
-def _store_returns(datefmt: str) -> str:
+def _store_returns(retfmt: str) -> str:
     """Returns fact: the 'R'-flagged lineitem rows, keyed like the
-    sales fact so sales<->returns joins on (ticket, item, customer)."""
+    sales fact so sales<->returns joins on (ticket, item, customer).
+    Dated by l_receiptdate — returns land AFTER the sale, which gives
+    the q50-family latency buckets a real day distribution."""
     return f"""
 SELECT
   l_orderkey                                   AS sr_ticket_number,
   l_partkey                                    AS sr_item_sk,
   1 + (l_orderkey % {_NCUST})                  AS sr_customer_sk,
-  CAST({datefmt} AS INT)                       AS sr_returned_date_sk,
+  CAST(1 + (l_suppkey % {_NSTORE}) AS INT)     AS sr_store_sk,
+  CAST({retfmt} AS INT)                        AS sr_returned_date_sk,
+  l_quantity                                   AS sr_return_quantity,
+  l_extendedprice * (1.0 - l_discount)         AS sr_return_amt,
   l_extendedprice * l_tax                      AS sr_net_loss
 FROM lineitem WHERE l_returnflag = 'R'"""
+
+
+def _web_sales(datefmt: str, retfmt: str) -> str:
+    """Web channel fact: the l_orderkey%3=0 slice of lineitem, keyed
+    like store_sales so cross-channel customer/item set ops line up.
+    Warehouse comes from l_suppkey, so multi-supplier orders ship from
+    multiple warehouses (the q94/q95 EXISTS predicate)."""
+    return f"""
+SELECT
+  CAST({datefmt} AS INT)                       AS ws_sold_date_sk,
+  CAST({retfmt} AS INT)                        AS ws_ship_date_sk,
+  CAST((l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS INT) AS ws_sold_time_sk,
+  l_partkey                                    AS ws_item_sk,
+  1 + (l_orderkey % {_NCUST})                  AS ws_bill_customer_sk,
+  1 + ((l_orderkey * 31 + l_suppkey) % {_NCUST}) AS ws_bill_addr_sk,
+  CAST(1 + ((l_orderkey * 13 + l_linenumber) % 100) AS INT) AS ws_ship_hdemo_sk,
+  CAST(1 + (l_suppkey % 5) AS INT)             AS ws_warehouse_sk,
+  l_orderkey                                   AS ws_order_number,
+  l_quantity                                   AS ws_quantity,
+  l_extendedprice                              AS ws_ext_sales_price,
+  l_extendedprice * (1.0 - l_discount)         AS ws_sales_price,
+  l_extendedprice * (1.0 + l_tax)              AS ws_ext_list_price,
+  l_extendedprice * (1.0 - l_discount)         AS ws_net_paid,
+  l_extendedprice * (l_tax - l_discount)       AS ws_net_profit,
+  l_extendedprice * l_discount                 AS ws_ext_discount_amt,
+  l_extendedprice * l_tax                      AS ws_ext_wholesale_cost,
+  l_extendedprice * 0.01 * l_linenumber        AS ws_ext_ship_cost
+FROM lineitem WHERE l_orderkey % 3 = 0"""
+
+
+def _catalog_sales(datefmt: str, retfmt: str) -> str:
+    """Catalog channel fact: the l_orderkey%3=1 slice (cs_* naming)."""
+    return f"""
+SELECT
+  CAST({datefmt} AS INT)                       AS cs_sold_date_sk,
+  CAST({retfmt} AS INT)                        AS cs_ship_date_sk,
+  l_partkey                                    AS cs_item_sk,
+  1 + (l_orderkey % {_NCUST})                  AS cs_bill_customer_sk,
+  CAST(1 + (l_suppkey % 5) AS INT)             AS cs_warehouse_sk,
+  CAST(1 + (l_orderkey % 20) AS INT)           AS cs_call_center_sk,
+  l_orderkey                                   AS cs_order_number,
+  l_quantity                                   AS cs_quantity,
+  l_extendedprice                              AS cs_ext_sales_price,
+  l_extendedprice * (1.0 - l_discount)         AS cs_sales_price,
+  l_extendedprice * (1.0 + l_tax)              AS cs_ext_list_price,
+  l_extendedprice * (1.0 - l_discount)         AS cs_net_paid,
+  l_extendedprice * (l_tax - l_discount)       AS cs_net_profit,
+  l_extendedprice * l_discount                 AS cs_ext_discount_amt,
+  l_extendedprice * 0.01 * l_linenumber        AS cs_ext_ship_cost
+FROM lineitem WHERE l_orderkey % 3 = 1"""
+
+
+def _web_returns(retfmt: str) -> str:
+    return f"""
+SELECT
+  l_orderkey                                   AS wr_order_number,
+  l_partkey                                    AS wr_item_sk,
+  1 + (l_orderkey % {_NCUST})                  AS wr_returning_customer_sk,
+  CAST({retfmt} AS INT)                        AS wr_returned_date_sk,
+  l_quantity                                   AS wr_return_quantity,
+  l_extendedprice * (1.0 - l_discount)         AS wr_return_amt,
+  l_extendedprice * l_tax                      AS wr_net_loss
+FROM lineitem WHERE l_orderkey % 3 = 0 AND l_returnflag = 'R'"""
+
+
+def _catalog_returns(retfmt: str) -> str:
+    return f"""
+SELECT
+  l_orderkey                                   AS cr_order_number,
+  l_partkey                                    AS cr_item_sk,
+  1 + (l_orderkey % {_NCUST})                  AS cr_returning_customer_sk,
+  CAST({retfmt} AS INT)                        AS cr_returned_date_sk,
+  l_quantity                                   AS cr_return_quantity,
+  l_extendedprice * (1.0 - l_discount)         AS cr_return_amount,
+  l_extendedprice * l_tax                      AS cr_net_loss
+FROM lineitem WHERE l_orderkey % 3 = 1 AND l_returnflag = 'R'"""
+
+
+def _warehouse(strtype: str) -> str:
+    return f"""
+SELECT CAST(sk AS INT) AS w_warehouse_sk,
+       concat('Warehouse_', CAST(sk AS {strtype})) AS w_warehouse_name,
+       concat('ST_', CAST(sk * 2 AS {strtype})) AS w_state
+FROM {{range_1_6}}"""
+
+
+_INVENTORY = """
+SELECT m.d_month_seq AS inv_month_seq,
+       p_partkey AS inv_item_sk,
+       CAST(1 + ((p_partkey * 7 + m.d_month_seq) % 5) AS INT) AS inv_warehouse_sk,
+       CAST((p_partkey * 31 + m.d_month_seq * 17) % 1000 AS INT) AS inv_quantity_on_hand
+FROM part, (SELECT DISTINCT d_month_seq FROM date_dim) m"""
+
+_INCOME_BAND = """
+SELECT CAST(sk AS INT) AS ib_income_band_sk,
+       CAST((sk - 1) * 10000 AS INT) AS ib_lower_bound,
+       CAST(sk * 10000 - 1 AS INT) AS ib_upper_bound
+FROM {range_1_21}"""
 
 
 def _store(strtype: str) -> str:
@@ -137,7 +240,9 @@ SELECT c_custkey AS c_customer_sk,
        concat('First', CAST(c_custkey % 1000 AS {strtype})) AS c_first_name,
        c_name AS c_last_name,
        CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
-       1 + ((c_custkey * 7) % {_NCUST}) AS c_current_addr_sk
+       1 + ((c_custkey * 7) % {_NCUST}) AS c_current_addr_sk,
+       CAST(1 + ((c_custkey * 11) % 7200) AS INT) AS c_current_cdemo_sk,
+       CAST(1 + ((c_custkey * 13) % 100) AS INT) AS c_current_hdemo_sk
 FROM customer"""
 
 
@@ -152,6 +257,7 @@ FROM customer"""
 
 _HOUSEHOLD = """
 SELECT CAST(sk AS INT) AS hd_demo_sk,
+       CAST(1 + (sk % 20) AS INT) AS hd_income_band_sk,
        CAST(sk % 10 AS INT) AS hd_dep_count,
        CAST(sk % 5 AS INT) AS hd_vehicle_count,
        CASE sk % 4 WHEN 0 THEN '>10000' WHEN 1 THEN 'unknown'
@@ -213,6 +319,7 @@ def _star_sql(dialect: str) -> list[tuple[str, str]]:
             " INTERVAL 1 DAY)) AS d"
         )
         rng = lambda a, b: f"(SELECT id AS sk FROM range({a}, {b}))"
+        dayseq = "datediff(d, DATE'1992-01-01')"
     else:
         datefmt = "strftime(l_shipdate, '%Y%m%d')"
         strtype = "VARCHAR"
@@ -222,6 +329,7 @@ def _star_sql(dialect: str) -> list[tuple[str, str]]:
             " DATE '1998-12-31', INTERVAL 1 DAY)) AS d"
         )
         rng = lambda a, b: f"range({a}, {b}) AS t(sk)"
+        dayseq = "datediff('day', DATE '1992-01-01', d)"
 
     date_dim = f"""
 SELECT CAST({datefmt.replace('l_shipdate', 'd')} AS INT) AS d_date_sk,
@@ -229,8 +337,10 @@ SELECT CAST({datefmt.replace('l_shipdate', 'd')} AS INT) AS d_date_sk,
        CAST(year(d) AS INT) AS d_year,
        CAST(month(d) AS INT) AS d_moy,
        CAST(day(d) AS INT) AS d_dom,
+       CAST(quarter(d) AS INT) AS d_qoy,
        {dayname} AS d_day_name,
-       CAST((year(d) - 1992) * 12 + month(d) AS INT) AS d_month_seq
+       CAST((year(d) - 1992) * 12 + month(d) AS INT) AS d_month_seq,
+       CAST({dayseq} AS INT) AS d_day_seq
 FROM ({date_src})"""
 
     # days between order and ship — the q62 delay measure; datediff
@@ -244,6 +354,14 @@ SELECT l_orderkey, l_linenumber, l_returnflag, o_orderpriority,
        CAST({delay} AS INT) AS delay_days
 FROM lineitem, orders WHERE l_orderkey = o_orderkey"""
 
+    # deterministic return/receipt date: ship + 1..30 days (testdata has
+    # no l_receiptdate; the offset formula is engine-neutral integers)
+    _off = "CAST(1 + (l_orderkey * 7 + l_linenumber * 3) % 30 AS INT)"
+    if dialect == "spark":
+        retdate = f"date_add(l_shipdate, {_off})"
+    else:
+        retdate = f"(l_shipdate + INTERVAL ({_off}) DAY)"
+    retfmt = datefmt.replace("l_shipdate", retdate)
     return [
         ("order_delays", order_delays),
         ("date_dim", date_dim),
@@ -255,8 +373,15 @@ FROM lineitem, orders WHERE l_orderkey = o_orderkey"""
         ("household_demographics", _HOUSEHOLD.format(range_1_101=rng(1, 101))),
         ("customer_demographics", _CDEMO.format(range_1_7201=rng(1, 7201))),
         ("promotion", _PROMO.format(range_1_301=rng(1, 301))),
+        ("warehouse", _warehouse(strtype).format(range_1_6=rng(1, 6))),
+        ("income_band", _INCOME_BAND.format(range_1_21=rng(1, 21))),
         ("store_sales", _store_sales(datefmt)),
-        ("store_returns", _store_returns(datefmt)),
+        ("store_returns", _store_returns(retfmt)),
+        ("web_sales", _web_sales(datefmt, retfmt)),
+        ("catalog_sales", _catalog_sales(datefmt, retfmt)),
+        ("web_returns", _web_returns(retfmt)),
+        ("catalog_returns", _catalog_returns(retfmt)),
+        ("inventory", _INVENTORY),
         ("mss", _MSS),
         ("channel_sales", _CHANNEL),
     ]

@@ -44,6 +44,16 @@ CARTESIAN_OK = {
     "tpcds_q88_time_bands",  # q88 shape: 1-row time-band counts crossed
     "tpcds_q61_promo_ratio",  # q61 shape: two 1-row star aggs crossed
     "sketch_tuple_sum",  # 1-row estimators crossed with 1-row exact
+    "tpcds_q90_am_pm_ratio",  # q90 shape: two 1-row band counts crossed
+    "tpcds_q23_frequent_best",  # 1-row MAX(csales) threshold crossed
+    # The next three touch the derived `inventory` star view, whose
+    # DEFINITION is a part x month grid generator (a deliberate cross
+    # producing the table itself, linear in its output size). The query
+    # shapes on top are equi-joins; a stored inventory table would show
+    # no cartesian.
+    "tpcds_q21_inventory_split",
+    "tpcds_q72_low_inventory",
+    "tpcds_q82_inventory_price",
 }
 
 # queries allowed a row-at-a-time Python UDF

@@ -1,22 +1,26 @@
 """TPC-DS shape suite: oracle parity + star-plan pins.
 
 Shapes ported from Hive's perf corpus (ql/src/test/queries/
-clientpositive/perf/query{3,7,19,27,34,42,52,55,59,68,71,73,96}.q)
-onto the derived star schema in hive_spark/operators/tpcds.py.
+clientpositive/perf/query*.q) onto the derived star schema in
+hive_spark/operators/tpcds.py (stars, reports, CTE reuse) and
+tpcds2.py (channel set ops, growth self-joins, inventory, windowed
+deviation — the families needing the extended star).
 """
 
 import pytest
 
-from hive_spark.operators import tpcds
+from hive_spark.operators import tpcds, tpcds2
 from tests.oracle_check import compare
+
+_ALL = {**tpcds.REGISTRY, **tpcds2.REGISTRY}
 
 
 @pytest.fixture(scope="module")
 def registry():
-    return tpcds.REGISTRY
+    return _ALL
 
 
-@pytest.mark.parametrize("name", sorted(tpcds.REGISTRY))
+@pytest.mark.parametrize("name", sorted(_ALL))
 def test_oracle_match(spark, sf_dir, registry, name):
     spec = registry[name]
     compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
