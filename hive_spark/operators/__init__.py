@@ -196,13 +196,14 @@ def full_registry() -> dict[str, QuerySpec]:
         timeseries,
         tpcds,
         tpcds2,
+        tpcds3,
         tpch,
         tpch2,
         vectors,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (tpch, tpch2, tpcds, tpcds2, relational, funcdemo, text, vectors,
+    for mod in (tpch, tpch2, tpcds, tpcds2, tpcds3, relational, funcdemo, text, vectors,
                 events, dml_demo, stream_demo, multimodal, extension, edges,
                 text2, text3, sampling, sketches, misc, pipeline, timeseries,
                 hql_demo):

@@ -159,6 +159,7 @@ SELECT
   CAST({retfmt} AS INT)                        AS cs_ship_date_sk,
   l_partkey                                    AS cs_item_sk,
   1 + (l_orderkey % {_NCUST})                  AS cs_bill_customer_sk,
+  1 + ((l_orderkey * 31 + l_suppkey) % {_NCUST}) AS cs_bill_addr_sk,
   CAST(1 + (l_suppkey % 5) AS INT)             AS cs_warehouse_sk,
   CAST(1 + (l_orderkey % 20) AS INT)           AS cs_call_center_sk,
   l_orderkey                                   AS cs_order_number,
@@ -340,7 +341,8 @@ SELECT CAST({datefmt.replace('l_shipdate', 'd')} AS INT) AS d_date_sk,
        CAST(quarter(d) AS INT) AS d_qoy,
        {dayname} AS d_day_name,
        CAST((year(d) - 1992) * 12 + month(d) AS INT) AS d_month_seq,
-       CAST({dayseq} AS INT) AS d_day_seq
+       CAST({dayseq} AS INT) AS d_day_seq,
+       CAST(floor(({dayseq}) / 7.0) AS INT) AS d_week_seq
 FROM ({date_src})"""
 
     # days between order and ship — the q62 delay measure; datediff

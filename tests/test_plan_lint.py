@@ -54,6 +54,7 @@ CARTESIAN_OK = {
     "tpcds_q21_inventory_split",
     "tpcds_q72_low_inventory",
     "tpcds_q82_inventory_price",
+    "tpcds_q39_inventory_cov",
 }
 
 # queries allowed a row-at-a-time Python UDF

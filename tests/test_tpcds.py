@@ -9,10 +9,10 @@ deviation — the families needing the extended star).
 
 import pytest
 
-from hive_spark.operators import tpcds, tpcds2
+from hive_spark.operators import tpcds, tpcds2, tpcds3
 from tests.oracle_check import compare
 
-_ALL = {**tpcds.REGISTRY, **tpcds2.REGISTRY}
+_ALL = {**tpcds.REGISTRY, **tpcds2.REGISTRY, **tpcds3.REGISTRY}
 
 
 @pytest.fixture(scope="module")
