@@ -179,6 +179,7 @@ def full_registry() -> dict[str, QuerySpec]:
     from hive_spark.operators import (
         dml_demo,
         edges,
+        edges2,
         events,
         extension,
         funcdemo,
@@ -204,7 +205,7 @@ def full_registry() -> dict[str, QuerySpec]:
 
     out: dict[str, QuerySpec] = {}
     for mod in (tpch, tpch2, tpcds, tpcds2, tpcds3, relational, funcdemo, text, vectors,
-                events, dml_demo, stream_demo, multimodal, extension, edges,
+                events, dml_demo, stream_demo, multimodal, extension, edges, edges2,
                 text2, text3, sampling, sketches, misc, pipeline, timeseries,
                 hql_demo):
         overlap = out.keys() & mod.REGISTRY.keys()
