@@ -126,9 +126,14 @@ FROM ssci FULL OUTER JOIN csci
 
 # ref: perf/query74.q (the q4/q11 family) — customers whose web sales
 # grew faster than their store sales year-over-year: one yearly-total
-# CTE consumed four times
-_Q74 = f"""
-WITH year_total AS (
+# CTE consumed four times. Spark recomputes a CTE per reference (each
+# gets different pushed filters, so ReuseExchange never fires) — four
+# fact scans. Hive spools CTEs referenced >= 3 times
+# (ql/.../optimizer/calcite/rules/TableScanToSpoolRule.java,
+# hive.optimize.cte.materialize.threshold=3 — HiveConf.java:2686); the
+# engine mirrors that by persisting the aggregated (customer x year x
+# channel)-sized relation once and self-joining the cache.
+_Q74_CTE = f"""
   SELECT ss_customer_sk AS customer_sk, d_year AS yr,
          SUM({_cents("ss_ext_sales_price")}) AS year_total, 's' AS sale_type
   FROM store_sales, date_dim
@@ -139,9 +144,11 @@ WITH year_total AS (
          SUM({_cents("ws_ext_sales_price")}), 'w'
   FROM web_sales, date_dim
   WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1996, 1997)
-  GROUP BY ws_bill_customer_sk, d_year)
+  GROUP BY ws_bill_customer_sk, d_year"""
+
+_Q74_OUTER = """
 SELECT ts1.customer_sk
-FROM year_total ts1, year_total ts2, year_total tw1, year_total tw2
+FROM {yt} ts1, {yt} ts2, {yt} tw1, {yt} tw2
 WHERE ts1.customer_sk = ts2.customer_sk
   AND ts1.customer_sk = tw1.customer_sk
   AND ts1.customer_sk = tw2.customer_sk
@@ -154,6 +161,10 @@ WHERE ts1.customer_sk = ts2.customer_sk
       CAST(ts2.year_total AS DOUBLE) / ts1.year_total
 ORDER BY ts1.customer_sk
 LIMIT 100"""
+
+_Q74 = f"WITH year_total AS ({_Q74_CTE})" + _Q74_OUTER.format(
+    yt="year_total"
+)
 
 # ref: perf/query75.q — brands whose net sold quantity (sales minus
 # returns, all three channels) dropped >10% vs the prior year
@@ -744,3 +755,17 @@ def _mk(body: str):
 REGISTRY: dict[str, QuerySpec] = {
     name: QuerySpec(_mk(body), _oracle(body)) for name, body in _BODIES.items()
 }
+
+
+def _q74_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q74 with the year_total CTE spooled once (Hive CTE
+    materialization analog — see the _Q74_CTE comment): one pass over
+    each channel fact, four reads of the cached aggregate."""
+    _register_star(spark, sf_dir)
+    yt = spark.sql(_Q74_CTE)
+    yt.persist()
+    yt.createOrReplaceTempView("yt74_spool")
+    return spark.sql(_Q74_OUTER.format(yt="yt74_spool"))
+
+
+REGISTRY["tpcds_q74_yoy_growth"] = QuerySpec(_q74_materialized, _oracle(_Q74))

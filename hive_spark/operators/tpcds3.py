@@ -88,8 +88,11 @@ _PROFIT = {
     "c": "(cs_ext_list_price - cs_ext_discount_amt + cs_ext_sales_price)",
     "w": "(ws_ext_list_price - ws_ext_discount_amt + ws_ext_sales_price)",
 }
-_Q4 = f"""
-WITH year_total AS (
+# Spark recomputes a CTE per reference (six fact scans here); Hive
+# spools CTEs referenced >= 3 times (TableScanToSpoolRule,
+# hive.optimize.cte.materialize.threshold=3) — mirrored below by
+# persisting the aggregated relation once (see _q4_materialized).
+_Q4_CTE = f"""
   SELECT ss_customer_sk AS customer_sk, d_year AS yr,
          SUM({_cents(_PROFIT["s"])}) AS year_total, 's' AS sale_type
   FROM store_sales, date_dim
@@ -106,11 +109,13 @@ WITH year_total AS (
          SUM({_cents(_PROFIT["w"])}), 'w'
   FROM web_sales, date_dim
   WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1996, 1997)
-  GROUP BY ws_bill_customer_sk, d_year)
+  GROUP BY ws_bill_customer_sk, d_year"""
+
+_Q4_OUTER = """
 SELECT ts2.customer_sk
-FROM year_total ts1, year_total ts2,
-     year_total tc1, year_total tc2,
-     year_total tw1, year_total tw2
+FROM {yt} ts1, {yt} ts2,
+     {yt} tc1, {yt} tc2,
+     {yt} tw1, {yt} tw2
 WHERE ts1.customer_sk = ts2.customer_sk
   AND ts1.customer_sk = tc1.customer_sk
   AND ts1.customer_sk = tc2.customer_sk
@@ -129,6 +134,8 @@ WHERE ts1.customer_sk = ts2.customer_sk
       CAST(tw2.year_total AS DOUBLE) / tw1.year_total
 ORDER BY ts2.customer_sk
 LIMIT 100"""
+
+_Q4 = f"WITH year_total AS ({_Q4_CTE})" + _Q4_OUTER.format(yt="year_total")
 
 # ref: perf/query17.q — items sold, returned, and re-bought via catalog
 # by the same customer: count/avg/stdev of the three quantity streams.
@@ -482,3 +489,19 @@ def _mk(body: str):
 REGISTRY: dict[str, QuerySpec] = {
     name: QuerySpec(_mk(body), _oracle(body)) for name, body in _BODIES.items()
 }
+
+
+def _q4_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 with the year_total CTE spooled once (Hive CTE
+    materialization analog — see the _Q4_CTE comment): one pass over
+    each channel fact, six reads of the cached aggregate."""
+    _register_star(spark, sf_dir)
+    yt = spark.sql(_Q4_CTE)
+    yt.persist()
+    yt.createOrReplaceTempView("yt4_spool")
+    return spark.sql(_Q4_OUTER.format(yt="yt4_spool"))
+
+
+REGISTRY["tpcds_q4_three_channel_growth"] = QuerySpec(
+    _q4_materialized, _oracle(_Q4)
+)
