@@ -210,7 +210,10 @@ def main() -> None:
     # headline total stays comparable across rounds
     extra: dict[str, float] = {}
     for name in ("tpcds_q3", "tpcds_q19", "tpcds_q25_sales_returns",
-                 "tpcds_q68", "tpcds_q98_class_ratio"):
+                 "tpcds_q68", "tpcds_q98_class_ratio",
+                 "tpcds_q4_three_channel_growth",
+                 "tpcds_q38_channel_intersect",
+                 "tpcds_q75_prior_year_delta"):
         spec = registry[name]
         best = float("inf")
         for _ in range(2):

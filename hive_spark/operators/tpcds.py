@@ -389,18 +389,21 @@ FROM lineitem, orders WHERE l_orderkey = o_orderkey"""
     ]
 
 
-_REGISTERED: set[tuple[int, str]] = set()
+# last sf_dir whose star views are ACTIVE per session (the view names
+# are shared, so memoizing on (session, sf_dir) pairs would silently
+# keep another sf's views active after switching back — same pattern
+# as operators.views()'s _ACTIVE_SF)
+_ACTIVE_STAR: dict[int, str] = {}
 
 
 def _register_star(spark: SparkSession, sf_dir: str) -> None:
     """Create the derived star views over this sf_dir's base views."""
     views(spark, sf_dir)
-    key = (id(spark), sf_dir)
-    if key in _REGISTERED:
+    if _ACTIVE_STAR.get(id(spark)) == sf_dir:
         return
     for name, sql in _star_sql("spark"):
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
-    _REGISTERED.add(key)
+    _ACTIVE_STAR[id(spark)] = sf_dir
 
 
 def _oracle(body: str) -> str:

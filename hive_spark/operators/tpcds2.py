@@ -19,6 +19,21 @@ income_band derived in tpcds._star_sql):
   multi-warehouse order EXISTS     -> q94 (EXISTS <> warehouse,
                                       NOT EXISTS returns + COUNT
                                       DISTINCT orders)
+  windowed monthly deviation       -> q47 (nested-agg AVG window +
+                                      LAG/LEAD)
+  cumulative channel merge         -> q51 (running SUM + running MAX
+                                      over FULL OUTER)
+  inventory analytics              -> q21 (before/after split), q72
+                                      (low-stock join), q82 (price-band
+                                      report)
+  frequent-items x best-customers  -> q23 (HAVING CTE + scalar MAX
+                                      threshold)
+  EXISTS-OR-EXISTS demographics    -> q35
+  revenue segmentation             -> q54
+  12-month warehouse pivot         -> q66
+  channel ROLLUP union             -> q80
+  state quarterly growth           -> q31
+  3-channel revenue parity         -> q58
 
 Every body is engine-neutral SQL shared verbatim between Spark (temp
 views) and the DuckDB oracle (WITH prelude); money stays in exact

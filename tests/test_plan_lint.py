@@ -45,6 +45,7 @@ CARTESIAN_OK = {
     "tpcds_q61_promo_ratio",  # q61 shape: two 1-row star aggs crossed
     "sketch_tuple_sum",  # 1-row estimators crossed with 1-row exact
     "tpcds_q90_am_pm_ratio",  # q90 shape: two 1-row band counts crossed
+    "edge_outer_join_filter",  # two 1-row ON/WHERE count rows crossed
     "tpcds_q23_frequent_best",  # 1-row MAX(csales) threshold crossed
     # The next three touch the derived `inventory` star view, whose
     # DEFINITION is a part x month grid generator (a deliberate cross
