@@ -19,6 +19,12 @@ Continues tpcds.py / tpcds2.py over the same derived star schema
   unreturned store-vs-web ratios   -> q78
   income-band dimension chain      -> q84
   returns demographic OR-bands     -> q85
+  cross-channel item INTERSECT     -> q14 (3-way set op feeding a
+                                      union aggregate + scalar HAVING)
+  chain + scalar-avg threshold     -> q24
+  best/worst rank join             -> q44
+  hierarchy ROLLUP + rank window   -> q67
+  ranked IN-subquery in ROLLUP     -> q70
 
 All bodies are engine-neutral shared SQL (Spark temp views == DuckDB
 WITH prelude); money in exact integer cents, statistical aggregates
@@ -460,8 +466,161 @@ WHERE ws1.ws_ship_date_sk = d_date_sk
   AND EXISTS (SELECT 1 FROM web_returns wr1
               WHERE ws1.ws_order_number = wr1.wr_order_number)"""
 
+# ref: perf/query14.q — items sold through ALL THREE channels
+# ((brand, category) INTERSECT x3), then per-channel November sales of
+# those items, kept only above the all-channel average (scalar HAVING).
+# DuckDB has no multi-column IN, so the membership test is EXISTS.
+def _q14_channel(channel: str, fact: str, item: str, datecol: str,
+                 amt: str) -> str:
+    return f"""
+  SELECT '{channel}' AS channel, i_brand_id, i_category_id,
+         {_cents(amt)} AS sales_cents
+  FROM {fact}, item, date_dim
+  WHERE {item} = i_item_sk AND {datecol} = d_date_sk
+    AND d_year = 1997 AND d_moy = 11
+    AND EXISTS (SELECT 1 FROM cross_items ci
+                WHERE ci.brand_id = i_brand_id
+                  AND ci.category_id = i_category_id)"""
+
+
+_Q14 = (
+    f"""
+WITH cross_items AS (
+  SELECT brand_id, category_id FROM (
+    SELECT i_brand_id AS brand_id, i_category_id AS category_id
+    FROM store_sales, item WHERE ss_item_sk = i_item_sk
+    INTERSECT
+    SELECT i_brand_id, i_category_id
+    FROM catalog_sales, item WHERE cs_item_sk = i_item_sk
+    INTERSECT
+    SELECT i_brand_id, i_category_id
+    FROM web_sales, item WHERE ws_item_sk = i_item_sk) x),
+avg_sales AS (
+  SELECT AVG(amt) AS average_sales FROM (
+    SELECT {_cents("ss_ext_sales_price")} AS amt FROM store_sales
+    UNION ALL
+    SELECT {_cents("cs_ext_sales_price")} FROM catalog_sales
+    UNION ALL
+    SELECT {_cents("ws_ext_sales_price")} FROM web_sales) u)
+SELECT channel, i_brand_id, i_category_id,
+       CAST(SUM(sales_cents) AS DOUBLE) / 100 AS sales,
+       COUNT(*) AS number_sales
+FROM ("""
+    + _q14_channel("store", "store_sales", "ss_item_sk",
+                   "ss_sold_date_sk", "ss_ext_sales_price")
+    + "\n  UNION ALL"
+    + _q14_channel("catalog", "catalog_sales", "cs_item_sk",
+                   "cs_sold_date_sk", "cs_ext_sales_price")
+    + "\n  UNION ALL"
+    + _q14_channel("web", "web_sales", "ws_item_sk",
+                   "ws_sold_date_sk", "ws_ext_sales_price")
+    + """) y
+GROUP BY channel, i_brand_id, i_category_id
+HAVING SUM(sales_cents) > 5 * (SELECT average_sales FROM avg_sales)
+ORDER BY channel, i_brand_id, i_category_id
+LIMIT 100"""
+)
+
+# ref: perf/query24.q — store sales chained to their returns and the
+# customer's address, with a scalar 5%-of-average HAVING threshold
+# (the ssales CTE consumed twice)
+_Q24 = f"""
+WITH ssales AS (
+  SELECT c_customer_sk AS customer_sk, ca_city,
+         SUM({_cents("ss_sales_price")}) AS netpaid
+  FROM store_sales, store_returns, customer_ds, customer_address
+  WHERE ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk
+    AND c_current_addr_sk = ca_address_sk
+  GROUP BY c_customer_sk, ca_city)
+SELECT customer_sk, ca_city, CAST(netpaid AS DOUBLE) / 100 AS paid
+FROM ssales
+WHERE netpaid > (SELECT 0.05 * AVG(netpaid) FROM ssales)
+ORDER BY customer_sk, ca_city
+LIMIT 100"""
+
+# ref: perf/query44.q — best and worst items by average profit, the two
+# rank windows joined back to item twice on equal rank
+_Q44 = f"""
+WITH v AS (
+  SELECT ss_item_sk AS item_sk,
+         AVG({_cents("ss_net_profit")}) AS avg_profit
+  FROM store_sales WHERE ss_store_sk = 2
+  GROUP BY ss_item_sk),
+ranked AS (
+  SELECT item_sk,
+         CAST(RANK() OVER (ORDER BY avg_profit DESC, item_sk) AS INT)
+           AS best_rk,
+         CAST(RANK() OVER (ORDER BY avg_profit ASC, item_sk) AS INT)
+           AS worst_rk
+  FROM v)
+SELECT b.best_rk AS rnk,
+       i1.i_item_desc AS best_performing,
+       i2.i_item_desc AS worst_performing
+FROM ranked b, ranked w, item i1, item i2
+WHERE b.best_rk <= 10 AND w.worst_rk <= 10 AND b.best_rk = w.worst_rk
+  AND i1.i_item_sk = b.item_sk AND i2.i_item_sk = w.item_sk
+ORDER BY rnk"""
+
+# ref: perf/query67.q — full hierarchy ROLLUP with a rank window over
+# each category partition (NULL rollup rows rank in their own NULL
+# partition); explicit NULLS FIRST on every tiebreak so both engines
+# order rollup NULLs identically inside rank
+_Q67 = f"""
+WITH results AS (
+  SELECT i_category, i_class, i_brand, d_year, d_moy,
+         SUM({_cents("ss_ext_sales_price")}) AS sumsales
+  FROM store_sales, date_dim, item
+  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+    AND d_year IN (1996, 1997)
+  GROUP BY ROLLUP (i_category, i_class, i_brand, d_year, d_moy))
+SELECT i_category, i_class, i_brand, d_year, d_moy,
+       CAST(sumsales AS DOUBLE) / 100 AS sumsales,
+       rk
+FROM (SELECT *,
+             CAST(RANK() OVER (
+               PARTITION BY i_category
+               ORDER BY sumsales DESC,
+                        i_class ASC NULLS FIRST,
+                        i_brand ASC NULLS FIRST,
+                        d_year ASC NULLS FIRST,
+                        d_moy ASC NULLS FIRST) AS INT) AS rk
+      FROM results) ranked
+WHERE rk <= 5
+ORDER BY i_category, rk
+LIMIT 100"""
+
+# ref: perf/query70.q — profit ROLLUP over the store geography, gated
+# by a ranked IN-subquery selecting the top-5 counties
+_Q70 = f"""
+SELECT CAST(SUM({_cents("ss_net_profit")}) AS DOUBLE) / 100
+         AS total_profit,
+       s_county, s_city,
+       CAST(GROUPING(s_county) + GROUPING(s_city) AS INT)
+         AS lochierarchy
+FROM store_sales, date_dim, store
+WHERE d_year = 1996 AND d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_county IN
+      (SELECT s_county FROM (
+         SELECT s_county,
+                RANK() OVER (ORDER BY
+                  SUM({_cents("ss_net_profit")}) DESC, s_county) AS r
+         FROM store_sales, store, date_dim
+         WHERE d_year = 1996 AND d_date_sk = ss_sold_date_sk
+           AND s_store_sk = ss_store_sk
+         GROUP BY s_county) t
+       WHERE r <= 5)
+GROUP BY ROLLUP (s_county, s_city)"""
+
 _BODIES = {
     "tpcds_q2_weekly_ratio": _Q2,
+    "tpcds_q14_cross_channel_items": _Q14,
+    "tpcds_q24_returned_paid": _Q24,
+    "tpcds_q44_best_worst": _Q44,
+    "tpcds_q67_rollup_rank": _Q67,
+    "tpcds_q70_ranked_rollup": _Q70,
     "tpcds_q4_three_channel_growth": _Q4,
     "tpcds_q17_quantity_stats": _Q17,
     "tpcds_q33_manufact_union": _Q33,
