@@ -198,13 +198,15 @@ def full_registry() -> dict[str, QuerySpec]:
         tpcds,
         tpcds2,
         tpcds3,
+        tpcds4,
+        tpcds5,
         tpch,
         tpch2,
         vectors,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (tpch, tpch2, tpcds, tpcds2, tpcds3, relational, funcdemo, text, vectors,
+    for mod in (tpch, tpch2, tpcds, tpcds2, tpcds3, tpcds4, tpcds5, relational, funcdemo, text, vectors,
                 events, dml_demo, stream_demo, multimodal, extension, edges, edges2,
                 text2, text3, sampling, sketches, misc, pipeline, timeseries,
                 hql_demo):

@@ -56,6 +56,11 @@ CARTESIAN_OK = {
     "tpcds_q72_low_inventory",
     "tpcds_q82_inventory_price",
     "tpcds_q39_inventory_cov",
+    "tpcds_q22_inventory_rollup",
+    "tpcds_q37_catalog_inventory_price",
+    # q9/q28 shape: N single-row scalar subqueries crossed into one row
+    "tpcds_q9_quantity_buckets",
+    "tpcds_q28_price_band_crosses",
 }
 
 # queries allowed a row-at-a-time Python UDF

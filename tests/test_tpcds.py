@@ -9,10 +9,11 @@ deviation — the families needing the extended star).
 
 import pytest
 
-from hive_spark.operators import tpcds, tpcds2, tpcds3
+from hive_spark.operators import tpcds, tpcds2, tpcds3, tpcds4, tpcds5
 from tests.oracle_check import compare
 
-_ALL = {**tpcds.REGISTRY, **tpcds2.REGISTRY, **tpcds3.REGISTRY}
+_ALL = {**tpcds.REGISTRY, **tpcds2.REGISTRY, **tpcds3.REGISTRY,
+        **tpcds4.REGISTRY, **tpcds5.REGISTRY}
 
 
 @pytest.fixture(scope="module")
