@@ -3,8 +3,9 @@
 Hive's entire performance suite is the 99 TPC-DS queries
 (ref: ql/src/test/queries/clientpositive/perf/query1.q..query99.q,
 driver itests/qtest/.../TestTezTPCDS30TBPerfCliDriver.java). This
-module ports the 13 most representative SHAPES onto a star schema
-DERIVED from the driver's TPC-H-ish testdata:
+module anchors the corpus: it derives the star schema and ports the
+first 27 shapes; tpcds2-tpcds5 complete ALL 99 queries on top of it.
+Families here:
 
   star joins with 2-6 dimensions  -> q3, q42, q52, q55 (date x item),
                                      q7 (5-way), q19 (6-way, dim<>dim
