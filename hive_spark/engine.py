@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hive_spark.hqlscript import ScriptResult, rewrite_statement, run_script
 from hive_spark.operators import ensure_engine, views
 from hive_spark.plans import AggregateMV, ResultsCache
+from hive_spark.plans.cte_spool import spool_ctes
 
 
 class Engine:
@@ -32,7 +33,11 @@ class Engine:
         spark: SparkSession,
         sf_dir: str | None = None,
         cache_root: str = "/tmp/hive_spark_qcache",
+        cte_materialize_threshold: int = 3,
     ):
+        # hive.optimize.cte.materialize.threshold analog (HiveConf.java:2686);
+        # <= 0 disables the spool rewrite
+        self.cte_materialize_threshold = cte_materialize_threshold
         self.spark = spark
         ensure_engine(spark)
         if sf_dir is not None:
@@ -65,7 +70,11 @@ class Engine:
         """One statement. MV rewrite always consults the registry;
         `use_cache=True` additionally serves/stores by plan fingerprint
         (reads only — statements without a result shape skip both)."""
-        df = self.spark.sql(rewrite_statement(self.spark, text))
+        text = rewrite_statement(self.spark, text)
+        text = spool_ctes(
+            self.spark, text, threshold=self.cte_materialize_threshold
+        )
+        df = self.spark.sql(text)
         if not df.columns:  # DDL/DML — execute as-is, never cache
             return df
         df, mv_hit = self._rewrite(df)
@@ -79,7 +88,11 @@ class Engine:
 
     def explain_rewrite(self, text: str) -> bool:
         """True when the MV registry would serve this statement."""
-        df = self.spark.sql(rewrite_statement(self.spark, text))
+        text = rewrite_statement(self.spark, text)
+        text = spool_ctes(
+            self.spark, text, threshold=self.cte_materialize_threshold
+        )
+        df = self.spark.sql(text)
         return df.columns != [] and self._rewrite(df)[1]
 
     def script(self, text: str) -> ScriptResult:
