@@ -727,7 +727,23 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 continue
             if _exec_dml(spark, res, stmt):
                 continue
-            df = spark.sql(rewrite_statement(spark, stmt))
+            rewritten = rewrite_statement(spark, stmt)
+            # hive.optimize.cte.materialize.threshold: spool WITH-CTEs
+            # referenced >= threshold times (ref: TableScanToSpoolRule;
+            # default 3 per HiveConf.java:2686; <= 0 disables)
+            try:
+                _cte_thresh = int(
+                    res.set_commands.get(
+                        "hive.optimize.cte.materialize.threshold", "3"
+                    )
+                )
+            except ValueError:
+                _cte_thresh = 3
+            if _cte_thresh > 0:
+                from hive_spark.plans.cte_spool import spool_ctes
+
+                rewritten = spool_ctes(spark, rewritten, _cte_thresh)
+            df = spark.sql(rewritten)
             if df.columns:  # statements with a result shape (SELECT/SHOW/...)
                 res.results.append(df)
     except BaseException:

@@ -96,3 +96,29 @@ ORDER BY a.k
 def test_disabled_threshold(spark, sf_dir):
     views(spark, sf_dir)
     assert spool_ctes(spark, _FOUR_REFS, threshold=0) == _FOUR_REFS
+
+
+def test_script_runner_honors_threshold(spark, sf_dir):
+    """run_script applies the spool rule, and the Hive conf knob
+    (SET hive.optimize.cte.materialize.threshold) tunes/disables it."""
+    from hive_spark.hqlscript import run_script
+
+    views(spark, sf_dir)
+    script = """
+SET hive.optimize.cte.materialize.threshold=2;
+WITH t AS (SELECT n_regionkey AS k, COUNT(*) AS c FROM nation
+           GROUP BY n_regionkey)
+SELECT a.k, a.c, b.c AS c2 FROM t a JOIN t b ON a.k = b.k ORDER BY a.k;
+"""
+    res = run_script(spark, script)
+    df = res.results[-1]
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2  # threshold lowered to 2
+    direct = spark.sql(
+        "WITH t AS (SELECT n_regionkey AS k, COUNT(*) AS c FROM nation"
+        " GROUP BY n_regionkey)"
+        " SELECT a.k, a.c, b.c AS c2 FROM t a JOIN t b ON a.k = b.k"
+        " ORDER BY a.k"
+    ).collect()
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, direct))
