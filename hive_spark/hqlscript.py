@@ -518,8 +518,43 @@ def _fold_like_chain(op: str):
     return fold
 
 
+# CREATE TABLE ... STORED AS <fmt>: Spark's parser treats STORED AS as
+# a Hive-catalog table (NOT_SUPPORTED_COMMAND_WITHOUT_HIVE_SUPPORT on
+# the in-memory catalog), so the SQL-text path maps it to USING. The
+# row-based Hive formats keep their CAPABILITY via the engine's native
+# store (the ddl.py API writes real TextFile/SequenceFile/RCFile via
+# the bundled serde jars when the physical format matters).
+_STORED_AS_USING = {
+    "parquet": "parquet", "orc": "orc", "avro": "avro", "json": "json",
+    "jsonfile": "json", "csv": "csv", "textfile": "parquet",
+    "sequencefile": "parquet", "rcfile": "parquet",
+}
+_STORED_AS = re.compile(r"\bSTORED\s+AS\s+(\w+)", re.I)
+
+
+def _rewrite_stored_as(stmt: str) -> str:
+    if not re.match(r"\s*CREATE\s", stmt, re.I):
+        return stmt
+    def sub(m: re.Match) -> str:
+        fmt = _STORED_AS_USING.get(m.group(1).lower())
+        return f"USING {fmt}" if fmt else m.group(0)
+    return _STORED_AS.sub(sub, stmt)
+
+
+# Hive EXPLAIN variants Spark spells differently (ExplainTask modes):
+# CBO (Calcite plan + costs) -> COST; VECTORIZATION (batch-operator
+# annotations) -> FORMATTED (Tungsten codegen spans are the analog)
+_EXPLAIN_MODE = re.compile(r"^(\s*EXPLAIN\s+)(CBO|VECTORIZATION)\b", re.I)
+
+
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     """All HiveQL-text rewrites this engine applies before spark.sql."""
+    stmt = _EXPLAIN_MODE.sub(
+        lambda m: m.group(1)
+        + ("COST" if m.group(2).upper() == "CBO" else "FORMATTED"),
+        stmt,
+    )
+    stmt = _rewrite_stored_as(stmt)
     stmt = _rewrite_time_travel(spark, stmt)
     for name, (params, body) in _MACROS.get(id(spark), {}).items():
         if re.search(rf"\b{name}\s*\(", stmt, re.I):

@@ -36,6 +36,10 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Hive NULL-on-error semantics (div/0, bad casts) vs Spark 4 ANSI default
     "spark.sql.ansi.enabled": "false",
+    # Hive INSERT semantics: implicit casts on write (string key -> INT
+    # column succeeds, malformed values become NULL) — Spark's ANSI
+    # store-assignment policy would reject the qtest INSERT OVERWRITEs
+    "spark.sql.storeAssignmentPolicy": "LEGACY",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -66,6 +66,7 @@ def get_session(
         # (Spark 4 defaults ANSI=true, which ERRORS on all three — a real
         # behavior divergence for any query over dirty data)
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.storeAssignmentPolicy", "LEGACY")
         # -- optimizer: everything Hive's Optimizer.java does, built in --
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,168 @@
+"""Verbatim qtest execution: the reference's own .q files, unmodified.
+
+tests/test_qtest_fixtures.py replays qtest SHAPES; this module goes
+further and feeds the reference's actual clientpositive scripts
+(read from /root/reference at test time — nothing is copied into the
+repo) through `hqlscript.run_script`, proving the CliDriver on-ramp
+executes real Hive test scripts end-to-end: dataset-header comments,
+`set` commands (including Hive-only and deliberately-invalid ones),
+EXPLAIN statements, `CREATE TABLE ... STORED AS`, Hive's FROM-first
+`INSERT OVERWRITE` / bare `FROM ... SELECT`, MAPJOIN hints, and
+CLUSTER BY.
+
+Each script runs against synthesized src/srcpart catalog TABLES (the
+canonical qtest fixtures — data/files/datasets/src/load.hive.sql), so
+values differ from Hive's golden .q.out; correctness is instead
+re-derived per script with a DuckDB oracle over the same parquet
+(deterministic finals), or a row-count check where the script's LIMIT
+cuts an order tie (Hive masks those with SORT_QUERY_RESULTS too).
+"""
+
+import os
+import shutil
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hive_spark.hqlscript import run_script
+
+QDIR = "/root/reference/ql/src/test/queries/clientpositive"
+SCRATCH = "/tmp/hive_spark_qverbatim"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(QDIR), reason="reference qtest corpus not present"
+)
+
+
+@pytest.fixture(scope="module")
+def qtables(spark):
+    """src(key,value string) and partitioned srcpart as CATALOG tables
+    (the scripts CREATE/INSERT their own dest tables next to them)."""
+    spark.sql(f"DROP DATABASE IF EXISTS qverbatim CASCADE")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    spark.sql(
+        f"CREATE DATABASE qverbatim LOCATION '{SCRATCH}/warehouse'"
+    )
+    spark.catalog.setCurrentDatabase("qverbatim")
+
+    src = spark.range(500).select(
+        ((F.col("id") * 7) % 499).cast("string").alias("key"),
+        F.concat(F.lit("val_"), ((F.col("id") * 7) % 499).cast("string")).alias(
+            "value"
+        ),
+    )
+    src.write.saveAsTable("src")
+    parts = spark.createDataFrame(
+        [("2008-04-08", "11"), ("2008-04-08", "12"),
+         ("2008-04-09", "11"), ("2008-04-09", "12")],
+        "ds string, hr string",
+    )
+    src.crossJoin(parts).write.partitionBy("ds", "hr").saveAsTable("srcpart")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW src AS SELECT key, value FROM "
+        f"read_parquet('{SCRATCH}/warehouse/src/*.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW srcpart AS SELECT * FROM "
+        f"read_parquet('{SCRATCH}/warehouse/srcpart/*/*/*.parquet',"
+        " hive_partitioning = true)"
+    )
+    yield con
+    spark.catalog.setCurrentDatabase("default")
+    spark.sql("DROP DATABASE IF EXISTS qverbatim CASCADE")
+
+
+def _run(spark, fname):
+    text = open(os.path.join(QDIR, fname)).read()
+    return run_script(spark, text)
+
+
+def _match(df, con, oracle_sql):
+    got = sorted(tuple(map(str, r)) for r in df.collect())
+    want = sorted(
+        tuple(map(str, r)) for r in con.execute(oracle_sql).fetchall()
+    )
+    assert got == want, f"{got[:3]} != {want[:3]} ({len(got)}/{len(want)})"
+
+
+def test_having_q(spark, qtables):
+    """clientpositive/having.q — HAVING over alias / unselected
+    aggregate; final statement: keys with count(value) >= 4."""
+    res = _run(spark, "having.q")
+    _match(
+        res.results[-1], qtables,
+        "SELECT key, COUNT(value) FROM src GROUP BY key"
+        " HAVING count(value) >= 4",
+    )
+
+
+def test_groupby1_q(spark, qtables):
+    """clientpositive/groupby1.q — FROM-first INSERT OVERWRITE with
+    string-arithmetic aggregation into a typed dest table (and an
+    invalid fs.default.name SET the runner must shrug off)."""
+    res = _run(spark, "groupby1.q")
+    _match(
+        res.results[-1], qtables,
+        "SELECT CAST(key AS INT), SUM(CAST(substr(value, 5) AS DOUBLE))"
+        " FROM src GROUP BY CAST(key AS INT)",
+    )
+
+
+def test_join1_q(spark, qtables):
+    """clientpositive/join1.q — self-join INSERT OVERWRITE into a
+    STORED AS TEXTFILE dest, then read back."""
+    res = _run(spark, "join1.q")
+    _match(
+        res.results[-1], qtables,
+        "SELECT CAST(s1.key AS INT), s2.value FROM src s1"
+        " JOIN src s2 ON s1.key = s2.key",
+    )
+
+
+def test_union3_q(spark, qtables):
+    """clientpositive/union3.q — 4-arm UNION ALL with CLUSTER BY inside
+    a subquery, inserted and read back: exactly {1,2,3,4}."""
+    res = _run(spark, "union3.q")
+    got = sorted(r[0] for r in res.results[-1].collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_mapjoin_distinct_q(spark, qtables):
+    """clientpositive/mapjoin_distinct.q — Hive's bare FROM-first
+    SELECT with a MAPJOIN hint and partition predicates in the join
+    condition; DISTINCT+ORDER makes the LIMIT deterministic."""
+    res = _run(spark, "mapjoin_distinct.q")
+    _match(
+        res.results[-1], qtables,
+        "SELECT DISTINCT c.value AS cvalue FROM srcpart c JOIN srcpart d"
+        " ON c.key = d.key AND c.ds = '2008-04-08' AND d.ds = '2008-04-08'"
+        " ORDER BY cvalue LIMIT 10",
+    )
+
+
+def test_groupby_ppd_q(spark, qtables):
+    """clientpositive/groupby_ppd.q — predicate pushed through an
+    ORDER+LIMIT subquery; the LIMIT cuts an order tie, so assert the
+    row count (Hive masks this with SORT_QUERY_RESULTS)."""
+    res = _run(spark, "groupby_ppd.q")
+    n = res.results[-1].count()
+    assert 0 < n <= 10
+
+
+def test_order2_q(spark, qtables):
+    """clientpositive/order2.q — same ORDER+LIMIT subquery family."""
+    res = _run(spark, "order2.q")
+    assert 0 < res.results[-1].count() <= 10
+
+
+def test_semijoin4_q(spark, qtables):
+    """clientpositive/semijoin4.q — 87-column DECIMAL/CHAR/VARCHAR DDL
+    plus an EXPLAIN of a windowed IN-subquery join over the (empty)
+    tables: a pure parser/analyzer workout."""
+    res = _run(spark, "semijoin4.q")
+    assert res.results  # the EXPLAIN produced a plan
+    spark.sql("DROP TABLE IF EXISTS table_1")
+    spark.sql("DROP TABLE IF EXISTS table_18")
