@@ -672,7 +672,9 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     rewrite_statement(spark, res.prepared[name]), args=args or None
                 )
                 if df.columns:
-                    res.results.append(df)
+                    res.results.append(
+                        spark.createDataFrame(df.collect(), df.schema)
+                    )
                 continue
             if re.match(r"^\s*SHOW\s+LOCKS\s*$", stmt, re.I):
                 from hive_spark.txn import list_locks
@@ -780,7 +782,15 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 rewritten = spool_ctes(spark, rewritten, _cte_thresh)
             df = spark.sql(rewritten)
             if df.columns:  # statements with a result shape (SELECT/SHOW/...)
-                res.results.append(df)
+                # CliDriver semantics: each statement's rows are buffered
+                # to the client BEFORE the next statement runs (ref:
+                # ql/.../exec/ListSinkOperator.java) — so a later DROP of
+                # a source table cannot invalidate an earlier result
+                # (qtests routinely SELECT then DROP). Materialize into a
+                # local-relation DataFrame with the same schema.
+                res.results.append(
+                    spark.createDataFrame(df.collect(), df.schema)
+                )
     except BaseException:
         # A failing statement inside BEGIN..COMMIT must not strand the
         # transaction: roll back (releasing the write locks) and restore

@@ -112,9 +112,12 @@ SELECT a.k, a.c, b.c AS c2 FROM t a JOIN t b ON a.k = b.k ORDER BY a.k;
 """
     res = run_script(spark, script)
     df = res.results[-1]
-    df.write.format("noop").mode("overwrite").save()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") == 2  # threshold lowered to 2
+    # the spool fired at the lowered threshold: the view exists and is
+    # cache-backed (results themselves come back as CliDriver-style
+    # materialized rows, so the plan evidence lives on the view)
+    assert spark.catalog.tableExists("t__spool")
+    vplan = spark.table("t__spool")._jdf.queryExecution().optimizedPlan()
+    assert "InMemoryRelation" in vplan.toString()
     direct = spark.sql(
         "WITH t AS (SELECT n_regionkey AS k, COUNT(*) AS c FROM nation"
         " GROUP BY n_regionkey)"

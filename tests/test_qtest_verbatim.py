@@ -166,3 +166,39 @@ def test_semijoin4_q(spark, qtables):
     assert res.results  # the EXPLAIN produced a plan
     spark.sql("DROP TABLE IF EXISTS table_1")
     spark.sql("DROP TABLE IF EXISTS table_18")
+
+
+# Additional verbatim scripts: (file, expected final row count). Counts
+# are deterministic functions of the synthesized fixtures (500-row src
+# with one duplicated key, 4-partition srcpart) — a change here means
+# the runner or the engine changed behavior, not the data.
+SMOKE_SCRIPTS = [
+    ("auto_join0.q", 1),        # crossed sums under auto map-join
+    ("auto_join1.q", 1),        # map-join INSERT + checksum
+    ("groupby5.q", 499),        # per-key sums via INSERT OVERWRITE
+    ("groupby6.q", 10),         # DISTINCT substr bucket
+    ("join2.q", 257),           # 3-way self-join on key arithmetic
+    ("join3.q", 506),           # 3-way same-key self-join
+    ("union20.q", 14),          # union of joins with mixed widths
+    ("order.q", 10),            # ORDER BY asc/desc + LIMIT
+    ("sort.q", 500),            # full-table SORT BY
+    ("nullgroup.q", 1),         # aggregates over empty group input
+    ("limit_pushdown2.q", 20),  # 21 statements of grouped top-k
+    ("ppd_gby.q", 221),         # predicate pushed through GROUP BY
+    ("groupby_position.q", 499),  # GROUP BY ordinal positions
+    ("subquery_exists.q", 1),   # EXISTS/IN correlated subqueries,
+                                # tables created+dropped in-script
+    ("groupby_distinct_samekey.q", 6),  # sum(DISTINCT) same-key
+]
+
+
+@pytest.mark.parametrize(
+    "fname,last_rows", SMOKE_SCRIPTS, ids=[f for f, _ in SMOKE_SCRIPTS]
+)
+def test_verbatim_smoke(spark, qtables, fname, last_rows):
+    """The script executes end-to-end through run_script and its final
+    statement's materialized result has the fixture-determined size
+    (CliDriver-eager results: in-script DROPs cannot invalidate them)."""
+    res = _run(spark, fname)
+    assert res.results, f"{fname} produced no results"
+    assert res.results[-1].count() == last_rows
