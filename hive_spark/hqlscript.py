@@ -535,6 +535,22 @@ _STORED_AS = re.compile(r"\bSTORED\s+AS\s+(\w+)", re.I)
 def _rewrite_stored_as(stmt: str) -> str:
     if not re.match(r"\s*CREATE\s", stmt, re.I):
         return stmt
+    # ROW FORMAT DELIMITED: strip the serde clause (native storage) and
+    # remember the field delimiter so LOAD DATA can parse source files
+    rf = _ROW_FORMAT.search(stmt)
+    if rf:
+        name_m = _CREATE_NAME.match(stmt)
+        sep = rf.group("sep")
+        if name_m:
+            decoded = (
+                sep.encode().decode("unicode_escape") if sep else "\x01"
+            )
+            _TABLE_DELIMS[name_m.group(1).lower()] = decoded
+        stmt = stmt[: rf.start()] + stmt[rf.end():]
+        if not _STORED_AS.search(stmt):
+            # delimited with no STORED AS = Hive TEXTFILE; native store
+            stmt = stmt.rstrip().rstrip(";") + " USING parquet"
+
     def sub(m: re.Match) -> str:
         fmt = _STORED_AS_USING.get(m.group(1).lower())
         return f"USING {fmt}" if fmt else m.group(0)
@@ -546,9 +562,87 @@ def _rewrite_stored_as(stmt: str) -> str:
 # annotations) -> FORMATTED (Tungsten codegen spans are the analog)
 _EXPLAIN_MODE = re.compile(r"^(\s*EXPLAIN\s+)(CBO|VECTORIZATION)\b", re.I)
 
+# Hive drops nonexistent objects silently by default
+# (hive.exec.drop.ignorenonexistent=true); Spark errors. Inject IF
+# EXISTS unless the script disabled the conf.
+_DROP_BARE = re.compile(
+    r"^(\s*DROP\s+(?:TABLE|VIEW)\s+)(?!IF\s+EXISTS)", re.I
+)
+
+# CREATE TABLE ... ROW FORMAT DELIMITED [FIELDS TERMINATED BY '<sep>']
+# [LINES TERMINATED BY ...] [STORED AS TEXTFILE]: the delimited-text
+# serde surface (LazySimpleSerDe). The catalog table becomes a native
+# table; the delimiter is remembered so LOAD DATA can parse its files.
+_ROW_FORMAT = re.compile(
+    r"ROW\s+FORMAT\s+DELIMITED"
+    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<sep>(?:\\.|[^'])+)')?"
+    r"(?:\s+LINES\s+TERMINATED\s+BY\s+'(?:\\.|[^'])+')?",
+    re.I,
+)
+_CREATE_NAME = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?(?:TEMPORARY\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?",
+    re.I,
+)
+
+# per-table field delimiter recorded at CREATE time (Hive's default
+# for delimited tables with no FIELDS TERMINATED BY clause is \x01)
+_TABLE_DELIMS: dict[str, str] = {}
+
+_LOAD_DATA = re.compile(
+    r"^\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+'([^']+)'\s+"
+    r"(OVERWRITE\s+)?INTO\s+TABLE\s+`?([\w.]+)`?"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*$",
+    re.I | re.S,
+)
+
+# search roots for relative LOAD DATA paths (qtests use paths relative
+# to the .q file's directory); callers may append their own bases
+LOAD_DATA_BASES: list[str] = []
+
+
+def _exec_load_data(spark: SparkSession, m: re.Match) -> None:
+    """SQL-text LOAD DATA: parse the delimited file with the table's
+    remembered separator, cast by position to the table schema, append
+    (or overwrite). ref: ql/.../parse/LoadSemanticAnalyzer.java."""
+    from pyspark.sql import functions as F
+
+    path, overwrite, table = m.group(2), bool(m.group(3)), m.group(4)
+    part_spec = m.group(5)
+    if not os.path.isabs(path) or not os.path.exists(path):
+        for base in LOAD_DATA_BASES:
+            cand = os.path.normpath(os.path.join(base, path))
+            if os.path.exists(cand):
+                path = cand
+                break
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"LOAD DATA inpath not found: {path}")
+    sep = _TABLE_DELIMS.get(table.lower(), "\x01")
+    schema = spark.table(table).schema
+    parts: dict[str, str] = {}
+    if part_spec:
+        for kv in part_spec.split(","):
+            k, v = kv.split("=", 1)
+            parts[k.strip().strip("`")] = v.strip().strip("'\"")
+    data_fields = [f for f in schema.fields if f.name not in parts]
+    raw = spark.read.csv(
+        path, sep=sep, header=False, inferSchema=False, quote="\x00"
+    )
+    cols = [
+        F.col(raw.columns[i]).cast(f.dataType).alias(f.name)
+        for i, f in enumerate(data_fields)
+    ]
+    df = raw.select(*cols)
+    for f in schema.fields:
+        if f.name in parts:
+            df = df.withColumn(f.name, F.lit(parts[f.name]).cast(f.dataType))
+    df = df.select(*[f.name for f in schema.fields])
+    df.write.insertInto(table, overwrite=overwrite)
+
 
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     """All HiveQL-text rewrites this engine applies before spark.sql."""
+    stmt = _DROP_BARE.sub(lambda m: m.group(1) + "IF EXISTS ", stmt)
     stmt = _EXPLAIN_MODE.sub(
         lambda m: m.group(1)
         + ("COST" if m.group(2).upper() == "CBO" else "FORMATTED"),
@@ -761,6 +855,10 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     spark.conf.set(key, val)
                 except Exception:
                     pass  # hive-only knob: recorded above, nothing to set
+                continue
+            m = _LOAD_DATA.match(stmt)
+            if m:
+                _exec_load_data(spark, m)
                 continue
             if _exec_dml(spark, res, stmt):
                 continue

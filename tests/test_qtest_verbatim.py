@@ -25,7 +25,9 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from hive_spark.hqlscript import run_script
+from hive_spark.hqlscript import LOAD_DATA_BASES, run_script
+
+REF_ROOT = "/root/reference/ql/src"
 
 QDIR = "/root/reference/ql/src/test/queries/clientpositive"
 SCRATCH = "/tmp/hive_spark_qverbatim"
@@ -59,6 +61,20 @@ def qtables(spark):
         "ds string, hr string",
     )
     src.crossJoin(parts).write.partitionBy("ds", "hr").saveAsTable("srcpart")
+    src.limit(25).write.saveAsTable("src1")
+    src.write.saveAsTable("src_cbo")
+    # cbo_t1-t3: loaded from the reference's own dataset files
+    # (data/files/cbo_t*.txt, the tables the 88-file cbo_* family uses)
+    cbo_schema = ("key string, value string, c_int int, c_float float,"
+                  " c_boolean boolean")
+    for t in ("cbo_t1", "cbo_t2", "cbo_t3"):
+        df = spark.read.csv(
+            f"/root/reference/data/files/{t}.txt", schema=cbo_schema
+        )
+        df.withColumn("dt", F.lit("2014")).write.saveAsTable(t)
+    # qtest LOAD DATA paths are relative to ql/src
+    if REF_ROOT not in LOAD_DATA_BASES:
+        LOAD_DATA_BASES.append(REF_ROOT)
 
     con = duckdb.connect()
     con.execute(
@@ -189,6 +205,18 @@ SMOKE_SCRIPTS = [
     ("subquery_exists.q", 1),   # EXISTS/IN correlated subqueries,
                                 # tables created+dropped in-script
     ("groupby_distinct_samekey.q", 6),  # sum(DISTINCT) same-key
+    # windowing family: scripts CREATE their over10k table with ROW
+    # FORMAT DELIMITED and LOAD DATA the reference's 9,999-row file —
+    # exercising the SQL-text delimited-serde + LOAD DATA on-ramp
+    ("distinct_windowing.q", 50),   # DISTINCT first_value over windows
+    ("windowing_ntile.q", 100),     # ntile/percent_rank/cume_dist
+    # cbo family over the reference's own cbo_t1-t3 dataset files
+    ("cbo_simple_select.q", 1),     # 40 result statements
+    ("cbo_union.q", 774),
+    ("cbo_gby.q", 2),
+    ("cbo_semijoin.q", 4),
+    ("cbo_limit.q", 1),
+    ("cbo_udf_udaf.q", 2),
 ]
 
 
