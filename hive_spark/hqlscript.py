@@ -548,8 +548,14 @@ def _rewrite_stored_as(stmt: str) -> str:
             _TABLE_DELIMS[name_m.group(1).lower()] = decoded
         stmt = stmt[: rf.start()] + stmt[rf.end():]
         if not _STORED_AS.search(stmt):
-            # delimited with no STORED AS = Hive TEXTFILE; native store
-            stmt = stmt.rstrip().rstrip(";") + " USING parquet"
+            # delimited with no STORED AS = Hive TEXTFILE; native store.
+            # USING goes right after the column list so later clauses
+            # (TBLPROPERTIES, PARTITIONED BY...) keep a valid order.
+            from hive_spark.plans.cte_spool import _scan_parens
+
+            open_at = stmt.index("(", _CREATE_NAME.match(stmt).end())
+            close = _scan_parens(stmt, open_at)
+            stmt = stmt[:close] + " USING parquet" + stmt[close:]
 
     def sub(m: re.Match) -> str:
         fmt = _STORED_AS_USING.get(m.group(1).lower())
@@ -561,6 +567,105 @@ def _rewrite_stored_as(stmt: str) -> str:
 # CBO (Calcite plan + costs) -> COST; VECTORIZATION (batch-operator
 # annotations) -> FORMATTED (Tungsten codegen spans are the analog)
 _EXPLAIN_MODE = re.compile(r"^(\s*EXPLAIN\s+)(CBO|VECTORIZATION)\b", re.I)
+
+# Hive window specs accept DISTRIBUTE BY / SORT BY / CLUSTER BY as
+# synonyms of PARTITION BY / ORDER BY inside OVER(...) and WINDOW ...
+# AS (...) (ref: ql/.../parse/WindowingSpec.java; grammar
+# IdentifiersParser.g partitioningSpec). Spark only speaks the ANSI
+# spellings, so the spans are rewritten in place — the TOP-LEVEL
+# query clauses of the same names are left alone (only text inside
+# the window-spec parens is touched).
+_WINDOW_SPEC_OPEN = re.compile(
+    r"\b(?:OVER|WINDOW\s+\w+\s+AS)\s*\(", re.I
+)
+
+
+def _rewrite_one_window_spec(span: str) -> str:
+    m = re.search(r"\bCLUSTER\s+BY\b(.*?)(?=\bROWS\b|\bRANGE\b|$)",
+                  span, re.I | re.S)
+    if m:
+        cols = m.group(1).strip()
+        span = (span[: m.start()]
+                + f"PARTITION BY {cols} ORDER BY {cols} "
+                + span[m.end():])
+    span = re.sub(r"\bDISTRIBUTE\s+BY\b", "PARTITION BY", span, flags=re.I)
+    span = re.sub(r"\bSORT\s+BY\b", "ORDER BY", span, flags=re.I)
+    return span
+
+
+def _rewrite_window_specs(stmt: str) -> str:
+    if not re.search(r"\bOVER\s*\(|\bWINDOW\s+\w+\s+AS\s*\(", stmt, re.I):
+        return stmt
+    from hive_spark.plans.cte_spool import _scan_parens
+
+    out = []
+    i = 0
+    while True:
+        m = _WINDOW_SPEC_OPEN.search(stmt, i)
+        if not m:
+            out.append(stmt[i:])
+            return "".join(out)
+        open_at = m.end() - 1
+        close = _scan_parens(stmt, open_at)
+        out.append(stmt[i : open_at + 1])
+        out.append(_rewrite_one_window_spec(stmt[open_at + 1 : close - 1]))
+        out.append(")")
+        i = close
+
+
+# Hive PTF invocation `noop(on <src> [partition by ...] [order by /
+# sort by / distribute by ...])` — the pass-through table functions the
+# PTF qtests pivot on (ref: ql/.../udf/ptf/Noop.java,
+# NoopWithMap.java; grammar FromClauseParser.g partitionedTableFunction).
+# Both are row-identity (partitioning only affects which rows SHARE a
+# PTF partition, irrelevant for identity), so the source relation
+# substitutes directly. Real PTFs (MatchPath) run through
+# operators/extension.py.
+_PTF_NOOP_OPEN = re.compile(r"\b(noop|noopwithmap)\s*\(\s*on\b", re.I)
+_PTF_SPEC_KEYWORD = re.compile(
+    r"\b(?:partition\s+by|order\s+by|sort\s+by|distribute\s+by|"
+    r"cluster\s+by)\b",
+    re.I,
+)
+
+
+def _rewrite_ptf_noop(stmt: str) -> str:
+    from hive_spark.plans.cte_spool import _scan_parens, _skip_noncode
+
+    while True:
+        m = _PTF_NOOP_OPEN.search(stmt)
+        if not m:
+            return stmt
+        open_at = stmt.index("(", m.start())
+        close = _scan_parens(stmt, open_at)
+        inner = stmt[m.end() : close - 1]
+        # source = inner text up to the first TOP-LEVEL spec keyword
+        depth = 0
+        cut = len(inner)
+        i = 0
+        while i < len(inner):
+            j = _skip_noncode(inner, i)
+            if j != i:
+                i = j
+                continue
+            c = inner[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                k = _PTF_SPEC_KEYWORD.match(inner, i)
+                if k:
+                    cut = i
+                    break
+            i += 1
+        source = inner[:cut].strip()
+        stmt = (
+            stmt[: m.start()]
+            + f"(SELECT * FROM {source})"
+            + stmt[close:]
+        )
+
 
 # Hive drops nonexistent objects silently by default
 # (hive.exec.drop.ignorenonexistent=true); Spark errors. Inject IF
@@ -643,6 +748,13 @@ def _exec_load_data(spark: SparkSession, m: re.Match) -> None:
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     """All HiveQL-text rewrites this engine applies before spark.sql."""
     stmt = _DROP_BARE.sub(lambda m: m.group(1) + "IF EXISTS ", stmt)
+    # TIMESTAMPLOCALTZ: Spark's TIMESTAMP already carries local-tz
+    # semantics (SURVEY 1.2 type table); Hive's long spelling parses out
+    stmt = re.sub(r"\bTIMESTAMP\s+WITH\s+LOCAL\s+TIME\s+ZONE\b",
+                  "TIMESTAMP", stmt, flags=re.I)
+    stmt = _rewrite_window_specs(stmt)
+    if _PTF_NOOP_OPEN.search(stmt):
+        stmt = _rewrite_ptf_noop(stmt)
     stmt = _EXPLAIN_MODE.sub(
         lambda m: m.group(1)
         + ("COST" if m.group(2).upper() == "CBO" else "FORMATTED"),

@@ -72,6 +72,10 @@ def qtables(spark):
             f"/root/reference/data/files/{t}.txt", schema=cbo_schema
         )
         df.withColumn("dt", F.lit("2014")).write.saveAsTable(t)
+    # the canonical 26-row part dimension, from the reference's own
+    # parquet copy (data/files/part.parquet)
+    spark.read.parquet("/root/reference/data/files/part.parquet") \
+        .write.saveAsTable("part")
     # qtest LOAD DATA paths are relative to ql/src
     if REF_ROOT not in LOAD_DATA_BASES:
         LOAD_DATA_BASES.append(REF_ROOT)
@@ -217,7 +221,17 @@ SMOKE_SCRIPTS = [
     ("cbo_semijoin.q", 4),
     ("cbo_limit.q", 1),
     ("cbo_udf_udaf.q", 2),
+    ("windowing_windowspec.q", 45),  # named WINDOW clauses, range
+                                     # frames, tstz cast over over10k
 ]
+
+# Known Hive-extension divergences (documented, not papered over): the
+# rest of windowing.q uses negative RANGE frame bounds and DISTINCT in
+# windows, ptf.q ranks ordered only by the PTF spec (not the OVER
+# clause), and leadlag.q calls lag() with no OVER — Spark rejects all
+# four forms; the engine's own windowing surface covers the ANSI
+# equivalents (window_* registry queries, ext_matchpath).
+
 
 
 @pytest.mark.parametrize(
