@@ -487,6 +487,21 @@ def _fold_ds_hll(args: list[str]) -> str:
     return f"approx_count_distinct({m.group(1)}, 0.016)"
 
 
+def _fold_ds_cpc(args: list[str]) -> str:
+    """ds_cpc_estimate(ds_cpc_sketch(x)) composition only: folds to the
+    approximate-distinct intent (CPC default accuracy is in the lgK=12
+    HLL band). Stored CPC sketch OBJECTS are coupon arrays with their
+    own estimator (operators/sketches) — a SQL-text estimate over a
+    stored column is not a supported spelling."""
+    m = re.match(r"ds_cpc_sketch\s*\((.*)\)\s*$", args[0], re.I | re.S)
+    if m is None:
+        raise ValueError(
+            "ds_cpc_estimate supports the ds_cpc_estimate(ds_cpc_sketch(x)) "
+            "composition only"
+        )
+    return f"approx_count_distinct({m.group(1)}, 0.016)"
+
+
 def _fold_ds_kll(args: list[str]) -> str:
     m = re.match(r"ds_kll_sketch\s*\((.*)\)\s*$", args[0], re.I | re.S)
     if m is None:
@@ -776,6 +791,12 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = _fold_calls(stmt, "ds_hll_sketch", lambda a: f"hll_sketch_agg({a[0]})")
     if re.search(r"\bds_kll_quantile\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "ds_kll_quantile", _fold_ds_kll)
+    # ds_cpc_estimate(ds_cpc_sketch(x)): the folded composition maps to
+    # the same approximate-distinct intent (CPC's default accuracy is in
+    # the same band as lgK=12 HLL); the sketch-OBJECT lifecycle lives in
+    # operators/sketches.sketch_cpc_lifecycle (coupon-set build/merge)
+    if re.search(r"\bds_cpc_estimate\s*\(", stmt, re.I):
+        stmt = _fold_calls(stmt, "ds_cpc_estimate", _fold_ds_cpc)
     if re.search(r"\bfield\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "field", _fold_field)
     if re.search(r"\blikeany\s*\(", stmt, re.I):

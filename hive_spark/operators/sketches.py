@@ -617,6 +617,141 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# CPC-analog coupon sketch (ds_cpc family).
+#
+# Hive registers ds_cpc_{sketch,union,estimate,...} (ref: ql/src/java/org/
+# apache/hadoop/hive/ql/exec/DataSketchesFunctions.java:315-326). CPC's
+# sparse mode collects COUPONS — (row, column) pairs where row is a
+# uniform k-way hash and column is geometric — and the estimator inverts
+# the expected-coupon-count curve. That structure (a distinct-coupon SET,
+# merged by set union) is deliberately different from HLL's register-max
+# array, and it gives CPC its defining property: the union of two coupon
+# sketches IS the sketch of the unioned data, bit for bit.
+#
+# Build: coupon = row*64 + col computed with JVM codegen expressions
+# (xxhash64 row, trailing-zeros-of-second-hash column via
+# bit_count(lowbit-1)), then one partial-distinct groupBy — the shuffle
+# carries <= groups x k*64 coupon ints, never N rows. Merge is
+# array_distinct(flatten(...)). Estimate: a vectorized pandas UDF
+# bisects n in E[C](n) = k * sum_t (1 - (1 - p_t/k)^n) — deterministic
+# float math over the observed coupon count only.
+#
+# Oracle protocol: as the HLL family — (group, exact, within_bound)
+# with the engine checking its own estimate; DuckDB emits exacts + TRUE.
+# ---------------------------------------------------------------------------
+
+_CPC_LGK = 10
+_CPC_K = 1 << _CPC_LGK
+_CPC_COLS = 48  # geometric column cap; tail mass 2^-48 is negligible
+
+
+def _cpc_coupon_expr(v: str) -> str:
+    """SQL expression for the CPC coupon of value expression `v`.
+
+    row = pmod(xxhash64(v), k); col = trailing zeros of an independent
+    63-bit hash (geometric, p=1/2), capped. bit_count(lowbit-1) counts
+    trailing zeros exactly in integer arithmetic — no float log2 that
+    could round 41.999... down."""
+    h2 = f"(xxhash64({v}, 1) & 9223372036854775807)"
+    tz = (
+        f"CASE WHEN {h2} = 0 THEN {_CPC_COLS - 1} "
+        f"ELSE least({_CPC_COLS - 1}, bit_count(({h2} & -{h2}) - 1)) END"
+    )
+    return f"CAST(pmod(xxhash64({v}), {_CPC_K}) * 64 + ({tz}) AS INT)"
+
+
+def _register_cpc_estimate(spark: SparkSession) -> None:
+    """`cpc_estimate(num_coupons) -> double`: invert E[C](n) by bisection
+    (vectorized numpy over the handful of sketch rows)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    k = float(_CPC_K)
+    probs = 2.0 ** -(np.arange(_CPC_COLS, dtype=np.float64) + 1.0)
+    probs[-1] = 2.0 ** -(_CPC_COLS - 1)  # last column absorbs the tail
+    log1m = np.log1p(-probs / k)  # per-column log(1 - p_t/k)
+
+    def expected(n):  # n: (rows,) -> E[total coupons]
+        return k * (1.0 - np.exp(np.outer(n, log1m))).sum(axis=1)
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def cpc_estimate(c):
+        obs = c.to_numpy(dtype=np.float64)
+        lo = np.zeros_like(obs)
+        hi = np.full_like(obs, 2.0**50)
+        for _ in range(120):
+            mid = 0.5 * (lo + hi)
+            below = expected(mid) < obs
+            lo = np.where(below, mid, lo)
+            hi = np.where(below, hi, mid)
+        return pd.Series(np.where(obs <= 0.0, 0.0, 0.5 * (lo + hi)))
+
+    spark.udf.register("cpc_estimate", cpc_estimate)
+
+
+def sketch_cpc_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds_cpc lifecycle: per-returnflag coupon sketches of l_orderkey
+    persisted to parquet (sorted array<int> coupon column), read back,
+    estimated per group, and set-union-merged into a '~TOTAL' row whose
+    sketch is IDENTICAL to one built over the whole column."""
+    views(spark, sf_dir)
+    _register_cpc_estimate(spark)
+    coupon = _cpc_coupon_expr("l_orderkey")
+    sk = (
+        spark.table("lineitem")
+        .selectExpr("l_returnflag", f"{coupon} AS coupon")
+        .groupBy("l_returnflag")
+        .agg(F.expr("sort_array(collect_set(coupon))").alias("coupons"))
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"hive_spark_cpc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sk.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    per_group = stored.selectExpr(
+        "l_returnflag", "cpc_estimate(size(coupons)) AS est"
+    )
+    merged = stored.agg(
+        F.expr(
+            "size(array_distinct(flatten(collect_list(coupons))))"
+        ).alias("nc")
+    ).selectExpr("'~TOTAL' AS l_returnflag", "cpc_estimate(nc) AS est")
+    exact = spark.sql(
+        """
+        SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT '~TOTAL', COUNT(DISTINCT l_orderkey) FROM lineitem
+        """
+    )
+    return (
+        per_group.unionAll(merged)
+        .join(exact, "l_returnflag")
+        .selectExpr(
+            "l_returnflag",
+            "exact_orders",
+            "CAST(abs(est - exact_orders) <="
+            " greatest(0.05 * exact_orders, 8.0) AS BOOLEAN)"
+            " AS within_bound",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_CPC_LIFECYCLE_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT '~TOTAL', COUNT(DISTINCT l_orderkey), TRUE FROM lineitem
+ORDER BY l_returnflag
+"""
+
+
 def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items (heavy hitters) sketch over document tokens (ref:
     DataSketchesFunctions.java frequencies family — ds_freq_items).
@@ -725,6 +860,11 @@ REGISTRY: dict[str, QuerySpec] = {
         sketch_kll_quantiles,
         _KLL_SQL,
         "mergeable quantile sketches; exact-rank-of-estimate bound",
+    ),
+    "sketch_cpc_lifecycle": QuerySpec(
+        sketch_cpc_lifecycle,
+        _CPC_LIFECYCLE_SQL,
+        "coupon sketches persisted, read back, set-union-merged; bound vs exact",
     ),
     "sketch_freq_items": QuerySpec(
         sketch_freq_items,

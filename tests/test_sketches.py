@@ -94,6 +94,77 @@ def test_theta_estimate_accuracy_known_cardinality(spark):
             assert abs(est - n) / n < 0.08
 
 
+def test_cpc_estimate_accuracy_known_cardinality(spark):
+    """Coupon-count inversion within 5% for known n across regimes —
+    near-exact sparse (n << k*64), and deep estimation (n >> k)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark.operators.sketches import (
+        _cpc_coupon_expr,
+        _register_cpc_estimate,
+    )
+
+    _register_cpc_estimate(spark)
+    for n in (1_000, 30_000, 300_000):
+        est = (
+            spark.range(0, n)
+            .selectExpr(f"{_cpc_coupon_expr('id')} AS coupon")
+            .agg(F.expr("cpc_estimate(count(DISTINCT coupon))").alias("e"))
+            .collect()[0]
+            .e
+        )
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_cpc_union_is_sketch_of_union(spark):
+    """The defining CPC property: the coupon-set union of per-group
+    sketches is IDENTICAL to the sketch built over the combined data —
+    not merely close, bit-for-bit equal (so rollups along any hierarchy
+    are exact re-expressions, safe at any partitioning)."""
+    from pyspark.sql import functions as F
+
+    from hive_spark.operators.sketches import _cpc_coupon_expr
+
+    base = spark.range(0, 20_000).selectExpr(
+        "CAST(id % 4 AS STRING) AS g", f"{_cpc_coupon_expr('id')} AS coupon"
+    )
+    per_group = base.groupBy("g").agg(
+        F.expr("sort_array(collect_set(coupon))").alias("coupons")
+    )
+    merged = sorted(
+        per_group.agg(
+            F.expr(
+                "sort_array(array_distinct(flatten(collect_list(coupons))))"
+            ).alias("cs")
+        ).collect()[0]
+        .cs
+    )
+    whole = sorted(
+        base.agg(F.expr("sort_array(collect_set(coupon))").alias("cs"))
+        .collect()[0]
+        .cs
+    )
+    assert merged == whole
+
+
+def test_ds_cpc_sql_text_fold(spark):
+    """ds_cpc_estimate(ds_cpc_sketch(x)) folds to a JVM approximate
+    distinct; a stored-column spelling is rejected, not mis-folded."""
+    import pytest as _pytest
+
+    from hive_spark.hqlscript import run_script
+
+    res = run_script(
+        spark,
+        "SELECT ds_cpc_estimate(ds_cpc_sketch(id)) AS est"
+        " FROM range(10000);",
+    )
+    est = res.results[-1].collect()[0].est
+    assert abs(est - 10_000) / 10_000 < 0.05
+    with _pytest.raises(Exception):
+        run_script(spark, "SELECT ds_cpc_estimate(stored_col) FROM t;")
+
+
 def test_theta_union_merge_order_invariant(spark):
     """Theta union algebra is associative/commutative: merging per-group
     sketches in any grouping yields the same '~TOTAL' estimate (the
