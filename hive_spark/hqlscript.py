@@ -695,8 +695,10 @@ _DROP_BARE = re.compile(
 # table; the delimiter is remembered so LOAD DATA can parse its files.
 _ROW_FORMAT = re.compile(
     r"ROW\s+FORMAT\s+DELIMITED"
-    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<sep>(?:\\.|[^'])+)')?"
-    r"(?:\s+LINES\s+TERMINATED\s+BY\s+'(?:\\.|[^'])+')?",
+    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+"
+    r"(?P<q>['\"])(?P<sep>(?:\\.|(?!(?P=q)).)+?)(?P=q))?"
+    r"(?:\s+LINES\s+TERMINATED\s+BY\s+"
+    r"(?P<q2>['\"])(?:\\.|(?!(?P=q2)).)+?(?P=q2))?",
     re.I,
 )
 _CREATE_NAME = re.compile(
@@ -776,7 +778,24 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt,
     )
     stmt = _rewrite_stored_as(stmt)
+    # Hive TEMPORARY TABLEs are writable session-scoped tables; Spark's
+    # nearest writable analog is a regular managed table (CREATE
+    # TEMPORARY TABLE without a provider is rejected outright). The
+    # session-end auto-drop is the one divergence (COVERAGE.md §2.14).
+    stmt = re.sub(
+        r"^(\s*CREATE\s+)TEMPORARY\s+(TABLE\b)", r"\1\2", stmt,
+        flags=re.I,
+    )
     stmt = _rewrite_time_travel(spark, stmt)
+    # Hive resolves CTE names positionally-independently; Spark needs
+    # definition-before-use, so forward-referencing chains are reordered
+    # (also under an EXPLAIN prefix — cte_1.q explains each variant)
+    m = re.match(r"(\s*(?:EXPLAIN\s+(?:\w+\s+)?)?)(WITH\b.*)", stmt,
+                 re.I | re.S)
+    if m:
+        from hive_spark.plans.cte_spool import reorder_ctes
+
+        stmt = m.group(1) + reorder_ctes(m.group(2))
     for name, (params, body) in _MACROS.get(id(spark), {}).items():
         if re.search(rf"\b{name}\s*\(", stmt, re.I):
             stmt = _fold_calls(stmt, name, _macro_fold(params, body))
@@ -804,6 +823,157 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     if re.search(r"\blikeall\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "likeall", _fold_like_chain("AND"))
     return stmt
+
+
+_CREATE_VIEW = re.compile(
+    r"(\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"`?[\w.]+`?\s+)AS\b(.*)",
+    re.I | re.S,
+)
+
+
+def _needs_autoalias(item: str) -> bool:
+    """True for a select-list item Hive would name `_c<i>`: an expression
+    with no explicit or implicit alias. Bare columns and items ending in
+    an identifier (implicit alias, or the column name itself) keep their
+    names; function calls / CASE / literals / arithmetic need one."""
+    s = item.strip()
+    if not s or s.endswith("*"):
+        return False
+    if re.fullmatch(r"`?[\w]+`?(?:\s*\.\s*`?\w+`?)*", s):
+        return False  # bare (possibly qualified) column
+    return bool(re.search(r"(\)|\bEND|\d|'|\")\s*$", s, re.I))
+
+
+def _autoalias_select_lists(body: str) -> str:
+    """Append ` AS _c<i>` to every unaliased expression item in every
+    SELECT list of `body` (quote/comment/paren-aware scan). Spark's
+    CREATE VIEW rejects auto-generated aliases ANYWHERE in the view
+    text — including subqueries — so each site is rewritten in place,
+    mirroring Hive's SemanticAnalyzer `_c<pos>` naming."""
+    from hive_spark.plans.cte_spool import _skip_noncode
+
+    sel_pat = re.compile(r"SELECT\b", re.I)
+    kw_end = re.compile(
+        r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|EXCEPT|INTERSECT"
+        r"|WINDOW|DISTRIBUTE|SORT|CLUSTER)\b",
+        re.I,
+    )
+    n = len(body)
+    spans: list[tuple[int, int]] = []  # (select-list start, paren depth)
+    i = depth = 0
+    while i < n:
+        j = _skip_noncode(body, i)
+        if j != i:
+            i = j
+            continue
+        c = body[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        else:
+            m = sel_pat.match(body, i)
+            if m and (i == 0 or not (body[i - 1].isalnum()
+                                     or body[i - 1] in "_`")):
+                spans.append((m.end(), depth))
+                i = m.end()
+                continue
+        i += 1
+    for start, d0 in reversed(spans):  # right-to-left keeps offsets valid
+        m = re.match(r"\s*(DISTINCT|ALL)\b", body[start:], re.I)
+        list_start = start + (m.end() if m else 0)
+        i, depth, end = list_start, d0, len(body)
+        cuts: list[int] = []  # top-level comma positions
+        while i < len(body):
+            j = _skip_noncode(body, i)
+            if j != i:
+                i = j
+                continue
+            c = body[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == d0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == d0:
+                if c == ",":
+                    cuts.append(i)
+                elif kw_end.match(body, i) and not (
+                    body[i - 1].isalnum() or body[i - 1] in "_`"
+                ):
+                    end = i
+                    break
+            i += 1
+        bounds = [list_start] + [c + 1 for c in cuts] + [end + 1]
+        items = [
+            body[bounds[k] : bounds[k + 1] - 1] for k in range(len(bounds) - 1)
+        ]
+        new_items = [
+            it.rstrip() + f" AS _c{k} " if _needs_autoalias(it) else it
+            for k, it in enumerate(items)
+        ]
+        body = body[:list_start] + ",".join(new_items) + body[end:]
+    return body
+
+
+_INSERT_OVERWRITE_HEAD = re.compile(
+    r"^(\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?[\w.]+\s*"
+    r"(?:PARTITION\s*\([^)]*\)\s*)?)"
+    r"((?:SELECT|WITH|FROM|VALUES)\b.*)$",
+    re.I | re.S,
+)
+
+
+def _retry_insert_overwrite_selfread(spark, stmt: str, err: Exception):
+    """INSERT OVERWRITE a table the query also READS (union22.q et al):
+    legal in Hive because execution is two-phase — the query writes a
+    staging directory, then MoveTask swaps it over the target (ref:
+    ql/src/java/org/apache/hadoop/hive/ql/exec/MoveTask.java). Spark's
+    single-phase v1 write refuses; replicate Hive's staging semantics."""
+    import shutil
+    import tempfile
+    import uuid
+
+    if "UNSUPPORTED_OVERWRITE" not in str(err):
+        raise err
+    m = _INSERT_OVERWRITE_HEAD.match(stmt)
+    if m is None:
+        raise err
+    head, query = m.group(1), m.group(2)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"hive_spark_stage_{uuid.uuid4().hex}"
+    )
+    spark.sql(query).write.parquet(stage)
+    view = f"__stage_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.read.parquet(stage).createOrReplaceTempView(view)
+        # re-run the SAME insert head (partition spec and all) over the
+        # staged rows — Spark's own partitioned-insert path, minus the
+        # self-read the staging removed
+        return spark.sql(f"{head} SELECT * FROM {view}")
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _retry_view_autoalias(spark, stmt: str, err: Exception):
+    """Hive names unaliased view expression columns `_c<i>`
+    (SemanticAnalyzer's autogenerated column aliases); Spark refuses the
+    CREATE VIEW outright. On that specific failure, rewrite every
+    unaliased select-list expression in place and re-issue."""
+    if "WITHOUT_ALIAS" not in str(err):
+        raise err
+    m = _CREATE_VIEW.match(stmt)
+    if m is None:
+        raise err
+    body = m.group(2).rstrip().rstrip(";")
+    fixed = _autoalias_select_lists(body)
+    if fixed == body:
+        raise err
+    return spark.sql(f"{m.group(1)}AS {fixed}")
 
 
 @dataclass
@@ -1011,7 +1181,15 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 from hive_spark.plans.cte_spool import spool_ctes
 
                 rewritten = spool_ctes(spark, rewritten, _cte_thresh)
-            df = spark.sql(rewritten)
+            try:
+                df = spark.sql(rewritten)
+            except Exception as e:
+                # Hive-legal shapes Spark initially refuses: unaliased
+                # view expression columns, and self-read INSERT OVERWRITE
+                if "WITHOUT_ALIAS" in str(e):
+                    df = _retry_view_autoalias(spark, rewritten, e)
+                else:
+                    df = _retry_insert_overwrite_selfread(spark, rewritten, e)
             if df.columns:  # statements with a result shape (SELECT/SHOW/...)
                 # CliDriver semantics: each statement's rows are buffered
                 # to the client BEFORE the next statement runs (ref:

@@ -108,6 +108,63 @@ def _parse_with(text: str):
         return ctes, text[i:]
 
 
+def reorder_ctes(stmt: str) -> str:
+    """Hive resolves WITH-clause names by NAME, so CTEs may reference
+    siblings defined later in the chain (cte_1.q's "chaining" section);
+    Spark resolves left-to-right and fails on the forward reference.
+    Topologically reorder the definitions when (and only when) a forward
+    reference exists — already-ordered chains, cycles, and shapes
+    _parse_with can't handle are returned untouched."""
+    parsed = _parse_with(stmt)
+    if not parsed:
+        return stmt
+    ctes, rest = parsed
+    names = [n.lower() for n, _ in ctes]
+    if len(set(names)) != len(names):
+        return stmt
+    deps = {
+        n.lower(): {
+            m for m in names if m != n.lower() and _count_refs(m, body) > 0
+        }
+        for n, body in ctes
+    }
+    # Hive never semantically analyzes a CTE the statement doesn't use
+    # (cte_1.q ends with an invalid-body UNUSED q1); Spark analyzes every
+    # definition eagerly. Keep only definitions reachable from the main
+    # statement so unused-invalid bodies stay as inert as Hive leaves them.
+    reachable: set[str] = {
+        m for m in names if _count_refs(m, rest) > 0
+    }
+    frontier = set(reachable)
+    while frontier:
+        frontier = {
+            d for n in frontier for d in deps[n] if d not in reachable
+        }
+        reachable |= frontier
+    if reachable != set(names):
+        ctes = [(n, b) for n, b in ctes if n.lower() in reachable]
+        names = [n.lower() for n, _ in ctes]
+        if not ctes:
+            return rest.lstrip()
+    elif all(deps[names[i]] <= set(names[:i]) for i in range(len(names))):
+        return stmt  # already ordered and fully used
+    ordered: list[tuple[str, str]] = []
+    placed: set[str] = set()
+    pending = list(ctes)
+    while pending:
+        ready = [
+            (n, b) for n, b in pending if deps[n.lower()] <= placed
+        ]
+        if not ready:
+            return stmt  # cycle — let the engine report it
+        for n, b in ready:
+            ordered.append((n, b))
+            placed.add(n.lower())
+        pending = [(n, b) for n, b in pending if n.lower() not in placed]
+    chain = ",\n".join(f"{n} AS ({b})" for n, b in ordered)
+    return f"WITH {chain}\n{rest.lstrip()}"
+
+
 def _count_refs(name: str, sql: str) -> int:
     """Word-boundary references to `name` in code (not strings/comments)."""
     pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)

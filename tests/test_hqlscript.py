@@ -192,3 +192,73 @@ def test_sql_text_insert_truncate_versioned(spark, tmp_path):
         assert snapshots.read_table(spark, path).columns == ["id", "v"]
     finally:
         VERSIONED_TABLES.pop("vt_ins", None)
+
+
+def test_cte_forward_reference_reordered(spark):
+    """Hive resolves WITH names positionally-independently (cte_1.q
+    "chaining"); forward-referencing chains are topologically reordered
+    before Spark sees them."""
+    out = run_script(
+        spark,
+        "WITH q1 AS (SELECT x FROM q2 WHERE x > 1),"
+        " q2 AS (SELECT id AS x FROM range(5))"
+        " SELECT * FROM q1 ORDER BY x;",
+    )
+    assert [r.x for r in out.results[-1].collect()] == [2, 3, 4]
+
+
+def test_unused_cte_body_never_analyzed(spark):
+    """Hive never semantically analyzes an unreferenced CTE — cte_1.q
+    ends with a WITH whose body references a nonexistent column but whose
+    name is never used; the statement must still run."""
+    out = run_script(
+        spark,
+        "WITH q1 AS (SELECT no_such_col FROM range(5))"
+        " SELECT COUNT(*) AS n FROM range(3);",
+    )
+    assert out.results[-1].collect()[0].n == 3
+
+
+def test_create_view_autoalias(spark):
+    """Unaliased view expression columns get Hive's `_c<i>` names
+    (cte_2.q view_3/view_4) instead of Spark's hard refusal."""
+    run_script(
+        spark,
+        "CREATE DATABASE IF NOT EXISTS hqtest; USE hqtest;"
+        " DROP VIEW IF EXISTS v_auto;"
+        " CREATE VIEW v_auto AS SELECT id, AVG(id) FROM range(10)"
+        " GROUP BY id LIMIT 3;",
+    )
+    assert spark.table("hqtest.v_auto").columns == ["id", "_c1"]
+    run_script(spark, "DROP VIEW hqtest.v_auto; USE default;")
+
+
+def test_insert_overwrite_self_read(spark):
+    """INSERT OVERWRITE of a table the query also reads (union22.q):
+    Hive's two-phase staging semantics, replicated."""
+    run_script(
+        spark,
+        "CREATE DATABASE IF NOT EXISTS hqtest; USE hqtest;"
+        " DROP TABLE IF EXISTS selfrw;"
+        " CREATE TABLE selfrw AS SELECT id FROM range(4);"
+        " INSERT OVERWRITE TABLE selfrw SELECT id + 10 FROM selfrw;",
+    )
+    got = sorted(r.id for r in spark.table("hqtest.selfrw").collect())
+    assert got == [10, 11, 12, 13]
+    run_script(spark, "DROP TABLE hqtest.selfrw; USE default;")
+
+
+def test_temporary_table_and_double_quoted_delim(spark, tmp_path):
+    """CREATE TEMPORARY TABLE maps to a writable managed table;
+    ROW FORMAT DELIMITED accepts double-quoted delimiters
+    (subquery_multi.q's part_null)."""
+    run_script(
+        spark,
+        "CREATE DATABASE IF NOT EXISTS hqtest; USE hqtest;"
+        " DROP TABLE IF EXISTS ttmp;"
+        ' CREATE TEMPORARY TABLE ttmp (a INT, b STRING)'
+        ' ROW FORMAT DELIMITED FIELDS TERMINATED BY ",";'
+        " INSERT INTO ttmp VALUES (1, 'x');",
+    )
+    assert spark.table("hqtest.ttmp").count() == 1
+    run_script(spark, "DROP TABLE ttmp; USE default;")
