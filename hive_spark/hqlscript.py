@@ -548,34 +548,102 @@ _STORED_AS = re.compile(r"\bSTORED\s+AS\s+(\w+)", re.I)
 
 
 def _rewrite_stored_as(stmt: str) -> str:
+    """Normalize a Hive CREATE TABLE into Spark's datasource form:
+
+    - ROW FORMAT DELIMITED dropped (delimiter remembered for LOAD DATA);
+    - STORED AS <fmt> becomes a USING <provider> placed in Spark's ONE
+      legal position (right after the column list / table name) — Hive
+      allows STORED AS after PARTITIONED BY / CLUSTERED BY, Spark's
+      tableProvider must precede those clauses;
+    - Hive-style TYPED partition columns are merged into the schema and
+      PARTITIONED BY reduced to column names (the datasource spelling);
+    - inline PK/FK/UNIQUE constraint items and DISABLE/RELY tails are
+      stripped (Hive metadata Spark's parser rejects; ddl.py carries
+      real constraint metadata for API callers);
+    - EXTERNAL with no LOCATION drops EXTERNAL (Hive defaults the
+      warehouse path; Spark refuses the combination);
+    - CREATE VIEW ... PARTITIONED ON (Hive-only metadata) is dropped."""
     if not re.match(r"\s*CREATE\s", stmt, re.I):
         return stmt
-    # ROW FORMAT DELIMITED: strip the serde clause (native storage) and
-    # remember the field delimiter so LOAD DATA can parse source files
+    if re.match(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\b",
+                stmt, re.I):
+        return re.sub(r"\bPARTITIONED\s+ON\s*\([^)]*\)", " ", stmt, flags=re.I)
+    name_m = _CREATE_NAME.match(stmt)
+    if name_m is None:
+        return stmt
+    from hive_spark.plans.cte_spool import _scan_parens
+
+    provider = None
     rf = _ROW_FORMAT.search(stmt)
     if rf:
-        name_m = _CREATE_NAME.match(stmt)
         sep = rf.group("sep")
-        if name_m:
-            decoded = (
-                sep.encode().decode("unicode_escape") if sep else "\x01"
-            )
-            _TABLE_DELIMS[name_m.group(1).lower()] = decoded
+        decoded = sep.encode().decode("unicode_escape") if sep else "\x01"
+        _TABLE_DELIMS[name_m.group(1).lower()] = decoded
         stmt = stmt[: rf.start()] + stmt[rf.end():]
-        if not _STORED_AS.search(stmt):
-            # delimited with no STORED AS = Hive TEXTFILE; native store.
-            # USING goes right after the column list so later clauses
-            # (TBLPROPERTIES, PARTITIONED BY...) keep a valid order.
-            from hive_spark.plans.cte_spool import _scan_parens
+        provider = "parquet"  # delimited text keeps Hive's row semantics
+    sa = _STORED_AS.search(stmt)
+    if sa:
+        provider = _STORED_AS_USING.get(sa.group(1).lower()) or provider \
+            or "parquet"
+        stmt = stmt[: sa.start()] + stmt[sa.end():]
+    if re.search(r"\bEXTERNAL\b", stmt, re.I) and not re.search(
+        r"\bLOCATION\b", stmt, re.I
+    ):
+        stmt = re.sub(r"\bEXTERNAL\s+", "", stmt, count=1, flags=re.I)
 
-            open_at = stmt.index("(", _CREATE_NAME.match(stmt).end())
-            close = _scan_parens(stmt, open_at)
-            stmt = stmt[:close] + " USING parquet" + stmt[close:]
+    def col_span():
+        nm = _CREATE_NAME.match(stmt)
+        m_open = re.match(r"\s*\(", stmt[nm.end():])
+        if not m_open:
+            return None
+        o = nm.end() + m_open.end() - 1
+        return o, _scan_parens(stmt, o)  # (index of '(', index past ')')
 
-    def sub(m: re.Match) -> str:
-        fmt = _STORED_AS_USING.get(m.group(1).lower())
-        return f"USING {fmt}" if fmt else m.group(0)
-    return _STORED_AS.sub(sub, stmt)
+    span = col_span()
+    if span and re.search(
+        r"\b(PRIMARY\s+KEY|FOREIGN\s+KEY|CONSTRAINT|UNIQUE\s*\("
+        r"|DISABLE|NOVALIDATE|RELY)\b",
+        stmt[span[0]:span[1]], re.I,
+    ):
+        items = _split_args(stmt[span[0] + 1 : span[1] - 1])
+        kept = [
+            re.sub(r"\s+(DISABLE|ENABLE|NOVALIDATE|VALIDATE|RELY|NORELY)\b",
+                   "", it, flags=re.I).strip()
+            for it in items
+            if not re.match(
+                r"\s*(CONSTRAINT\b|PRIMARY\s+KEY\b|FOREIGN\s+KEY\b"
+                r"|UNIQUE\s*\()",
+                it, re.I,
+            )
+        ]
+        stmt = (stmt[: span[0] + 1] + ", ".join(kept) + stmt[span[1] - 1 :])
+        span = col_span()
+    pb = re.search(r"\bPARTITIONED\s+BY\s*\(", stmt, re.I)
+    if pb:
+        p_open = stmt.index("(", pb.start())
+        p_close = _scan_parens(stmt, p_open)
+        p_items = [
+            x.strip() for x in _split_args(stmt[p_open + 1 : p_close - 1])
+        ]
+        if p_items and all(len(x.split()) >= 2 for x in p_items):
+            names = ", ".join(x.split()[0] for x in p_items)
+            if span and span[1] <= pb.start():
+                stmt = (
+                    stmt[: span[1] - 1]
+                    + ", " + ", ".join(p_items)
+                    + stmt[span[1] - 1 : pb.start()]
+                    + f"PARTITIONED BY ({names})"
+                    + stmt[p_close:]
+                )
+            else:  # CTAS: partition names resolve against the query
+                stmt = (stmt[: pb.start()]
+                        + f"PARTITIONED BY ({names})" + stmt[p_close:])
+            provider = provider or "parquet"
+    if provider:
+        span = col_span()
+        at = span[1] if span else _CREATE_NAME.match(stmt).end()
+        stmt = stmt[:at] + f" USING {provider}" + stmt[at:]
+    return stmt
 
 
 # Hive EXPLAIN variants Spark spells differently (ExplainTask modes):
@@ -778,6 +846,13 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt,
     )
     stmt = _rewrite_stored_as(stmt)
+    # Hive's bare `... FOR COLUMNS` means every column; Spark requires
+    # an explicit list or the ALL COLUMNS spelling
+    stmt = re.sub(
+        r"(?i)\bCOMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s*$",
+        "COMPUTE STATISTICS FOR ALL COLUMNS",
+        stmt,
+    )
     # Hive TEMPORARY TABLEs are writable session-scoped tables; Spark's
     # nearest writable analog is a regular managed table (CREATE
     # TEMPORARY TABLE without a provider is rejected outright). The
@@ -917,6 +992,68 @@ def _autoalias_select_lists(body: str) -> str:
         ]
         body = body[:list_start] + ",".join(new_items) + body[end:]
     return body
+
+
+def _rewrite_tuple_in(stmt: str) -> str:
+    """`(a, b) [NOT] IN ((1, 2), (3, 4))` -> an OR chain of per-element
+    equality conjunctions. Hive coerces each element independently
+    (GenericUDFIn over the struct members); Spark builds named_structs
+    and refuses when member types differ (join45.q, mapjoin47.q). The
+    OR/AND expansion preserves three-valued NULL logic exactly."""
+    from hive_spark.plans.cte_spool import _scan_parens, _skip_noncode
+
+    out = stmt
+    i = 0
+    while True:
+        m = re.search(r"\bIN\s*\(", out[i:], re.I)
+        if m is None:
+            return out
+        in_at = i + m.start()
+        # LHS: walk back over ws / NOT to a closing paren
+        j = in_at - 1
+        while j >= 0 and out[j].isspace():
+            j -= 1
+        neg = False
+        if j >= 2 and out[j - 2 : j + 1].upper() == "NOT":
+            neg = True
+            j -= 3
+            while j >= 0 and out[j].isspace():
+                j -= 1
+        if j < 0 or out[j] != ")":
+            i = in_at + m.end() - m.start()
+            continue
+        depth, k = 1, j - 1
+        while k >= 0 and depth:
+            if out[k] == ")":
+                depth += 1
+            elif out[k] == "(":
+                depth -= 1
+            k -= 1
+        lhs_open = k + 1
+        lhs = _split_args(out[lhs_open + 1 : j])
+        rhs_open = i + m.end() - 1
+        rhs_close = _scan_parens(out, rhs_open)
+        rhs = [x.strip() for x in _split_args(out[rhs_open + 1 : rhs_close - 1])]
+        if (
+            len(lhs) < 2
+            or not rhs
+            or not all(x.startswith("(") and x.endswith(")") for x in rhs)
+        ):
+            i = rhs_close
+            continue
+        tuples = [_split_args(x[1:-1]) for x in rhs]
+        if any(len(t) != len(lhs) for t in tuples):
+            i = rhs_close
+            continue
+        ors = " OR ".join(
+            "(" + " AND ".join(
+                f"({a.strip()}) = ({b.strip()})" for a, b in zip(lhs, t)
+            ) + ")"
+            for t in tuples
+        )
+        repl = f"({'NOT ' if neg else ''}({ors}))"
+        out = out[:lhs_open] + repl + out[rhs_close:]
+        i = lhs_open + len(repl)
 
 
 _INSERT_OVERWRITE_HEAD = re.compile(
@@ -1188,6 +1325,12 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 # view expression columns, and self-read INSERT OVERWRITE
                 if "WITHOUT_ALIAS" in str(e):
                     df = _retry_view_autoalias(spark, rewritten, e)
+                elif (
+                    "DATATYPE_MISMATCH" in str(e)
+                    and "named_struct" in str(e)
+                    and _rewrite_tuple_in(rewritten) != rewritten
+                ):
+                    df = spark.sql(_rewrite_tuple_in(rewritten))
                 else:
                     df = _retry_insert_overwrite_selfread(spark, rewritten, e)
             if df.columns:  # statements with a result shape (SELECT/SHOW/...)

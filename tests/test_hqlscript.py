@@ -262,3 +262,43 @@ def test_temporary_table_and_double_quoted_delim(spark, tmp_path):
     )
     assert spark.table("hqtest.ttmp").count() == 1
     run_script(spark, "DROP TABLE ttmp; USE default;")
+
+
+def test_create_table_clause_normalization(spark):
+    """Hive clause order (PARTITIONED BY typed cols ... STORED AS after)
+    normalizes to Spark's datasource form: partition columns merged into
+    the schema, USING in the provider position, inline constraints and
+    DISABLE/RELY tails stripped (union_remove_15.q,
+    join_constraints_optimization.q shapes)."""
+    run_script(
+        spark,
+        "CREATE DATABASE IF NOT EXISTS hqtest; USE hqtest;"
+        " DROP TABLE IF EXISTS norm1;"
+        " CREATE TABLE norm1(key string, `values` bigint,"
+        " primary key (key) disable novalidate rely)"
+        " partitioned by (ds string) stored as rcfile;"
+        " INSERT INTO norm1 PARTITION (ds='1') VALUES ('a', 1);",
+    )
+    t = spark.table("hqtest.norm1")
+    assert t.columns == ["key", "values", "ds"]
+    assert t.count() == 1
+    run_script(spark, "DROP TABLE norm1; USE default;")
+
+
+def test_tuple_in_elementwise_coercion(spark):
+    """(a, b) IN ((...)) with per-element implicit coercion — Hive's
+    GenericUDFIn semantics (join45.q); string keys match int literals."""
+    out = run_script(
+        spark,
+        "SELECT COUNT(*) AS n FROM ("
+        "  SELECT CAST(id AS STRING) AS a, id AS b FROM range(10)) t"
+        " WHERE (a, b) IN ((3, 3), (5, 5), (99, 99));",
+    )
+    assert out.results[-1].collect()[0].n == 2
+    out = run_script(
+        spark,
+        "SELECT COUNT(*) AS n FROM ("
+        "  SELECT CAST(id AS STRING) AS a, id AS b FROM range(10)) t"
+        " WHERE (a, b) NOT IN ((3, 3), (5, 5));",
+    )
+    assert out.results[-1].collect()[0].n == 8
