@@ -117,6 +117,28 @@ _SCHED_DROP = re.compile(
 )
 _SET = re.compile(r"^\s*SET\s+(?!ROLE\b)([^=;\s]+)\s*(?:=\s*(.*))?$", re.I | re.S)
 _ADD = re.compile(r"^\s*(ADD|DELETE)\s+(JAR|FILE|ARCHIVE)S?\b", re.I)
+
+# Hive statements that mutate PHYSICAL-layout or serde metadata with no
+# query-result semantics on the native store, plus legacy SQL-standard
+# auth grants (the engine's authorization surface is the policy layer
+# in security.py). Recorded as no-ops like ADD JAR, never silently:
+# they land in ScriptResult.skipped.
+_METADATA_NOOP = re.compile(
+    r"^\s*(?:"
+    r"ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
+    r"(?:SET\s+(?:SERDE\b|SERDEPROPERTIES\b|FILEFORMAT\b|SKEWED\b)"
+    r"|CLUSTERED\s+BY\b|SKEWED\s+BY\b|NOT\s+SKEWED\b"
+    r"|NOT\s+STORED\s+AS\s+DIRECTORIES\b|NOT\s+CLUSTERED\b"
+    r"|NOT\s+SORTED\b|COMPACT\b|CONCATENATE\b|TOUCH\b"
+    r"|ENABLE\s+NO_DROP\b|DISABLE\s+NO_DROP\b|ENABLE\s+OFFLINE\b"
+    r"|DISABLE\s+OFFLINE\b)"
+    r"|ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
+    r"UPDATE\s+STATISTICS\s+FOR\s+COLUMN\b"
+    r"|ALTER\s+MATERIALIZED\s+VIEW\s+[\w.`]+\s+(?:ENABLE|DISABLE)\s+REWRITE\b"
+    r"|GRANT\b|REVOKE\b"
+    r")",
+    re.I,
+)
 _SHELL = re.compile(r"^\s*(!|dfs\b)", re.I)
 
 
@@ -540,11 +562,22 @@ def _fold_like_chain(op: str):
 # store (the ddl.py API writes real TextFile/SequenceFile/RCFile via
 # the bundled serde jars when the physical format matters).
 _STORED_AS_USING = {
-    "parquet": "parquet", "orc": "orc", "avro": "avro", "json": "json",
+    # avro: the spark-avro datasource module is absent in this runtime
+    # (only the core avro jars ship), so SQL-text Avro tables store
+    # native; the Avro FORMAT itself is served by sources/hive_formats
+    "parquet": "parquet", "orc": "orc", "avro": "parquet", "json": "json",
     "jsonfile": "json", "csv": "csv", "textfile": "parquet",
     "sequencefile": "parquet", "rcfile": "parquet",
 }
 _STORED_AS = re.compile(r"\bSTORED\s+AS\s+(\w+)", re.I)
+_STORED_AS_IO = re.compile(
+    r"STORED\s+AS\s+INPUTFORMAT\s+'[^']*'\s+OUTPUTFORMAT\s+'[^']*'", re.I
+)
+_ROW_FORMAT_SERDE = re.compile(
+    r"ROW\s+FORMAT\s+SERDE\s+'[^']+'"
+    r"(?:\s+WITH\s+SERDEPROPERTIES\s*\((?:[^()]|\([^)]*\))*\))?",
+    re.I,
+)
 
 
 def _rewrite_stored_as(stmt: str) -> str:
@@ -568,12 +601,54 @@ def _rewrite_stored_as(stmt: str) -> str:
     if re.match(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\b",
                 stmt, re.I):
         return re.sub(r"\bPARTITIONED\s+ON\s*\([^)]*\)", " ", stmt, flags=re.I)
+    # CREATE TRANSACTIONAL/MANAGED TABLE (Hive 4 shorthands): ACID-ness
+    # is carried by the engine's versioned-table DML layer, and managed
+    # is Spark's default — both keywords drop
+    stmt = re.sub(r"(?i)^(\s*CREATE\s+)(TRANSACTIONAL|MANAGED)\s+", r"\1", stmt)
     name_m = _CREATE_NAME.match(stmt)
     if name_m is None:
         return stmt
     from hive_spark.plans.cte_spool import _scan_parens
 
+    # a re-CREATE of the same table name without a delimiter clause must
+    # not inherit a previous table's recorded delimiter (scripts reuse
+    # names like t1_n<k> freely; LOAD DATA would mis-parse otherwise)
+    _TABLE_DELIMS.pop(name_m.group(1).lower(), None)
     provider = None
+    # SKEWED BY (list bucketing, ref: ql/.../parse/HiveParser.g
+    # tableSkewed): physical-layout metadata with no result semantics —
+    # Spark's AQE skew handling is the engine's answer; drop the clause
+    stmt = re.sub(
+        r"(?i)\bSKEWED\s+BY\s*\([^)]*\)\s*ON\s*\((?:[^()]|\([^)]*\))*\)"
+        r"(\s+STORED\s+AS\s+DIRECTORIES)?",
+        " ",
+        stmt,
+    )
+    # SORTED BY direction tokens: Spark buckets sort ASC only; the
+    # direction is physical-layout metadata
+    stmt = re.sub(
+        r"(?i)(SORTED\s+BY\s*\([^)]*\))",
+        lambda m: re.sub(r"(?i)\s+(ASC|DESC)\b", "", m.group(1)),
+        stmt,
+    )
+    # STORED AS INPUTFORMAT '...' OUTPUTFORMAT '...': explicit Hive IO
+    # classes; map the storage to the native store like STORED AS
+    io = _STORED_AS_IO.search(stmt)
+    if io:
+        cls = io.group(0).lower()
+        provider = "orc" if "orc" in cls else "parquet"
+        stmt = stmt[: io.start()] + stmt[io.end():]
+    # ROW FORMAT SERDE '<class>' [WITH SERDEPROPERTIES (...)]: the serde
+    # classes themselves are JVM Hive internals; record the delimiter
+    # OpenCSVSerde implies and store natively (RegexSerDe's pattern
+    # surface is served by the ddl.py API — tests/test_ddl.py)
+    rs = _ROW_FORMAT_SERDE.search(stmt)
+    if rs:
+        _TABLE_DELIMS[name_m.group(1).lower()] = (
+            "," if "opencsv" in rs.group(0).lower() else "\x01"
+        )
+        stmt = stmt[: rs.start()] + stmt[rs.end():]
+        provider = provider or "parquet"
     rf = _ROW_FORMAT.search(stmt)
     if rf:
         sep = rf.group("sep")
@@ -649,7 +724,9 @@ def _rewrite_stored_as(stmt: str) -> str:
 # Hive EXPLAIN variants Spark spells differently (ExplainTask modes):
 # CBO (Calcite plan + costs) -> COST; VECTORIZATION (batch-operator
 # annotations) -> FORMATTED (Tungsten codegen spans are the analog)
-_EXPLAIN_MODE = re.compile(r"^(\s*EXPLAIN\s+)(CBO|VECTORIZATION)\b", re.I)
+_EXPLAIN_MODE = re.compile(
+    r"^(\s*EXPLAIN\s+)(CBO|VECTORIZATION|AST|LOGICAL|DETAIL)\b", re.I
+)
 
 # Hive window specs accept DISTRIBUTE BY / SORT BY / CLUSTER BY as
 # synonyms of PARTITION BY / ORDER BY inside OVER(...) and WINDOW ...
@@ -842,7 +919,13 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = _rewrite_ptf_noop(stmt)
     stmt = _EXPLAIN_MODE.sub(
         lambda m: m.group(1)
-        + ("COST" if m.group(2).upper() == "CBO" else "FORMATTED"),
+        + {
+            "CBO": "COST",            # Calcite plan+costs -> COST
+            "VECTORIZATION": "FORMATTED",  # Tungsten codegen spans
+            "AST": "EXTENDED",        # parse tree -> logical plans
+            "LOGICAL": "EXTENDED",
+            "DETAIL": "EXTENDED",
+        }[m.group(2).upper()],
         stmt,
     )
     stmt = _rewrite_stored_as(stmt)
@@ -853,6 +936,36 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         "COMPUTE STATISTICS FOR ALL COLUMNS",
         stmt,
     )
+    # ALTER TABLE ... UPDATE STATISTICS SET ('numRows'=..,'rawDataSize'=..):
+    # Hive's stats override (ref: ql/.../parse/AlterTableUpdateStatsDesc) —
+    # Spark reads CBO stats from the same-purpose catalog properties, so
+    # the override lands where ANALYZE would put it. Column-level stats
+    # overrides (UPDATE STATISTICS FOR COLUMN) are metadata no-ops.
+    m = re.match(
+        r"(?i)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+UPDATE\s+STATISTICS\s+"
+        r"SET\s*\((.*)\)\s*$",
+        stmt,
+        re.S,
+    )
+    if m:
+        props = {
+            k.strip().strip("'\""): v.strip().strip("'\"")
+            for k, v in (
+                kv.split("=", 1) for kv in _split_args(m.group(2)) if "=" in kv
+            )
+        }
+        mapped = []
+        if "numRows" in props:
+            mapped.append(
+                f"'spark.sql.statistics.numRows'='{props['numRows']}'"
+            )
+        if "rawDataSize" in props:
+            mapped.append(
+                f"'spark.sql.statistics.totalSize'='{props['rawDataSize']}'"
+            )
+        if mapped:
+            stmt = (f"ALTER TABLE {m.group(1)} SET TBLPROPERTIES "
+                    f"({', '.join(mapped)})")
     # Hive TEMPORARY TABLEs are writable session-scoped tables; Spark's
     # nearest writable analog is a regular managed table (CREATE
     # TEMPORARY TABLE without a provider is rejected outright). The
@@ -1284,7 +1397,7 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                         res.txn.rollback()
                     _restore_latest_views(spark)
                 continue
-            if _ADD.match(stmt):
+            if _ADD.match(stmt) or _METADATA_NOOP.match(stmt):
                 res.skipped.append(stmt)
                 continue
             m = _SET.match(stmt)

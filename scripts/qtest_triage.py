@@ -30,65 +30,9 @@ from hive_spark.session import get_session  # noqa: E402
 
 
 def build_fixtures(spark):
-    spark.sql("DROP DATABASE IF EXISTS qtriage CASCADE")
-    shutil.rmtree(SCRATCH, ignore_errors=True)
-    spark.sql(f"CREATE DATABASE qtriage LOCATION '{SCRATCH}/warehouse'")
-    spark.catalog.setCurrentDatabase("qtriage")
-    src = spark.range(500).select(
-        ((F.col("id") * 7) % 499).cast("string").alias("key"),
-        F.concat(F.lit("val_"), ((F.col("id") * 7) % 499).cast("string")).alias(
-            "value"
-        ),
-    )
-    src.write.saveAsTable("src")
-    parts = spark.createDataFrame(
-        [("2008-04-08", "11"), ("2008-04-08", "12"),
-         ("2008-04-09", "11"), ("2008-04-09", "12")],
-        "ds string, hr string",
-    )
-    src.crossJoin(parts).write.partitionBy("ds", "hr").saveAsTable("srcpart")
-    src.limit(25).write.saveAsTable("src1")
-    src.write.saveAsTable("src_cbo")
-    cbo_schema = ("key string, value string, c_int int, c_float float,"
-                  " c_boolean boolean")
-    for t in ("cbo_t1", "cbo_t2", "cbo_t3"):
-        df = spark.read.csv(
-            f"/root/reference/data/files/{t}.txt", schema=cbo_schema
-        )
-        df.withColumn("dt", F.lit("2014")).write.saveAsTable(t)
-    spark.read.parquet("/root/reference/data/files/part.parquet") \
-        .write.saveAsTable("part")
-    build_extra_datasets(spark)
-    if REF_ROOT not in LOAD_DATA_BASES:
-        LOAD_DATA_BASES.append(REF_ROOT)
+    from tests.qtest_fixture_lib import build_qtest_fixtures
 
-
-def build_extra_datasets(spark):
-    """lineitem / srcbucket / alltypesorc from the reference's own data
-    files (data/files/datasets/*/load.hive.sql schemas)."""
-    for v in ("lineitem", "part"):  # testdata temp views would shadow
-        spark.catalog.dropTempView(v)
-    lineitem_schema = (
-        "l_orderkey int, l_partkey int, l_suppkey int, l_linenumber int,"
-        " l_quantity double, l_extendedprice double, l_discount double,"
-        " l_tax double, l_returnflag string, l_linestatus string,"
-        " l_shipdate string, l_commitdate string, l_receiptdate string,"
-        " l_shipinstruct string, l_shipmode string, l_comment string"
-    )
-    spark.read.csv(
-        "/root/reference/data/files/tpch/tiny/lineitem.tbl.bz2",
-        schema=lineitem_schema, sep="|",
-    ).write.saveAsTable("lineitem")
-    spark.read.csv(
-        [
-            "/root/reference/data/files/bucketed_files/000000_0",
-            "/root/reference/data/files/bucketed_files/000001_0",
-        ],
-        schema="key int, value string", sep="\x01",
-    ).write.bucketBy(2, "key").sortBy("key").saveAsTable("srcbucket")
-    spark.read.orc(
-        "/root/reference/data/files/alltypesorc"
-    ).write.saveAsTable("alltypesorc")
+    build_qtest_fixtures(spark, "qtriage", SCRATCH)
 
 
 def main():
@@ -104,6 +48,7 @@ def main():
     spark = get_session()
     build_fixtures(spark)
     fixture_tables = {t.name for t in spark.catalog.listTables()}
+    known_dbs = {d.name for d in spark.catalog.listDatabases()}
     for fname in names:
         path = os.path.join(QDIR, fname)
         if not os.path.isfile(path):
@@ -126,6 +71,9 @@ def main():
                     if t.name not in fixture_tables:
                         kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
                         spark.sql(f"DROP {kind} IF EXISTS `{t.name}`")
+                for d in spark.catalog.listDatabases():
+                    if d.name not in known_dbs:
+                        spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")
             except Exception:
                 build_fixtures(spark)
                 fixture_tables = {t.name for t in spark.catalog.listTables()}

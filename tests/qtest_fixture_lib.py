@@ -1,0 +1,108 @@
+"""Shared qtest fixture builder: the reference's canonical test tables
+(src, srcpart, src1, cbo_t1-t3, part, lineitem, srcbucket, alltypesorc),
+synthesized or loaded from the reference's OWN data files
+(data/files/datasets/*/load.hive.sql define the schemas; nothing is
+copied into the repo — files are read from /root/reference at run time).
+
+Used by tests/test_qtest_verbatim.py, tests/test_qtest_corpus.py and
+scripts/qtest_triage.py so all three run the same catalog.
+"""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+REF_ROOT = "/root/reference/ql/src"
+QDIR = "/root/reference/ql/src/test/queries/clientpositive"
+
+
+def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
+    """(Re)create database `db` at `scratch`/warehouse with the canonical
+    qtest tables and make it current."""
+    from hive_spark.hqlscript import LOAD_DATA_BASES
+
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{scratch}/warehouse'")
+    spark.catalog.setCurrentDatabase(db)
+
+    src = spark.range(500).select(
+        ((F.col("id") * 7) % 499).cast("string").alias("key"),
+        F.concat(F.lit("val_"), ((F.col("id") * 7) % 499).cast("string")).alias(
+            "value"
+        ),
+    )
+    src.write.saveAsTable("src")
+    parts = spark.createDataFrame(
+        [("2008-04-08", "11"), ("2008-04-08", "12"),
+         ("2008-04-09", "11"), ("2008-04-09", "12")],
+        "ds string, hr string",
+    )
+    src.crossJoin(parts).write.partitionBy("ds", "hr").saveAsTable("srcpart")
+    src.limit(25).write.saveAsTable("src1")
+    src.write.saveAsTable("src_cbo")
+    # cbo_t1-t3 from the reference's own dataset files
+    cbo_schema = ("key string, value string, c_int int, c_float float,"
+                  " c_boolean boolean")
+    for t in ("cbo_t1", "cbo_t2", "cbo_t3"):
+        df = spark.read.csv(
+            f"/root/reference/data/files/{t}.txt", schema=cbo_schema
+        )
+        df.withColumn("dt", F.lit("2014")).write.saveAsTable(t)
+    # the canonical 26-row part dimension (reference's parquet copy)
+    spark.read.parquet("/root/reference/data/files/part.parquet") \
+        .write.saveAsTable("part")
+
+    # --- datasets loaded from the reference's own data files ---
+    for v in ("lineitem", "part"):  # testdata temp views would shadow
+        spark.catalog.dropTempView(v)
+    lineitem_schema = (
+        "l_orderkey int, l_partkey int, l_suppkey int, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string, l_commitdate string, l_receiptdate string,"
+        " l_shipinstruct string, l_shipmode string, l_comment string"
+    )
+    spark.read.csv(
+        "/root/reference/data/files/tpch/tiny/lineitem.tbl.bz2",
+        schema=lineitem_schema, sep="|",
+    ).write.saveAsTable("lineitem")
+    spark.read.csv(
+        [
+            "/root/reference/data/files/bucketed_files/000000_0",
+            "/root/reference/data/files/bucketed_files/000001_0",
+        ],
+        schema="key int, value string", sep="\x01",
+    ).write.bucketBy(2, "key").sortBy("key").saveAsTable("srcbucket")
+    spark.read.orc(
+        "/root/reference/data/files/alltypesorc"
+    ).write.saveAsTable("alltypesorc")
+
+    # qtest LOAD DATA paths are relative to ql/src
+    if REF_ROOT not in LOAD_DATA_BASES:
+        LOAD_DATA_BASES.append(REF_ROOT)
+
+
+def run_and_cleanup(
+    spark, db: str, fname: str, fixture_tables: set, known_dbs: set | None = None
+):
+    """Run one verbatim script; afterwards drop whatever tables/views/
+    databases it created (QTestUtil.clearTablesCreatedDuringTests /
+    clearKeysCreatedInTests analog) and restore the current database.
+    Returns the ScriptResult."""
+    from hive_spark.hqlscript import run_script
+
+    path = os.path.join(QDIR, fname)
+    try:
+        return run_script(spark, open(path).read())
+    finally:
+        spark.catalog.setCurrentDatabase(db)
+        for t in spark.catalog.listTables():
+            if t.name not in fixture_tables:
+                kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
+                spark.sql(f"DROP {kind} IF EXISTS `{t.name}`")
+        if known_dbs is not None:
+            for d in spark.catalog.listDatabases():
+                if d.name not in known_dbs:
+                    spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")

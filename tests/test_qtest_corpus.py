@@ -1,0 +1,74 @@
+"""Verbatim qtest CORPUS: hundreds of the reference's own clientpositive
+.q scripts executed end-to-end through the CliDriver on-ramp.
+
+tests/test_qtest_verbatim.py oracles a curated set against DuckDB; this
+module widens coverage to the full harvested corpus in
+tests/qtest_manifest.txt (name<TAB>expected-final-rowcount). Counts are
+deterministic functions of the shared fixtures (tests/qtest_fixture_lib:
+synthesized src/srcpart plus the reference's own cbo_t*, part, lineitem,
+srcbucket, alltypesorc data files) — a count change means the runner or
+engine changed behavior, not the data. Scripts whose text contains
+nondeterministic functions are excluded at harvest time
+(scripts/qtest_promote.py).
+
+Each script runs under QTestUtil-style cleanup: tables/views it creates
+are dropped afterwards, and any fixture table a script drops is rebuilt
+before the next one runs.
+"""
+
+import os
+
+import pytest
+
+from tests.qtest_fixture_lib import QDIR, build_qtest_fixtures, run_and_cleanup
+
+MANIFEST = os.path.join(os.path.dirname(__file__), "qtest_manifest.txt")
+SCRATCH = "/tmp/hive_spark_qcorpus"
+DB = "qcorpus"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(QDIR), reason="reference qtest corpus not present"
+)
+
+
+def _load_manifest():
+    rows = []
+    if not os.path.isfile(MANIFEST):
+        return rows
+    for line in open(MANIFEST):
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        name, n = line.split("\t")
+        rows.append((name, int(n)))
+    return rows
+
+
+CORPUS = _load_manifest()
+
+
+@pytest.fixture(scope="module")
+def corpus_db(spark):
+    build_qtest_fixtures(spark, DB, SCRATCH)
+    fixture_tables = {t.name for t in spark.catalog.listTables()}
+    known_dbs = {d.name for d in spark.catalog.listDatabases()}
+    yield fixture_tables, known_dbs
+    spark.catalog.setCurrentDatabase("default")
+    spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+
+
+@pytest.mark.parametrize(
+    "fname,last_rows", CORPUS, ids=[f for f, _ in CORPUS]
+)
+def test_qtest_corpus(spark, corpus_db, fname, last_rows):
+    fixture_tables, known_dbs = corpus_db
+    try:
+        res = run_and_cleanup(spark, DB, fname, fixture_tables, known_dbs)
+    finally:
+        # a script may legitimately DROP a fixture table (QTestUtil
+        # reloads datasets between tests); rebuild if any went missing
+        present = {t.name for t in spark.catalog.listTables()}
+        if fixture_tables - present:
+            build_qtest_fixtures(spark, DB, SCRATCH)
+    got = res.results[-1].count() if res.results else -1
+    assert got == last_rows, f"{fname}: final rows {got} != {last_rows}"

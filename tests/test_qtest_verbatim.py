@@ -39,46 +39,12 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def qtables(spark):
-    """src(key,value string) and partitioned srcpart as CATALOG tables
-    (the scripts CREATE/INSERT their own dest tables next to them)."""
-    spark.sql(f"DROP DATABASE IF EXISTS qverbatim CASCADE")
-    shutil.rmtree(SCRATCH, ignore_errors=True)
-    spark.sql(
-        f"CREATE DATABASE qverbatim LOCATION '{SCRATCH}/warehouse'"
-    )
-    spark.catalog.setCurrentDatabase("qverbatim")
+    """The canonical qtest catalog (src, srcpart, src1, cbo_t1-t3, part,
+    lineitem, srcbucket, alltypesorc) built by the shared fixture lib;
+    the scripts CREATE/INSERT their own dest tables next to them."""
+    from tests.qtest_fixture_lib import build_qtest_fixtures
 
-    src = spark.range(500).select(
-        ((F.col("id") * 7) % 499).cast("string").alias("key"),
-        F.concat(F.lit("val_"), ((F.col("id") * 7) % 499).cast("string")).alias(
-            "value"
-        ),
-    )
-    src.write.saveAsTable("src")
-    parts = spark.createDataFrame(
-        [("2008-04-08", "11"), ("2008-04-08", "12"),
-         ("2008-04-09", "11"), ("2008-04-09", "12")],
-        "ds string, hr string",
-    )
-    src.crossJoin(parts).write.partitionBy("ds", "hr").saveAsTable("srcpart")
-    src.limit(25).write.saveAsTable("src1")
-    src.write.saveAsTable("src_cbo")
-    # cbo_t1-t3: loaded from the reference's own dataset files
-    # (data/files/cbo_t*.txt, the tables the 88-file cbo_* family uses)
-    cbo_schema = ("key string, value string, c_int int, c_float float,"
-                  " c_boolean boolean")
-    for t in ("cbo_t1", "cbo_t2", "cbo_t3"):
-        df = spark.read.csv(
-            f"/root/reference/data/files/{t}.txt", schema=cbo_schema
-        )
-        df.withColumn("dt", F.lit("2014")).write.saveAsTable(t)
-    # the canonical 26-row part dimension, from the reference's own
-    # parquet copy (data/files/part.parquet)
-    spark.read.parquet("/root/reference/data/files/part.parquet") \
-        .write.saveAsTable("part")
-    # qtest LOAD DATA paths are relative to ql/src
-    if REF_ROOT not in LOAD_DATA_BASES:
-        LOAD_DATA_BASES.append(REF_ROOT)
+    build_qtest_fixtures(spark, "qverbatim", SCRATCH)
 
     con = duckdb.connect()
     con.execute(
