@@ -140,6 +140,93 @@ _METADATA_NOOP = re.compile(
     re.I,
 )
 _SHELL = re.compile(r"^\s*(!|dfs\b)", re.I)
+_DFS = re.compile(r"^\s*dfs\s+(.*)$", re.I | re.S)
+
+# Hive CLI variable substitution defaults for the qtest-harness system
+# properties (QTestUtil sets these before running a script)
+_VAR_DEFAULTS = {
+    "system:test.tmp.dir": "/tmp/hive_spark_qtest_tmp",
+    "system:test.dfs.mkdir": "-mkdir -p",
+    "system:build.dir": "/tmp/hive_spark_qtest_tmp",
+    "system:hive.root": "/root/reference/",
+}
+
+
+def _substitute_vars(stmt: str, res) -> str:
+    """Hive CLI variable substitution (ref: common/src/java/org/apache/
+    hadoop/hive/conf/SystemVariables.java): ${hiveconf:k}, ${hivevar:k},
+    ${system:k}, ${env:k}, and bare ${k} (hivevar namespace). Values come
+    from the script's own SET commands; unknown variables stay verbatim
+    so downstream errors name them."""
+    if "${" not in stmt:
+        return stmt
+
+    def sub(m: re.Match) -> str:
+        ns, key = m.group(1), m.group(2)
+        if ns == "env":
+            return os.environ.get(key, m.group(0))
+        if ns == "system":
+            return _VAR_DEFAULTS.get(f"system:{key}", m.group(0))
+        sc = res.set_commands
+        for k in ((f"{ns}:{key}",) if ns else ()) + (
+            key, f"hivevar:{key}", f"hiveconf:{key}",
+        ):
+            if k in sc:
+                return sc[k]
+        return m.group(0)
+
+    return re.sub(
+        r"\$\{(?:(hiveconf|hivevar|system|env):)?([\w.\-]+)\}", sub, stmt
+    )
+
+
+def _exec_dfs(stmt: str, res) -> None:
+    """CliDriver `dfs` commands on the local filesystem (the engine's
+    storage): -mkdir/-rm/-rmr/-cp/-put/-mv/-touchz. Paths are confined
+    to /tmp — a script asking for anything else is recorded as skipped,
+    never executed."""
+    import shlex
+    import shutil
+
+    args = shlex.split(_DFS.match(stmt).group(1))
+    flags = [a for a in args if a.startswith("-")]
+    paths = [a for a in args if not a.startswith("-")]
+    if not flags:
+        res.skipped.append(stmt)
+        return
+    op = flags[0]
+    # writes/deletes confined to /tmp; copy SOURCES may read anywhere
+    # (scripts copy the reference's own data files into scratch dirs)
+    guarded = paths[-1:] if op in ("-cp", "-put", "-copyFromLocal") else paths
+    if any(not p.startswith("/tmp") for p in guarded):
+        res.skipped.append(stmt)
+        return
+    if op == "-mkdir":
+        for p in paths:
+            os.makedirs(p, exist_ok=True)
+    elif op in ("-rm", "-rmr"):
+        for p in paths:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
+    elif op in ("-cp", "-put", "-copyFromLocal") and len(paths) >= 2:
+        *srcs, dst = paths
+        for s in srcs:
+            if os.path.isdir(s):
+                shutil.copytree(s, dst, dirs_exist_ok=True)
+            else:
+                os.makedirs(dst, exist_ok=True) if dst.endswith("/") else None
+                shutil.copy(s, dst)
+    elif op == "-mv" and len(paths) >= 2:
+        *srcs, dst = paths
+        for s in srcs:
+            shutil.move(s, dst)
+    elif op == "-touchz":
+        for p in paths:
+            open(p, "a").close()
+    else:
+        res.skipped.append(stmt)
 
 
 def split_statements(text: str) -> list[str]:
@@ -1282,6 +1369,7 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
     res = ScriptResult()
     try:
         for stmt in split_statements(text):
+            stmt = _substitute_vars(stmt, res)
             m = _CREATE_MACRO.match(stmt)
             if m:
                 name, sig, body = m.group(1).lower(), m.group(2), m.group(3)
@@ -1370,9 +1458,12 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
 
                 ScheduledQueryRegistry(spark).drop(m.group(1))
                 continue
+            if _DFS.match(stmt):
+                _exec_dfs(stmt, res)
+                continue
             if _SHELL.match(stmt):
                 raise ValueError(
-                    f"shell/dfs commands are not executed by the engine: {stmt[:60]!r}"
+                    f"shell commands are not executed by the engine: {stmt[:60]!r}"
                 )
             m = _TXN.match(stmt)
             if m:

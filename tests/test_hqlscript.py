@@ -63,10 +63,11 @@ def test_mapjoin_hint_broadcasts(spark, sf_dir):
 
 
 def test_shell_commands_rejected(spark):
-    with pytest.raises(ValueError, match="shell/dfs"):
+    with pytest.raises(ValueError, match="shell commands"):
         run_script(spark, "!rm -rf /tmp/x;")
-    with pytest.raises(ValueError, match="shell/dfs"):
-        run_script(spark, "dfs -ls /;")
+    # dfs outside /tmp (or unsupported ops) is recorded-skipped, not run
+    out = run_script(spark, "dfs -ls /;")
+    assert out.skipped and "dfs -ls" in out.skipped[0]
 
 
 def test_sql_text_update_delete_on_registered_path(spark, tmp_path):
@@ -302,3 +303,21 @@ def test_tuple_in_elementwise_coercion(spark):
         " WHERE (a, b) NOT IN ((3, 3), (5, 5));",
     )
     assert out.results[-1].collect()[0].n == 8
+
+
+def test_variable_substitution_and_dfs(spark, tmp_path):
+    """Hive CLI variable substitution (${hivevar:}, ${hiveconf:},
+    ${system:test.tmp.dir}) and the local-fs dfs command subset;
+    destructive dfs paths outside /tmp are recorded-skipped, never run."""
+    out = run_script(
+        spark,
+        "SET hivevar:lo=2; SET hiveconf:hi=4;"
+        " dfs -mkdir -p /tmp/hive_spark_qtest_tmp/vtest;"
+        " dfs -rm -r /root/somewhere;"
+        " SELECT COUNT(*) AS n FROM range(10)"
+        " WHERE id BETWEEN ${lo} AND ${hiveconf:hi};",
+    )
+    assert out.results[-1].collect()[0].n == 3
+    import os
+    assert os.path.isdir("/tmp/hive_spark_qtest_tmp/vtest")
+    assert any("dfs -rm" in s for s in out.skipped)
