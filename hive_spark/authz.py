@@ -1,0 +1,274 @@
+"""SQL-standard authorization statements (Hive's SQLStdAuth surface).
+
+Implements the session-scoped role/privilege registry behind
+CREATE/DROP ROLE, GRANT/REVOKE (both the role-grant and the
+object-privilege forms), SET ROLE, and the SHOW ROLES / SHOW CURRENT
+ROLES / SHOW ROLE GRANT / SHOW PRINCIPALS / SHOW GRANT readbacks.
+
+ref: ql/src/java/org/apache/hadoop/hive/ql/security/authorization/
+plugin/sqlstd/SQLStdHiveAccessController.java (role lifecycle + show
+outputs), ql/.../parse/HiveAuthorizationTaskFactoryImpl.java (grammar).
+Row-level enforcement lives in hive_spark/security.py (Ranger-style
+masking/row-filter policies); this module is the metadata/registry half
+— grants are recorded and queryable, with the same admin-role checks a
+single-user local session can honestly make.
+"""
+
+from __future__ import annotations
+
+import getpass
+import re
+
+from pyspark.sql import SparkSession
+
+_FIXED_TIME = 0  # qtest determinism: Hive prints epoch grant times
+
+
+class _AuthState:
+    def __init__(self) -> None:
+        self.roles: set[str] = {"public", "admin"}
+        # role -> list of (principal_name, principal_type, admin_option)
+        self.role_grants: dict[str, list[tuple[str, str, bool]]] = {
+            "admin": [(getpass.getuser(), "USER", True)],
+        }
+        # (db, table, col) -> list of (principal, ptype, privilege,
+        #                              grant_option, grantor)
+        self.priv_grants: dict[tuple, list[tuple]] = {}
+        self.current_roles: list[str] = ["public"]
+
+
+_STATES: dict[int, _AuthState] = {}
+
+
+def _state(spark: SparkSession) -> _AuthState:
+    return _STATES.setdefault(id(spark), _AuthState())
+
+
+def current_user() -> str:
+    return getpass.getuser()
+
+
+_CREATE_ROLE = re.compile(r"^\s*CREATE\s+ROLE\s+`?(\w+)`?\s*$", re.I)
+_DROP_ROLE = re.compile(r"^\s*DROP\s+ROLE\s+`?(\w+)`?\s*$", re.I)
+_SET_ROLE = re.compile(r"^\s*SET\s+ROLE\s+`?(\w+)`?\s*$", re.I)
+_SHOW_ROLES = re.compile(r"^\s*SHOW\s+ROLES\s*$", re.I)
+_SHOW_CURRENT = re.compile(r"^\s*SHOW\s+CURRENT\s+ROLES\s*$", re.I)
+_SHOW_ROLE_GRANT = re.compile(
+    r"^\s*SHOW\s+ROLE\s+GRANT\s+(USER|GROUP|ROLE)\s+`?([\w@.-]+)`?\s*$", re.I
+)
+_SHOW_PRINCIPALS = re.compile(r"^\s*SHOW\s+PRINCIPALS\s+`?(\w+)`?\s*$", re.I)
+# SHOW GRANT [principalName] [ON (ALL | [TABLE] obj)]
+_SHOW_GRANT = re.compile(
+    r"^\s*SHOW\s+GRANT"
+    r"(?:\s+(USER|GROUP|ROLE)\s+`?([\w@.-]+)`?)?"
+    r"(?:\s+ON\s+(?:(ALL)|(?:TABLE\s+)?`?([\w.]+)`?(?:\s*\(([^)]*)\))?))?"
+    r"\s*$",
+    re.I,
+)
+# GRANT role[, role] TO principal[, ...] [WITH ADMIN OPTION]
+_GRANT_ROLE = re.compile(
+    r"^\s*GRANT\s+(`?\w+`?(?:\s*,\s*`?\w+`?)*)\s+TO\s+(.+?)"
+    r"(\s+WITH\s+ADMIN\s+OPTION)?\s*$",
+    re.I | re.S,
+)
+_REVOKE_ROLE = re.compile(
+    r"^\s*REVOKE\s+(?:ADMIN\s+OPTION\s+FOR\s+)?"
+    r"(`?\w+`?(?:\s*,\s*`?\w+`?)*)\s+FROM\s+(.+?)\s*$",
+    re.I | re.S,
+)
+# GRANT priv[, priv] ON [TABLE|DATABASE] obj TO principal [WITH GRANT OPTION]
+_PRIVS = r"(?:SELECT|INSERT|UPDATE|DELETE|ALL(?:\s+PRIVILEGES)?)"
+_GRANT_PRIV = re.compile(
+    rf"^\s*GRANT\s+({_PRIVS}(?:\s*\([^)]*\))?"
+    rf"(?:\s*,\s*{_PRIVS}(?:\s*\([^)]*\))?)*)\s+"
+    r"ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+TO\s+(.+?)"
+    r"(\s+WITH\s+GRANT\s+OPTION)?\s*$",
+    re.I | re.S,
+)
+_REVOKE_PRIV = re.compile(
+    rf"^\s*REVOKE\s+(?:GRANT\s+OPTION\s+FOR\s+)?({_PRIVS}(?:\s*\([^)]*\))?"
+    rf"(?:\s*,\s*{_PRIVS}(?:\s*\([^)]*\))?)*)\s+"
+    r"ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+FROM\s+(.+?)\s*$",
+    re.I | re.S,
+)
+
+
+def _principals(text: str) -> list[tuple[str, str]]:
+    """Parse `USER a, ROLE b, c` -> [(a,'USER'), (b,'ROLE'), (c,'USER')]."""
+    out = []
+    for item in text.split(","):
+        toks = item.strip().split()
+        if not toks:
+            continue
+        if len(toks) >= 2 and toks[0].upper() in ("USER", "GROUP", "ROLE"):
+            out.append((toks[1].strip("`"), toks[0].upper()))
+        else:
+            out.append((toks[0].strip("`"), "USER"))
+    return out
+
+
+def _obj_key(spark: SparkSession, kind: str | None, name: str,
+             cols: str | None) -> tuple:
+    if kind and kind.upper() == "DATABASE":
+        return (name.lower(), "", (cols or "").lower())
+    if "." in name:
+        db, tbl = name.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), name
+    return (db.lower(), tbl.lower(), (cols or "").replace(" ", "").lower())
+
+
+def handle(spark: SparkSession, stmt: str):
+    """Execute an authorization statement. Returns a DataFrame for SHOW
+    forms, True for handled commands, None if `stmt` is not an auth
+    statement (caller falls through)."""
+    st = _state(spark)
+    m = _CREATE_ROLE.match(stmt)
+    if m:
+        role = m.group(1).lower()
+        if role in ("all", "default", "none"):
+            raise ValueError(f"CREATE ROLE: {role} is a reserved role name")
+        st.roles.add(role)
+        return True
+    m = _DROP_ROLE.match(stmt)
+    if m:
+        role = m.group(1).lower()
+        if role in ("public", "admin"):
+            raise ValueError(f"DROP ROLE: cannot drop built-in role {role}")
+        st.roles.discard(role)
+        st.role_grants.pop(role, None)
+        st.current_roles = [r for r in st.current_roles if r != role]
+        return True
+    m = _SET_ROLE.match(stmt)
+    if m:
+        role = m.group(1).lower()
+        if role == "all":
+            user = current_user()
+            st.current_roles = ["public"] + sorted(
+                r for r, gs in st.role_grants.items()
+                if any(p == user for p, _, _ in gs)
+            )
+        elif role == "none":
+            st.current_roles = ["public"]
+        else:
+            if role not in st.roles:
+                raise ValueError(f"SET ROLE: role {role} does not exist")
+            st.current_roles = [role]
+        return True
+    if _SHOW_ROLES.match(stmt):
+        return spark.createDataFrame(
+            [(r,) for r in sorted(st.roles)], "role string"
+        )
+    if _SHOW_CURRENT.match(stmt):
+        return spark.createDataFrame(
+            [(r,) for r in st.current_roles], "role string"
+        )
+    m = _SHOW_ROLE_GRANT.match(stmt)
+    if m:
+        ptype, pname = m.group(1).upper(), m.group(2)
+        rows = [
+            (role, False, _FIXED_TIME, current_user())
+            for role, gs in sorted(st.role_grants.items())
+            for p, t, _adm in gs
+            if p == pname and t == ptype
+        ]
+        if ptype == "USER":  # public is implicit for every user
+            rows.insert(0, ("public", False, _FIXED_TIME, current_user()))
+        return spark.createDataFrame(
+            rows,
+            "role string, grant_option boolean, grant_time bigint,"
+            " grantor string",
+        )
+    m = _SHOW_PRINCIPALS.match(stmt)
+    if m:
+        rows = [
+            (p, t, adm, current_user(), "USER", _FIXED_TIME)
+            for p, t, adm in st.role_grants.get(m.group(1).lower(), [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "principal_name string, principal_type string,"
+            " grant_option boolean, grantor string, grantor_type string,"
+            " grant_time bigint",
+        )
+    m = _SHOW_GRANT.match(stmt)
+    if m and re.match(r"^\s*SHOW\s+GRANT\b", stmt, re.I):
+        ptype = (m.group(1) or "").upper()
+        pname = m.group(2)
+        on_all, obj, cols = m.group(3), m.group(4), m.group(5)
+        rows = []
+        for (db, tbl, col), grants in sorted(st.priv_grants.items()):
+            if obj and not on_all:
+                want = _obj_key(spark, None, obj, cols)
+                if (db, tbl) != want[:2]:
+                    continue
+            for p, t, priv, gopt, grantor in grants:
+                if pname and (p != pname or (ptype and t != ptype)):
+                    continue
+                rows.append(
+                    (db, tbl, "", col, p, t, priv.upper(), gopt,
+                     _FIXED_TIME, grantor)
+                )
+        return spark.createDataFrame(
+            rows,
+            "database string, table string, partition string, column string,"
+            " principal_name string, principal_type string,"
+            " privilege string, grant_option boolean, grant_time bigint,"
+            " grantor string",
+        )
+    m = _GRANT_PRIV.match(stmt)
+    if m:
+        privs, kind, obj, to, gopt = m.groups()
+        key = _obj_key(spark, kind, obj, None)
+        for priv in privs.split(","):
+            pr = re.sub(r"\s*\(.*\)", "", priv).strip().upper()
+            pr = "ALL" if pr.startswith("ALL") else pr
+            colm = re.search(r"\(([^)]*)\)", priv)
+            k = key[:2] + ((colm.group(1).replace(" ", "").lower(),)
+                           if colm else (key[2],))
+            for p, t in _principals(to):
+                st.priv_grants.setdefault(k, []).append(
+                    (p, t, pr, bool(gopt), current_user())
+                )
+        return True
+    m = _REVOKE_PRIV.match(stmt)
+    if m:
+        privs, kind, obj, frm = m.groups()
+        key = _obj_key(spark, kind, obj, None)[:2]
+        wanted = {
+            re.sub(r"\s*\(.*\)", "", p).strip().upper() for p in privs.split(",")
+        }
+        wanted = {"ALL" if w.startswith("ALL") else w for w in wanted}
+        who = dict(_principals(frm))
+        for k in [k for k in st.priv_grants if k[:2] == key]:
+            st.priv_grants[k] = [
+                g for g in st.priv_grants[k]
+                if not (g[0] in who and (g[2] in wanted or "ALL" in wanted))
+            ]
+            if not st.priv_grants[k]:
+                del st.priv_grants[k]
+        return True
+    m = _GRANT_ROLE.match(stmt)
+    if m:
+        roles, to, adm = m.groups()
+        names = [r.strip().strip("`").lower() for r in roles.split(",")]
+        unknown = [r for r in names if r not in st.roles]
+        if unknown:
+            return None  # not a role grant (e.g. unparsed priv form)
+        for role in names:
+            for p, t in _principals(to):
+                st.role_grants.setdefault(role, []).append((p, t, bool(adm)))
+        return True
+    m = _REVOKE_ROLE.match(stmt)
+    if m:
+        roles, frm = m.groups()
+        names = [r.strip().strip("`").lower() for r in roles.split(",")]
+        if not all(r in st.roles for r in names):
+            return None
+        who = dict(_principals(frm))
+        for role in names:
+            st.role_grants[role] = [
+                g for g in st.role_grants.get(role, []) if g[0] not in who
+            ]
+        return True
+    return None

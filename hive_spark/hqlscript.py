@@ -229,6 +229,15 @@ def _exec_dfs(stmt: str, res) -> None:
         res.skipped.append(stmt)
 
 
+def _escaped_at(text: str, i: int) -> bool:
+    """True if text[i] is backslash-escaped: an ODD run of backslashes
+    precedes it ('\\'' escapes the quote, '\\\\' is a literal backslash)."""
+    k = 0
+    while i - 1 - k >= 0 and text[i - 1 - k] == "\\":
+        k += 1
+    return k % 2 == 1
+
+
 def split_statements(text: str) -> list[str]:
     """CliDriver-style split: ';' terminates a statement unless inside
     single/double quotes or backticks; '--' comments run to end of line."""
@@ -239,7 +248,7 @@ def split_statements(text: str) -> list[str]:
         ch = text[i]
         if quote:
             buf.append(ch)
-            if ch == quote and (quote != "'" or text[i - 1] != "\\"):
+            if ch == quote and (quote != "'" or not _escaped_at(text, i)):
                 quote = None
             i += 1
             continue
@@ -925,12 +934,24 @@ _DROP_BARE = re.compile(
 # [LINES TERMINATED BY ...] [STORED AS TEXTFILE]: the delimited-text
 # serde surface (LazySimpleSerDe). The catalog table becomes a native
 # table; the delimiter is remembered so LOAD DATA can parse its files.
+# full rowFormatDelimited grammar (ref: ql/.../parse/HiveParser.g
+# rowFormatDelimited): FIELDS [ESCAPED BY], COLLECTION ITEMS, MAP KEYS,
+# LINES, NULL DEFINED AS — each optional, in grammar order. Only the
+# field delimiter affects the native store (LOAD DATA parsing); the
+# container/map/null delimiters are text-serde physical metadata.
 _ROW_FORMAT = re.compile(
     r"ROW\s+FORMAT\s+DELIMITED"
     r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+"
-    r"(?P<q>['\"])(?P<sep>(?:\\.|(?!(?P=q)).)+?)(?P=q))?"
+    r"(?P<q>['\"])(?P<sep>(?:\\.|(?!(?P=q)).)+?)(?P=q)"
+    r"(?:\s+ESCAPED\s+BY\s+(?P<qe>['\"])(?:\\.|(?!(?P=qe)).)+?(?P=qe))?)?"
+    r"(?:\s+COLLECTION\s+ITEMS\s+TERMINATED\s+BY\s+"
+    r"(?P<qc>['\"])(?:\\.|(?!(?P=qc)).)+?(?P=qc))?"
+    r"(?:\s+MAP\s+KEYS\s+TERMINATED\s+BY\s+"
+    r"(?P<qm>['\"])(?:\\.|(?!(?P=qm)).)+?(?P=qm))?"
     r"(?:\s+LINES\s+TERMINATED\s+BY\s+"
-    r"(?P<q2>['\"])(?:\\.|(?!(?P=q2)).)+?(?P=q2))?",
+    r"(?P<q2>['\"])(?:\\.|(?!(?P=q2)).)+?(?P=q2))?"
+    r"(?:\s+NULL\s+DEFINED\s+AS\s+"
+    r"(?P<qn>['\"])(?:\\.|(?!(?P=qn)).)+?(?P=qn))?",
     re.I,
 )
 _CREATE_NAME = re.compile(
@@ -944,7 +965,7 @@ _CREATE_NAME = re.compile(
 _TABLE_DELIMS: dict[str, str] = {}
 
 _LOAD_DATA = re.compile(
-    r"^\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+'([^']+)'\s+"
+    r"^\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+['\"]([^'\"]+)['\"]\s+"
     r"(OVERWRITE\s+)?INTO\s+TABLE\s+`?([\w.]+)`?"
     r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*$",
     re.I | re.S,
@@ -1001,6 +1022,36 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     # semantics (SURVEY 1.2 type table); Hive's long spelling parses out
     stmt = re.sub(r"\bTIMESTAMP\s+WITH\s+LOCAL\s+TIME\s+ZONE\b",
                   "TIMESTAMP", stmt, flags=re.I)
+    stmt = re.sub(r"\bTIMESTAMPLOCALTZ\b", "TIMESTAMP", stmt, flags=re.I)
+    # SHOW TABLE EXTENDED LIKE <ident>: Hive accepts a bare or backticked
+    # identifier pattern; Spark requires a quoted string
+    stmt = re.sub(
+        r"(?i)^(\s*SHOW\s+TABLE\s+EXTENDED\s+(?:IN\s+[\w.]+\s+)?LIKE\s+)"
+        r"`?([\w*|]+)`?",
+        lambda m: m.group(1) + "'" + m.group(2) + "'",
+        stmt,
+    )
+    # DESCRIBE [FORMATTED] tbl PARTITION(...) col: Spark refuses the
+    # column+partition combination (DESC_TABLE_COLUMN_PARTITION); Hive
+    # shows the partition-level column stats. Nearest supported answer:
+    # the table-level column description (stats differences are display
+    # metadata, not query semantics).
+    stmt = re.sub(
+        r"(?i)^(\s*DESC(?:RIBE)?\s+(?:FORMATTED\s+|EXTENDED\s+)?[\w.`]+)\s+"
+        r"PARTITION\s*\([^)]*\)\s+(\w+)\s*$",
+        r"\1 \2",
+        stmt,
+    )
+    # ALTER TABLE ... ADD/CHANGE/REPLACE COLUMNS ... CASCADE|RESTRICT:
+    # Hive's CASCADE propagates the schema change to partition metadata
+    # (ref: ql/.../parse/AlterTableAddColsDesc) — the native store keeps
+    # one table-level schema, so the keyword is vacuous here
+    if re.match(
+        r"(?i)\s*ALTER\s+TABLE\s+[\w.`]+\s+"
+        r"(ADD\s+COLUMNS?|REPLACE\s+COLUMNS?|CHANGE)\b",
+        stmt,
+    ):
+        stmt = re.sub(r"(?i)\s+(CASCADE|RESTRICT)\s*$", "", stmt)
     stmt = _rewrite_window_specs(stmt)
     if _PTF_NOOP_OPEN.search(stmt):
         stmt = _rewrite_ptf_noop(stmt)
@@ -1313,6 +1364,118 @@ def _retry_view_autoalias(spark, stmt: str, err: Exception):
     return spark.sql(f"{m.group(1)}AS {fixed}")
 
 
+# ALTER TABLE ... CHANGE/REPLACE COLUMNS (ref: ql/.../parse/
+# AlterTableChangeColDesc / AlterTableReplaceColsDesc). Hive mutates
+# metastore schema in place and reinterprets existing files; Spark's v1
+# datasource catalog refuses rename/retype (NOT_SUPPORTED_CHANGE_COLUMN)
+# — on a v2 catalog these are metadata-only ops, here the local-parquet
+# fallback is a copy-on-write rewrite of the (test-sized) table.
+_ALTER_CHANGE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+CHANGE\s+(?:COLUMN\s+)?"
+    r"`?(\w+)`?\s+`?(\w+)`?\s+([\w]+(?:\s*\([\d,\s]*\)|\s*<.*?>)?)"
+    r"(?:\s+COMMENT\s+'([^']*)')?"
+    r"(?:\s+(FIRST|AFTER\s+`?\w+`?))?\s*$",
+    re.I | re.S,
+)
+_ALTER_REPLACE_COLS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+REPLACE\s+COLUMNS\s*"
+    r"\((.*)\)\s*$",
+    re.I | re.S,
+)
+
+
+def _rewrite_table_inplace(spark: SparkSession, table: str, out) -> None:
+    """Two-phase CoW swap: stage `out` to parquet, drop + recreate the
+    table from the stage (MoveTask-style, same staging idea as
+    _retry_insert_overwrite_selfread), preserving partition columns."""
+    import shutil
+    import tempfile
+    import uuid
+
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    stage = os.path.join(
+        tempfile.gettempdir(), f"hive_spark_stage_{uuid.uuid4().hex}"
+    )
+    out.write.parquet(stage)
+    try:
+        staged = spark.read.parquet(stage).select(*out.columns)
+        spark.sql(f"DROP TABLE `{table.replace('.', '`.`')}`")
+        w = staged.write
+        kept_parts = [c for c in part_cols if c in staged.columns]
+        if kept_parts:
+            w = w.partitionBy(*kept_parts)
+        w.saveAsTable(table)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
+    from pyspark.sql import functions as F
+
+    stmt = re.sub(r"(?i)\s+(CASCADE|RESTRICT)\s*$", "", stmt.rstrip())
+    m = _ALTER_CHANGE.match(stmt)
+    if m:
+        table, old, new, typ, comment, pos = (
+            m.group(1), m.group(2), m.group(3), m.group(4).strip(),
+            m.group(5), m.group(6),
+        )
+        df = spark.table(table)
+        if old.lower() not in [c.lower() for c in df.columns]:
+            raise ValueError(f"CHANGE COLUMN: no column {old!r} in {table}")
+        same_name = old.lower() == new.lower()
+        same_type = any(
+            c.lower() == old.lower() and t.replace(" ", "") == typ.lower().replace(" ", "")
+            for c, t in df.dtypes
+        )
+        if not (same_name and same_type and not pos):
+            sel = [
+                F.col(c).cast(typ).alias(new) if c.lower() == old.lower()
+                else F.col(c)
+                for c in df.columns
+            ]
+            out = df.select(*sel)
+            if pos:
+                cols = [c for c in out.columns if c.lower() != new.lower()]
+                if pos.upper() == "FIRST":
+                    cols.insert(0, new)
+                else:
+                    anchor = pos.split()[-1].strip("`").lower()
+                    idx = [c.lower() for c in cols].index(anchor)
+                    cols.insert(idx + 1, new)
+                out = out.select(*cols)
+            _rewrite_table_inplace(spark, table, out)
+        if comment:
+            safe = comment.replace("'", "''")
+            spark.sql(
+                f"ALTER TABLE `{table.replace('.', '`.`')}` "
+                f"ALTER COLUMN `{new}` COMMENT '{safe}'"
+            )
+        return True
+    m = _ALTER_REPLACE_COLS.match(stmt)
+    if m:
+        table = m.group(1)
+        df = spark.table(table)
+        specs = []
+        for item in _split_args(m.group(2)):
+            toks = item.strip().split(None, 2)
+            if len(toks) >= 2:
+                specs.append((toks[0].strip("`"), toks[1]))
+        # positional reinterpretation (text-serde semantics): i-th old
+        # column becomes the i-th new (name, type); extras drop/appear
+        old_cols = [c for c in df.columns]
+        sel = []
+        for i, (name, typ) in enumerate(specs):
+            if i < len(old_cols):
+                sel.append(F.col(old_cols[i]).cast(typ).alias(name))
+            else:
+                sel.append(F.lit(None).cast(typ).alias(name))
+        _rewrite_table_inplace(spark, table, df.select(*sel))
+        return True
+    return False
+
+
 @dataclass
 class ScriptResult:
     results: list[DataFrame] = field(default_factory=list)  # SELECT outputs
@@ -1320,6 +1483,138 @@ class ScriptResult:
     skipped: list[str] = field(default_factory=list)  # no-op'd statements
     prepared: dict[str, str] = field(default_factory=dict)
     txn: object | None = None  # open hive_spark.txn.Transaction, if any
+
+
+# --- materialized views in SQL text (ref: ql/.../parse/
+# CreateMaterializedViewDesc; the containment-rewrite engine is
+# plans.MaterializedViewStore — this maps the DDL grammar onto a stored
+# table + a per-session definition registry so REBUILD can re-run it)
+_CREATE_MV = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"`?([\w.]+)`?\b(.*?)\bAS\s+((?:SELECT|WITH|\()[\s\S]*)$",
+    re.I,
+)
+_DROP_MV = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?`?([\w.]+)`?\s*$",
+    re.I,
+)
+_SHOW_MVS = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS(?:\s+(?:IN|FROM)\s+[\w.]+)?\s*$", re.I
+)
+_REBUILD_MV = re.compile(
+    r"^\s*ALTER\s+MATERIALIZED\s+VIEW\s+`?([\w.]+)`?\s+REBUILD\s*$", re.I
+)
+_MV_DEFS: dict[int, dict[str, str]] = {}  # id(spark) -> name -> sql
+
+# EXPLAIN LOCKS / DDL / AUTHORIZATION (ref: ql/.../parse/
+# ExplainConfiguration.java; output shapes from ExplainTask.java).
+_EXPLAIN_SPECIAL = re.compile(
+    r"^\s*EXPLAIN\s+(LOCKS|DDL|AUTHORIZATION)\s+(.*)$", re.I | re.S
+)
+
+_INSERT_DIR = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+['\"]([^'\"]+)['\"]"
+    r"\s*((?:ROW\s+FORMAT\s[\s\S]*?)?)((?:STORED\s+AS\s+(\w+)\s*)?)"
+    r"((?:SELECT|WITH|FROM|VALUES)\b[\s\S]*)$",
+    re.I,
+)
+
+
+def _referenced_tables(spark: SparkSession, sql: str) -> list[str]:
+    """Catalog-verified table names appearing after FROM/JOIN/TABLE/INTO."""
+    names = re.findall(
+        r"(?i)\b(?:FROM|JOIN|TABLE|INTO)\s+`?([\w.]+)`?", sql
+    )
+    seen, out = set(), []
+    for n in names:
+        key = n.lower()
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            if spark.catalog.tableExists(n):
+                out.append(n)
+        except Exception:
+            pass
+    return out
+
+
+def _exec_explain_special(spark: SparkSession, mode: str, body: str):
+    mode = mode.upper()
+    tables = _referenced_tables(spark, body)
+    is_write = bool(re.match(
+        r"(?i)\s*(INSERT|UPDATE|DELETE|MERGE|CREATE|ALTER|TRUNCATE|LOAD)\b",
+        body,
+    ))
+    if mode == "LOCKS":
+        # write target takes the exclusive lock, scanned tables shared
+        # (ref: ql/.../lockmgr/DbTxnManager.java acquireLocks)
+        target = None
+        m = re.match(
+            r"(?i)\s*(?:INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+            r"|UPDATE\s+|DELETE\s+FROM\s+|MERGE\s+INTO\s+)`?([\w.]+)`?",
+            body,
+        )
+        if m:
+            target = m.group(1)
+        rows = [
+            (t, "EXCLUSIVE" if t == target else "SHARED_READ")
+            for t in tables
+        ] or [("_dummy_database", "SHARED_READ")]
+        return spark.createDataFrame(rows, "entity string, lock_type string")
+    if mode == "DDL":
+        texts = []
+        for t in tables:
+            try:
+                texts.append(
+                    spark.sql(f"SHOW CREATE TABLE `{t}`").collect()[0][0]
+                )
+            except Exception:
+                pass
+        return spark.createDataFrame(
+            [(s,) for s in texts] or [("",)], "createtab_stmt string"
+        )
+    # AUTHORIZATION: inputs / outputs / current user / operation
+    from hive_spark import authz
+
+    rows = (
+        [("INPUTS", ",".join(tables))]
+        + [("OUTPUTS", "")]
+        + [("CURRENT_USER", authz.current_user())]
+        + [("OPERATION", "QUERY" if not is_write else "DML")]
+    )
+    return spark.createDataFrame(rows, "section string, value string")
+
+
+def _exec_insert_directory(spark: SparkSession, m: re.Match):
+    """INSERT OVERWRITE [LOCAL] DIRECTORY (ref: ql/.../parse/
+    SemanticAnalyzer genFileSinkPlan): runs the query and writes the
+    rows under the directory — text with Hive's delimiter/\\N null
+    conventions by default, parquet/orc when STORED AS says so. Writes
+    are confined to scratch space (/tmp) like the qtest harness."""
+    import shutil
+
+    path, _rowfmt, _stored, fmt, query = m.groups()
+    path = re.sub(r"^file:/{0,2}", "/", path)
+    if not os.path.abspath(path).startswith("/tmp/"):
+        raise ValueError(
+            f"INSERT OVERWRITE DIRECTORY confined to /tmp scratch: {path!r}"
+        )
+    df = spark.sql(rewrite_statement(spark, query))
+    shutil.rmtree(path, ignore_errors=True)
+    if fmt and fmt.lower() in ("parquet", "orc", "avro"):
+        df.write.format(fmt.lower()).save(path)
+        return
+    sep = "\x01"
+    rf = _ROW_FORMAT.search(m.group(2) or "")
+    if rf and rf.group("sep"):
+        sep = rf.group("sep").encode().decode("unicode_escape")
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in df.columns
+    ]
+    df.select(F.concat_ws(sep, *cols).alias("value")).write.text(path)
 
 
 # PREPARE name FROM <query with ? markers> / EXECUTE name USING v1, v2
@@ -1488,8 +1783,63 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                         res.txn.rollback()
                     _restore_latest_views(spark)
                 continue
+            from hive_spark import authz
+
+            auth = authz.handle(spark, stmt)
+            if auth is not None:
+                if auth is not True and auth.columns:
+                    res.results.append(
+                        spark.createDataFrame(auth.collect(), auth.schema)
+                    )
+                continue
             if _ADD.match(stmt) or _METADATA_NOOP.match(stmt):
                 res.skipped.append(stmt)
+                continue
+            m = _EXPLAIN_SPECIAL.match(stmt)
+            if m:
+                res.results.append(
+                    _exec_explain_special(spark, m.group(1), m.group(2))
+                )
+                continue
+            m = _CREATE_MV.match(stmt)
+            if m:
+                name, query = m.group(1), m.group(3)
+                sql = rewrite_statement(spark, query)
+                if not (re.search(r"(?i)IF\s+NOT\s+EXISTS", stmt)
+                        and spark.catalog.tableExists(name)):
+                    spark.sql(sql).write.mode("overwrite").saveAsTable(name)
+                _MV_DEFS.setdefault(id(spark), {})[name.lower()] = sql
+                continue
+            m = _DROP_MV.match(stmt)
+            if m:
+                spark.sql(f"DROP TABLE IF EXISTS `{m.group(1)}`")
+                _MV_DEFS.get(id(spark), {}).pop(m.group(1).lower(), None)
+                continue
+            if _SHOW_MVS.match(stmt):
+                res.results.append(
+                    spark.createDataFrame(
+                        [
+                            (n, "Yes", "Manual refresh")
+                            for n in sorted(_MV_DEFS.get(id(spark), {}))
+                        ],
+                        "mv_name string, rewrite_enabled string, mode string",
+                    )
+                )
+                continue
+            m = _REBUILD_MV.match(stmt)
+            if m:
+                sql = _MV_DEFS.get(id(spark), {}).get(m.group(1).lower())
+                if sql is None:
+                    raise ValueError(
+                        f"REBUILD of unknown materialized view {m.group(1)!r}"
+                    )
+                spark.sql(sql).write.mode("overwrite").saveAsTable(m.group(1))
+                continue
+            m = _INSERT_DIR.match(stmt)
+            if m:
+                _exec_insert_directory(spark, m)
+                continue
+            if _exec_alter_columns(spark, stmt):
                 continue
             m = _SET.match(stmt)
             if m and m.group(2) is not None:

@@ -55,8 +55,19 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
         .write.saveAsTable("part")
 
     # --- datasets loaded from the reference's own data files ---
-    for v in ("lineitem", "part"):  # testdata temp views would shadow
-        spark.catalog.dropTempView(v)
+    # Session temp views (testdata base views + TPC-DS star views from
+    # earlier registry tests) shadow same-named catalog tables the
+    # scripts create/insert into (temp resolution wins in Spark) — drop
+    # them all and invalidate the registration caches so later registry
+    # queries rebuild them on demand.
+    for t in spark.catalog.listTables():
+        if t.isTemporary:
+            spark.catalog.dropTempView(t.name)
+    from hive_spark import operators as _ops
+    from hive_spark.operators import tpcds as _tpcds
+
+    _ops._ACTIVE_SF.pop(id(spark), None)
+    _tpcds._ACTIVE_STAR.pop(id(spark), None)
     lineitem_schema = (
         "l_orderkey int, l_partkey int, l_suppkey int, l_linenumber int,"
         " l_quantity double, l_extendedprice double, l_discount double,"

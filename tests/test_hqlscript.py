@@ -321,3 +321,148 @@ def test_variable_substitution_and_dfs(spark, tmp_path):
     import os
     assert os.path.isdir("/tmp/hive_spark_qtest_tmp/vtest")
     assert any("dfs -rm" in s for s in out.skipped)
+
+
+def test_sql_std_authorization(spark):
+    """SQL-standard auth statements (ref: ql/.../sqlstd/
+    SQLStdHiveAccessController.java): role lifecycle, role + privilege
+    grants, and the SHOW readbacks are a live session registry."""
+    out = run_script(
+        spark,
+        "CREATE ROLE auditors;"
+        " GRANT auditors TO USER alice;"
+        " CREATE TABLE IF NOT EXISTS authz_t(k INT);"
+        " GRANT SELECT, INSERT ON TABLE authz_t TO ROLE auditors;"
+        " SHOW ROLES;"
+        " SHOW ROLE GRANT USER alice;"
+        " SHOW GRANT ROLE auditors ON TABLE authz_t;"
+        " REVOKE INSERT ON TABLE authz_t FROM ROLE auditors;"
+        " SHOW GRANT ROLE auditors ON TABLE authz_t;"
+        " SET ROLE auditors;"
+        " SHOW CURRENT ROLES;"
+        " DROP ROLE auditors;"
+        " DROP TABLE authz_t;",
+    )
+    roles = {r.role for r in out.results[0].collect()}
+    assert "auditors" in roles and "public" in roles and "admin" in roles
+    assert {r.role for r in out.results[1].collect()} >= {"public", "auditors"}
+    privs = {r.privilege for r in out.results[2].collect()}
+    assert privs == {"SELECT", "INSERT"}
+    privs_after = {r.privilege for r in out.results[3].collect()}
+    assert privs_after == {"SELECT"}
+    assert [r.role for r in out.results[4].collect()] == ["auditors"]
+
+
+def test_alter_change_replace_columns(spark):
+    """Hive CHANGE/REPLACE COLUMNS (ref: ql/.../parse/
+    AlterTableChangeColDesc): rename+retype+reorder via CoW rewrite;
+    REPLACE reinterprets columns positionally."""
+    run_script(
+        spark,
+        "DROP TABLE IF EXISTS chg_t;"
+        " CREATE TABLE chg_t (a INT, b STRING, c DOUBLE);"
+        " INSERT INTO chg_t VALUES (1, 'x', 9.5), (2, 'y', 8.5);",
+    )
+    out = run_script(
+        spark,
+        "ALTER TABLE chg_t CHANGE b bb VARCHAR(8) COMMENT 'renamed' CASCADE;"
+        " ALTER TABLE chg_t CHANGE COLUMN c c DECIMAL(6,1) FIRST;"
+        " SELECT * FROM chg_t ORDER BY a;",
+    )
+    rows = out.results[-1].collect()
+    assert out.results[-1].columns == ["c", "a", "bb"]
+    assert [str(r.c) for r in rows] == ["9.5", "8.5"]
+    out = run_script(
+        spark,
+        "ALTER TABLE chg_t REPLACE COLUMNS (k STRING, v STRING);"
+        " SELECT * FROM chg_t ORDER BY k; DROP TABLE chg_t;",
+    )
+    assert out.results[-1].columns == ["k", "v"]
+    assert [r.k for r in out.results[-1].collect()] == ["8.5", "9.5"]
+
+
+def test_materialized_view_sql_text(spark):
+    """CREATE/REBUILD/SHOW/DROP MATERIALIZED VIEW through the script
+    runner (ref: ql/.../parse/CreateMaterializedViewDesc)."""
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS mv_base;"
+        " CREATE TABLE mv_base (g INT, x INT);"
+        " INSERT INTO mv_base VALUES (1, 10), (1, 20), (2, 5);"
+        " CREATE MATERIALIZED VIEW mv_sums DISABLE REWRITE AS"
+        "   SELECT g, SUM(x) AS s FROM mv_base GROUP BY g;"
+        " SELECT * FROM mv_sums ORDER BY g;",
+    )
+    assert [(r.g, r.s) for r in out.results[-1].collect()] == [(1, 30), (2, 5)]
+    out = run_script(
+        spark,
+        "INSERT INTO mv_base VALUES (2, 15);"
+        " ALTER MATERIALIZED VIEW mv_sums REBUILD;"
+        " SHOW MATERIALIZED VIEWS;"
+        " SELECT * FROM mv_sums ORDER BY g;"
+        " DROP MATERIALIZED VIEW mv_sums; DROP TABLE mv_base;",
+    )
+    assert "mv_sums" in {r.mv_name for r in out.results[-2].collect()}
+    assert [(r.g, r.s) for r in out.results[-1].collect()] == [(1, 30), (2, 20)]
+
+
+def test_explain_locks_ddl_authorization(spark):
+    """EXPLAIN LOCKS/DDL/AUTHORIZATION (ref: ql/.../parse/
+    ExplainConfiguration.java) return Hive-shaped result rows."""
+    out = run_script(
+        spark,
+        "CREATE TABLE IF NOT EXISTS exp_t (k INT);"
+        " EXPLAIN LOCKS INSERT INTO exp_t SELECT k FROM exp_t;"
+        " EXPLAIN DDL SELECT * FROM exp_t;"
+        " EXPLAIN AUTHORIZATION SELECT * FROM exp_t;"
+        " DROP TABLE exp_t;",
+    )
+    locks = {(r.entity, r.lock_type) for r in out.results[0].collect()}
+    assert ("exp_t", "EXCLUSIVE") in locks
+    assert "exp_t" in out.results[1].collect()[0].createtab_stmt
+    sections = dict(out.results[2].collect())
+    assert sections["CURRENT_USER"]
+    assert "exp_t" in sections["INPUTS"]
+
+
+def test_insert_overwrite_directory(spark, tmp_path):
+    """INSERT OVERWRITE DIRECTORY writes Hive-convention text (custom
+    delimiter, \\N nulls) under confined scratch space."""
+    import glob
+
+    run_script(
+        spark,
+        "INSERT OVERWRITE DIRECTORY '/tmp/hive_spark_qtest_tmp/iod'"
+        " ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'"
+        " SELECT id, CASE WHEN id = 1 THEN NULL ELSE 'v' END AS v"
+        " FROM range(2);",
+    )
+    lines = sorted(
+        line
+        for f in glob.glob("/tmp/hive_spark_qtest_tmp/iod/part-*")
+        for line in open(f).read().splitlines()
+    )
+    assert lines == ["0|v", "1|\\N"]
+    with pytest.raises(ValueError):
+        run_script(
+            spark,
+            "INSERT OVERWRITE DIRECTORY '/etc/nope' SELECT 1 AS x;",
+        )
+
+
+def test_row_format_full_delimited_clauses(spark):
+    """COLLECTION ITEMS / MAP KEYS / NULL DEFINED AS / ESCAPED BY all
+    parse (rowFormatDelimited grammar, ref: ql/.../parse/HiveParser.g)."""
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS rf_t;"
+        " CREATE TABLE rf_t (k INT, tags ARRAY<STRING>, m MAP<STRING,INT>)"
+        " ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' ESCAPED BY '\\\\'"
+        " COLLECTION ITEMS TERMINATED BY '|' MAP KEYS TERMINATED BY ':'"
+        " LINES TERMINATED BY '\\n' NULL DEFINED AS 'NUL'"
+        " STORED AS TEXTFILE;"
+        " INSERT INTO rf_t SELECT 1, array('a','b'), map('x', 1);"
+        " SELECT k, size(tags) AS nt, m['x'] AS mx FROM rf_t;"
+        " DROP TABLE rf_t;",
+    )
+    assert [(r.k, r.nt, r.mx) for r in out.results[-1].collect()] == [(1, 2, 1)]
