@@ -20,7 +20,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 QDIR = "/root/reference/ql/src/test/queries/clientpositive"
-SCRATCH = "/tmp/hive_spark_qtriage"
+DB = os.environ.get("QTRIAGE_DB", "qtriage")
+SCRATCH = f"/tmp/hive_spark_{DB}"
 REF_ROOT = "/root/reference/ql/src"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -32,7 +33,7 @@ from hive_spark.session import get_session  # noqa: E402
 def build_fixtures(spark):
     from tests.qtest_fixture_lib import build_qtest_fixtures
 
-    build_qtest_fixtures(spark, "qtriage", SCRATCH)
+    build_qtest_fixtures(spark, DB, SCRATCH)
 
 
 def main():
@@ -66,7 +67,12 @@ def main():
             # the script created so scripts can't collide on names;
             # reset the database pointer (scripts may USE other dbs)
             try:
-                spark.catalog.setCurrentDatabase("qtriage")
+                from hive_spark.sources.jdbc_handler import (
+                    drop_memory_databases,
+                )
+
+                drop_memory_databases(spark)
+                spark.catalog.setCurrentDatabase(DB)
                 for t in spark.catalog.listTables():
                     if t.name not in fixture_tables:
                         kind = "VIEW" if t.tableType == "VIEW" else "TABLE"

@@ -45,3 +45,43 @@ def test_sharded_parallel_read(spark, db):
     )
     assert sharded.rdd.getNumPartitions() == 4
     assert sorted(map(tuple, sharded.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jdbc_storage_handler_sql_text(spark):
+    """STORED BY JdbcStorageHandler end-to-end in SQL text (ref:
+    jdbc-handler/.../JdbcStorageHandler.java): qt:database directive
+    boots in-memory Derby + init script, dboutput folds execute DDL/DML
+    driver-side, the handler CREATE registers a pushdown-capable scan,
+    INSERT INTO writes back, DROP unregisters."""
+    from hive_spark.hqlscript import run_script
+    from hive_spark.sources.jdbc_handler import (
+        HANDLER_TABLES,
+        drop_memory_databases,
+    )
+
+    try:
+        out = run_script(
+            spark,
+            "--!qt:database:derby:hdl\n"
+            "SELECT dboutput('${system:hive.test.database.hdl.jdbc.url}',"
+            " '', '', 'CREATE TABLE HT (\"k\" INTEGER, \"v\" VARCHAR(10))')"
+            " AS rc;\n"
+            "SELECT dboutput('${system:hive.test.database.hdl.jdbc.url}',"
+            " '', '', 'INSERT INTO HT VALUES (?, ?)', '1', 'a') AS rc;\n"
+            "CREATE EXTERNAL TABLE ht (k INT, v STRING)"
+            " STORED BY 'org.apache.hive.storage.jdbc.JdbcStorageHandler'"
+            " TBLPROPERTIES ("
+            "  'hive.sql.database.type' = 'DERBY',"
+            "  'hive.sql.jdbc.url' ="
+            "    '${system:hive.test.database.hdl.jdbc.url}',"
+            "  'hive.sql.table' = 'HT');\n"
+            "INSERT INTO ht VALUES (2, 'b');\n"
+            "SELECT k, v FROM ht ORDER BY k;\n"
+            "DROP TABLE ht;",
+        )
+        assert [r.rc for r in out.results[0].collect()] == [0]
+        rows = [(r.k, r.v) for r in out.results[-1].collect()]
+        assert rows == [(1, "a"), (2, "b")]
+        assert "ht" not in HANDLER_TABLES
+    finally:
+        drop_memory_databases(spark)
