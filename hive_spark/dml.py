@@ -84,10 +84,15 @@ def update_where(
     path: str,
     condition: Column,
     assignments: dict[str, Column],
+    fmt: str = "parquet",
 ) -> None:
     """UPDATE t SET col=expr WHERE cond (ref: UpdateSemanticAnalyzer.java) —
     computed as one projection with CASE per assigned column."""
-    _rewrite(update_frame(spark.read.parquet(path), condition, assignments), path)
+    _rewrite(
+        update_frame(spark.read.format(fmt).load(path), condition, assignments),
+        path,
+        fmt,
+    )
 
 
 def delete_frame(t: DataFrame, condition: Column) -> DataFrame:
@@ -96,10 +101,12 @@ def delete_frame(t: DataFrame, condition: Column) -> DataFrame:
     return t.filter(~condition | condition.isNull())
 
 
-def delete_where(spark: SparkSession, path: str, condition: Column) -> None:
+def delete_where(
+    spark: SparkSession, path: str, condition: Column, fmt: str = "parquet"
+) -> None:
     """DELETE FROM t WHERE cond (ref: DeleteSemanticAnalyzer.java); at
     scale pair with partition pruning on the condition."""
-    _rewrite(delete_frame(spark.read.parquet(path), condition), path)
+    _rewrite(delete_frame(spark.read.format(fmt).load(path), condition), path, fmt)
 
 
 def merge_into(
@@ -111,6 +118,7 @@ def merge_into(
     matched_delete: Column | None = None,
     not_matched_insert: dict[str, Column] | None = None,
     check_cardinality: bool = True,
+    fmt: str = "parquet",
 ) -> None:
     """MERGE INTO target USING source ON cond — Hive's join+multi-insert
     rewrite (MergeSemanticAnalyzer.java:85-102) as one full-outer join:
@@ -125,7 +133,7 @@ def merge_into(
     nullable columns never misclassify a row.
     """
     out = merge_frame(
-        spark.read.parquet(target_path),
+        spark.read.format(fmt).load(target_path),
         source,
         on,
         matched_update,
@@ -133,7 +141,7 @@ def merge_into(
         not_matched_insert,
         check_cardinality,
     )
-    _rewrite(out, target_path)
+    _rewrite(out, target_path, fmt)
 
 
 def merge_frame(
@@ -220,7 +228,7 @@ def multi_insert(
             df.unpersist()
 
 
-def _rewrite(df: DataFrame, path: str) -> None:
+def _rewrite(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Materialize then atomically replace (staging-dir move, Hive MoveTask
     analog) — Spark can't overwrite a path it is concurrently reading.
     The table's writer lock (txn.write_lock, DbTxnManager analog) is held
@@ -231,7 +239,7 @@ def _rewrite(df: DataFrame, path: str) -> None:
 
     with write_lock(path):
         tmp = path.rstrip("/") + "._staging"
-        df.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").format(fmt).save(tmp)
         shutil.rmtree(path)
         shutil.move(tmp, path)
     # a flat-path rewrite keeps the same scan location, so cached plan

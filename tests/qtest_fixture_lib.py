@@ -34,6 +34,12 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
         ),
     )
     src.write.saveAsTable("src")
+    # scripts also reference the canonical datasets through the default
+    # db by qualified name (QTestUtil loads them there); mirror src
+    spark.sql("DROP TABLE IF EXISTS default.src")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "src"), ignore_errors=True)
+    src.write.saveAsTable("default.src")
     parts = spark.createDataFrame(
         [("2008-04-08", "11"), ("2008-04-08", "12"),
          ("2008-04-09", "11"), ("2008-04-09", "12")],
@@ -108,11 +114,21 @@ def run_and_cleanup(
     try:
         return run_script(spark, open(path).read())
     finally:
+        from hive_spark.sources.jdbc_handler import drop_memory_databases
+
+        drop_memory_databases(spark)
         spark.catalog.setCurrentDatabase(db)
-        for t in spark.catalog.listTables():
-            if t.name not in fixture_tables:
-                kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
-                spark.sql(f"DROP {kind} IF EXISTS `{t.name}`")
+        for swept in (db, "default"):
+            for t in spark.catalog.listTables(swept):
+                if t.name in fixture_tables or t.name == "src":
+                    continue
+                if t.isTemporary:
+                    spark.catalog.dropTempView(t.name)
+                else:
+                    kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
+                    spark.sql(
+                        f"DROP {kind} IF EXISTS `{swept}`.`{t.name}`"
+                    )
         if known_dbs is not None:
             for d in spark.catalog.listDatabases():
                 if d.name not in known_dbs:

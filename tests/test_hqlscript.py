@@ -466,3 +466,44 @@ def test_row_format_full_delimited_clauses(spark):
         " DROP TABLE rf_t;",
     )
     assert [(r.k, r.nt, r.mx) for r in out.results[-1].collect()] == [(1, 2, 1)]
+
+
+def test_load_data_avro_and_empty_table_dml(spark):
+    """LOAD DATA sniffs self-describing formats (avro via the pure-
+    Python container reader — no spark-avro jar in this runtime), and
+    CoW DML on a freshly-created empty table seeds schema instead of
+    failing UNABLE_TO_INFER_SCHEMA."""
+    from hive_spark.sources.avro_lite import ddl_schema, read_container
+
+    fields, rows = read_container(
+        "/root/reference/data/files/doctors.avro"
+    )
+    assert fields == ["number", "first_name", "last_name"]
+    assert len(rows) == 11 and rows[0][0] == 6
+    assert "number` int" in ddl_schema(
+        "/root/reference/data/files/doctors.avro"
+    ).replace(" `", "`")
+
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS avro_doc;"
+        " CREATE TABLE avro_doc (number int, first_name string) STORED AS AVRO;"
+        " LOAD DATA LOCAL INPATH '/root/reference/data/files/doctors.avro'"
+        "   INTO TABLE avro_doc;"
+        " SELECT COUNT(*) AS n, MIN(number) AS lo FROM avro_doc;"
+        " DROP TABLE avro_doc;",
+    )
+    r = out.results[-1].collect()[0]
+    assert (r.n, r.lo) == (11, 1)
+
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS empty_dml;"
+        " CREATE TABLE empty_dml (i INT) STORED AS ORC;"
+        " DELETE FROM empty_dml WHERE i > 0;"
+        " UPDATE empty_dml SET i = 1 WHERE i = 0;"
+        " INSERT INTO empty_dml VALUES (7);"
+        " SELECT * FROM empty_dml;"
+        " DROP TABLE empty_dml;",
+    )
+    assert [r.i for r in out.results[-1].collect()] == [7]
