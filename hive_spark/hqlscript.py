@@ -80,8 +80,9 @@ _DELETE_STMT = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$", re.I | re.S
 )
 _MERGE_STMT = re.compile(
-    r"^\s*MERGE\s+INTO\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+USING\s+"
-    r"(\((?:[^()]|\([^()]*\))*\)|[\w.]+)\s+(?:AS\s+)?(\w+)\s+ON\s+(.+?)"
+    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+    r"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+(.+?)"
     r"\s+(WHEN\s+.+?)\s*$",
     re.I | re.S,
 )
@@ -134,6 +135,7 @@ _METADATA_NOOP = re.compile(
     r"|DISABLE\s+OFFLINE\b)"
     r"|ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
     r"UPDATE\s+STATISTICS\s+FOR\s+COLUMN\b"
+    r"|ALTER\s+TABLE\s+[\w.`]+\s+PARTITION\s+COLUMN\s*\("
     r"|ALTER\s+MATERIALIZED\s+VIEW\s+[\w.`]+\s+(?:ENABLE|DISABLE)\s+REWRITE\b"
     r"|GRANT\b|REVOKE\b"
     r")",
@@ -149,6 +151,8 @@ _VAR_DEFAULTS = {
     "system:test.dfs.mkdir": "-mkdir -p",
     "system:build.dir": "/tmp/hive_spark_qtest_tmp",
     "system:hive.root": "/root/reference/",
+    # QTestUtil: conf.set("test.data.dir", <the data/files dataset dir>)
+    "system:test.data.dir": "/root/reference/data/files",
 }
 
 
@@ -507,6 +511,10 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
     m = _MERGE_STMT.match(stmt)
     if m:
         name, talias, src_text, salias, on_text, when_text = m.groups()
+        talias = talias or name.split(".")[-1]
+        salias = salias or (
+            src_text.split(".")[-1] if not src_text.startswith("(") else "s"
+        )
         path, versioned = _resolve_dml_target(spark, name)
         source = (
             spark.sql(src_text[1:-1].strip())
@@ -827,18 +835,36 @@ def _rewrite_stored_as(stmt: str) -> str:
 
     span = col_span()
     if span and re.search(
-        r"\b(PRIMARY\s+KEY|FOREIGN\s+KEY|CONSTRAINT|UNIQUE\s*\("
-        r"|DISABLE|NOVALIDATE|RELY)\b",
+        r"\b(PRIMARY\s+KEY|FOREIGN\s+KEY|CONSTRAINT|UNIQUE\b"
+        r"|DISABLE|ENABLE|NOVALIDATE|VALIDATE|RELY|CHECK\s*\()",
         stmt[span[0]:span[1]], re.I,
     ):
+        def _strip_col_constraints(it: str) -> str:
+            # column-level constraint decorations (named NOT NULL/CHECK,
+            # trailing PRIMARY KEY/UNIQUE, enforcement keywords) — the
+            # registry carries table-level ones; Spark's v1 parser takes
+            # only NOT NULL/DEFAULT
+            it = re.sub(
+                r"(?i)\s+(DISABLE|ENABLE|NOVALIDATE|VALIDATE|RELY|NORELY)\b",
+                "", it,
+            )
+            it = re.sub(r"(?i)\s+CONSTRAINT\s+`?\w+`?(?=\s)", "", it)
+            it = re.sub(r"(?i)\s+(PRIMARY\s+KEY|UNIQUE)\b(?!\s*\()", "", it)
+            it = re.sub(
+                r"(?i)\s+REFERENCES\s+`?[\w.]+`?\s*\([^)]*\)", "", it
+            )
+            it = re.sub(
+                r"(?i)\s+CHECK\s*\((?:[^()]|\([^()]*\))*\)", "", it
+            )
+            return it.strip()
+
         items = _split_args(stmt[span[0] + 1 : span[1] - 1])
         kept = [
-            re.sub(r"\s+(DISABLE|ENABLE|NOVALIDATE|VALIDATE|RELY|NORELY)\b",
-                   "", it, flags=re.I).strip()
+            _strip_col_constraints(it)
             for it in items
             if not re.match(
                 r"\s*(CONSTRAINT\b|PRIMARY\s+KEY\b|FOREIGN\s+KEY\b"
-                r"|UNIQUE\s*\()",
+                r"|UNIQUE\s*\(|CHECK\s*\()",
                 it, re.I,
             )
         ]
@@ -849,7 +875,12 @@ def _rewrite_stored_as(stmt: str) -> str:
         p_open = stmt.index("(", pb.start())
         p_close = _scan_parens(stmt, p_open)
         p_items = [
-            x.strip() for x in _split_args(stmt[p_open + 1 : p_close - 1])
+            re.sub(
+                r"(?i)\s+(DISABLE|ENABLE|NOVALIDATE|VALIDATE|RELY|NORELY)\b",
+                "",
+                x,
+            ).strip()
+            for x in _split_args(stmt[p_open + 1 : p_close - 1])
         ]
         if p_items and all(len(x.split()) >= 2 for x in p_items):
             names = ", ".join(x.split()[0] for x in p_items)
@@ -876,7 +907,12 @@ def _rewrite_stored_as(stmt: str) -> str:
 # CBO (Calcite plan + costs) -> COST; VECTORIZATION (batch-operator
 # annotations) -> FORMATTED (Tungsten codegen spans are the analog)
 _EXPLAIN_MODE = re.compile(
-    r"^(\s*EXPLAIN\s+)(CBO|VECTORIZATION|AST|LOGICAL|DETAIL)\b", re.I
+    r"^(\s*EXPLAIN\s+)"
+    r"(CBO(?:\s+(?:COST|JOINCOST))?"
+    r"|VECTORIZATION(?:\s+ONLY)?"
+    r"(?:\s+(?:SUMMARY|OPERATOR|EXPRESSION|DETAIL))?"
+    r"|AST|LOGICAL|DETAIL|REOPTIMIZATION)\b",
+    re.I,
 )
 
 # Hive window specs accept DISTRIBUTE BY / SORT BY / CLUSTER BY as
@@ -1205,7 +1241,41 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
             "AST": "EXTENDED",        # parse tree -> logical plans
             "LOGICAL": "EXTENDED",
             "DETAIL": "EXTENDED",
-        }[m.group(2).upper()],
+            "REOPTIMIZATION": "EXTENDED",  # runtime-stats replan -> AQE
+        }[m.group(2).split()[0].upper()],
+        stmt,
+    )
+    # EXPLAIN CREATE MATERIALIZED VIEW ... AS <q>: the plan Hive prints
+    # is the defining query's plan plus the sink — explain the query
+    m = re.match(
+        r"(?i)^(\s*EXPLAIN\s+(?:\w+\s+)?)CREATE\s+MATERIALIZED\s+VIEW\s+"
+        r"[\w.`]+\b[\s\S]*?\bAS\s+((?:SELECT|WITH|\()[\s\S]*)$",
+        stmt,
+    )
+    if m:
+        stmt = m.group(1) + m.group(2)
+    # MSCK [REPAIR] TABLE: the check-only spelling maps onto Spark's
+    # repair statement (partition discovery is the shared semantics)
+    stmt = re.sub(
+        r"(?i)^(\s*MSCK\s+)(?!REPAIR\b)(TABLE\b)", r"\1REPAIR \2", stmt
+    )
+    # TABLESAMPLE(BUCKET x OUT OF y ON col): Spark samples by fraction/
+    # rows only — the bucket-hash filter is the semantics (Hive hashes
+    # the ON column; for integral keys the hash IS the value, ref:
+    # serde2/objectinspector/ObjectInspectorUtils.hashCode)
+    def _sub_bucket_sample(m: re.Match) -> str:
+        tbl = m.group(1)
+        alias = m.group(2) or tbl.split(".")[-1].strip("`")
+        x, y, col = int(m.group(3)), int(m.group(4)), m.group(5)
+        return (
+            f"(SELECT * FROM {tbl} WHERE pmod({col}, {y}) = {x - 1}) {alias}"
+        )
+
+    stmt = re.sub(
+        r"(?i)([\w.`]+)(?:\s+(?!TABLESAMPLE\b)(?:AS\s+)?(\w+))?\s+"
+        r"TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+"
+        r"`?([\w.]+)`?\s*\)",
+        _sub_bucket_sample,
         stmt,
     )
     stmt = _rewrite_stored_as(stmt)
@@ -1521,7 +1591,12 @@ _ALTER_CHANGE = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+CHANGE\s+(?:COLUMN\s+)?"
     r"`?(\w+)`?\s+`?(\w+)`?\s+([\w]+(?:\s*\([\d,\s]*\)|\s*<.*?>)?)"
     r"(?:\s+COMMENT\s+'([^']*)')?"
-    r"(?:\s+(FIRST|AFTER\s+`?\w+`?))?\s*$",
+    r"(?:\s+(FIRST|AFTER\s+`?\w+`?))?"
+    # inline column constraints (metadata-only here, like CREATE's)
+    r"(?:\s+(?:CONSTRAINT\s+`?\w+`?\s+)?"
+    r"(?:NOT\s+NULL|DEFAULT\s+\S+|CHECK\s*\([^)]*\)|PRIMARY\s+KEY|UNIQUE"
+    r"|REFERENCES\s+`?[\w.]+`?\s*\([^)]*\))"
+    r"(?:\s+(?:ENABLE|DISABLE|VALIDATE|NOVALIDATE|RELY|NORELY))*)?\s*$",
     re.I | re.S,
 )
 _ALTER_REPLACE_COLS = re.compile(
@@ -1638,7 +1713,7 @@ class ScriptResult:
 # table + a per-session definition registry so REBUILD can re-run it)
 _CREATE_MV = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"`?([\w.]+)`?\b(.*?)\bAS\s+((?:SELECT|WITH|\()[\s\S]*)$",
+    r"`?([\w.]+)`?\b([\s\S]*?)\bAS\s+((?:SELECT|WITH|\()[\s\S]*)$",
     re.I,
 )
 _DROP_MV = re.compile(
@@ -1658,6 +1733,120 @@ _MV_DEFS: dict[int, dict[str, str]] = {}  # id(spark) -> name -> sql
 _EXPLAIN_SPECIAL = re.compile(
     r"^\s*EXPLAIN\s+(LOCKS|DDL|AUTHORIZATION)\s+(.*)$", re.I | re.S
 )
+
+# EXPORT/IMPORT (ref: ql/.../parse/ExportSemanticAnalyzer.java,
+# ImportSemanticAnalyzer.java; layout = data/ + metadata descriptor,
+# implemented by ddl.export_table/import_table)
+_EXPORT_STMT = re.compile(
+    r"^\s*EXPORT\s+TABLE\s+`?([\w.]+)`?"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s+TO\s+['\"]([^'\"]+)['\"]"
+    r"(?:\s+FOR\s+replication\s*\([^)]*\))?\s*$",
+    re.I,
+)
+_IMPORT_STMT = re.compile(
+    r"^\s*IMPORT\s+(?:(?:EXTERNAL\s+)?TABLE\s+`?([\w.]+)`?\s+)?"
+    r"(?:PARTITION\s*\([^)]*\)\s+)?FROM\s+['\"]([^'\"]+)['\"]"
+    r"(?:\s+LOCATION\s+['\"][^'\"]+['\"])?\s*$",
+    re.I,
+)
+
+
+def _exim_path(p: str) -> str:
+    """Confine export/import paths to scratch (the qtest harness maps
+    them under its test warehouse the same way)."""
+    p = re.sub(r"^(?:pfile|file|hdfs):/+", "/", p)
+    if not os.path.isabs(p):
+        p = os.path.join("/tmp/hive_spark_qtest_tmp", p)
+    if not os.path.abspath(p).startswith("/tmp/"):
+        raise ValueError(f"EXPORT/IMPORT confined to /tmp scratch: {p!r}")
+    return p
+
+
+def _exec_export(spark: SparkSession, m: re.Match) -> None:
+    import shutil
+
+    from hive_spark import ddl
+
+    table, part_spec, dest = m.group(1), m.group(2), _exim_path(m.group(3))
+    ddl.export_table(spark, table, dest)
+    if part_spec:
+        # keep only the named partition's directories (Hive exports the
+        # partition subtree; values land as k=v path components)
+        frags = []
+        for kv in part_spec.split(","):
+            k, v = kv.split("=", 1)
+            frags.append(f"{k.strip().strip('`')}={v.strip().strip(chr(39))}")
+        data = os.path.join(dest, "data")
+        for root, dirs, _files in os.walk(data, topdown=True):
+            for d in list(dirs):
+                if "=" in d:
+                    key = d.split("=")[0]
+                    want = [f for f in frags if f.startswith(key + "=")]
+                    if want and d not in want:
+                        shutil.rmtree(os.path.join(root, d))
+                        dirs.remove(d)
+
+
+def _exec_import(spark: SparkSession, m: re.Match) -> None:
+    import json
+
+    from hive_spark import ddl
+
+    name, src = m.group(1), _exim_path(m.group(2))
+    if not name:
+        meta = json.load(open(os.path.join(src, "_metadata.json")))
+        name = meta["table"].split(".")[-1]
+    ddl.import_table(spark, src, name)
+
+
+# ALTER TABLE ... ADD CONSTRAINT (ref: ql/.../ddl/table/constraint/
+# AlterTableAddConstraintAnalyzer.java). Hive constraints are
+# informational (NOVALIDATE); they land in the same ConstraintRegistry
+# the ddl.py API uses, so validate()/CBO parity tools see them.
+_ADD_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+CONSTRAINT\s+`?(\w+)`?\s+"
+    r"(PRIMARY\s+KEY|UNIQUE|FOREIGN\s+KEY|CHECK)\s*"
+    r"(?:\(((?:[^()]|\([^()]*\))*)\))?"
+    r"([\s\S]*)$",
+    re.I,
+)
+CONSTRAINTS: dict[int, object] = {}  # id(spark) -> ddl.ConstraintRegistry
+_CONSTRAINT_NAMES: dict[int, dict[str, object]] = {}
+
+
+def _exec_add_constraint(spark: SparkSession, m: re.Match) -> None:
+    from hive_spark.ddl import Constraint, ConstraintRegistry
+
+    table, cname, kind_txt, inner, tail = m.groups()
+    kind = {
+        "PRIMARY KEY": "primary_key",
+        "UNIQUE": "unique",
+        "FOREIGN KEY": "foreign_key",
+        "CHECK": "check",
+    }[re.sub(r"\s+", " ", kind_txt).upper()]
+    cols: tuple[str, ...] = ()
+    check_expr = None
+    ref_table = None
+    ref_cols: tuple[str, ...] = ()
+    if kind == "check":
+        check_expr = (inner or "").strip() or None
+    elif inner:
+        cols = tuple(c.strip().strip("`") for c in inner.split(","))
+    rm = re.search(
+        r"(?i)\bREFERENCES\s+`?([\w.]+)`?\s*\(([^)]*)\)", tail or ""
+    )
+    if rm:
+        ref_table = rm.group(1)
+        ref_cols = tuple(c.strip().strip("`") for c in rm.group(2).split(","))
+    rely = bool(re.search(r"(?i)(?<!NO)\bRELY\b", tail or ""))
+    c = Constraint(
+        kind=kind, table=table.split(".")[-1].lower(), cols=cols, rely=rely,
+        check_expr=check_expr, ref_table=ref_table, ref_cols=ref_cols,
+    )
+    reg = CONSTRAINTS.setdefault(id(spark), ConstraintRegistry())
+    reg.add(c)
+    _CONSTRAINT_NAMES.setdefault(id(spark), {})[cname.lower()] = c
+
 
 _INSERT_DIR = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+['\"]([^'\"]+)['\"]"
@@ -1742,7 +1931,15 @@ def _exec_insert_directory(spark: SparkSession, m: re.Match):
     import shutil
 
     path, _rowfmt, _stored, fmt, query = m.groups()
-    path = re.sub(r"^file:/{0,2}", "/", path)
+    path = re.sub(r"^(?:file|pfile|hdfs):/+", "/", path)
+    if not os.path.isabs(path):
+        # the qtest harness resolves relative output dirs under its build
+        # dir; here scratch plays that role (parent-escapes clamped in)
+        path = os.path.normpath(
+            os.path.join(
+                "/tmp/hive_spark_qtest_tmp", re.sub(r"^(\.\./)+", "", path)
+            )
+        )
     if not os.path.abspath(path).startswith("/tmp/"):
         raise ValueError(
             f"INSERT OVERWRITE DIRECTORY confined to /tmp scratch: {path!r}"
@@ -1889,10 +2086,25 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                         spark.createDataFrame(df.collect(), df.schema)
                     )
                 continue
-            if re.match(r"^\s*SHOW\s+LOCKS\s*$", stmt, re.I):
+            m = re.match(
+                r"^\s*SHOW\s+LOCKS(?:\s+(?:DATABASE\s+)?`?([\w.]+)`?)?"
+                r"(?:\s+PARTITION\s*\([^)]*\))?(?:\s+EXTENDED)?\s*$",
+                stmt,
+                re.I,
+            )
+            if m:
                 from hive_spark.txn import list_locks
 
-                rows = list_locks(VERSIONED_TABLES)
+                wanted = (m.group(1) or "").split(".")[-1].lower()
+                rows = list_locks(
+                    {
+                        k: v
+                        for k, v in VERSIONED_TABLES.items()
+                        if not wanted or k.lower() == wanted
+                    }
+                    if wanted
+                    else VERSIONED_TABLES
+                )
                 res.results.append(
                     spark.createDataFrame(
                         [
@@ -1939,6 +2151,61 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             if _DFS.match(stmt):
                 _exec_dfs(stmt, res)
                 continue
+            m = re.match(r"^\s*source\s+(\S+)\s*;?\s*$", stmt, re.I)
+            if m:
+                # CliDriver `source <file>`: run the referenced script in
+                # this session (results surface like inline statements)
+                spath = m.group(1)
+                if not os.path.isabs(spath) or not os.path.exists(spath):
+                    for base in LOAD_DATA_BASES:
+                        cand = os.path.normpath(os.path.join(base, spath))
+                        if os.path.exists(cand):
+                            spath = cand
+                            break
+                if not os.path.exists(spath):
+                    raise FileNotFoundError(f"source: {m.group(1)}")
+                sub = run_script(spark, open(spath).read())
+                res.results.extend(sub.results)
+                res.skipped.extend(sub.skipped)
+                continue
+            m = _EXPORT_STMT.match(stmt)
+            if m:
+                _exec_export(spark, m)
+                continue
+            m = _IMPORT_STMT.match(stmt)
+            if m:
+                _exec_import(spark, m)
+                continue
+            m = _ADD_CONSTRAINT.match(stmt)
+            if m:
+                _exec_add_constraint(spark, m)
+                continue
+            nm = re.match(
+                r"^\s*ALTER\s+TABLE\s+[\w.`]+\s+DROP\s+CONSTRAINT\s+"
+                r"`?(\w+)`?\s*$",
+                stmt,
+                re.I,
+            )
+            if nm:
+                names = _CONSTRAINT_NAMES.get(id(spark), {})
+                c = names.pop(nm.group(1).lower(), None)
+                reg = CONSTRAINTS.get(id(spark))
+                if reg is not None and c is not None:
+                    reg.constraints = [
+                        x for x in reg.constraints if x is not c
+                    ]
+                continue
+            m = re.match(
+                r"^\s*!\s*(mkdir|rm|rmr|cp|mv|touchz?)\s+(.*)$", stmt,
+                re.I | re.S,
+            )
+            if m:
+                # CliDriver `!<cmd>`: the confined local-file subset maps
+                # onto the dfs executor (same /tmp guard); anything else
+                # below raises rather than silently diverging
+                op = {"touch": "touchz"}.get(m.group(1).lower(), m.group(1))
+                _exec_dfs(f"dfs -{op} {m.group(2)}", res)
+                continue
             if _SHELL.match(stmt):
                 raise ValueError(
                     f"shell commands are not executed by the engine: {stmt[:60]!r}"
@@ -1982,6 +2249,26 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             if m:
                 res.results.append(
                     _exec_explain_special(spark, m.group(1), m.group(2))
+                )
+                continue
+            # EXPLAIN over a statement the engine (not Spark) executes —
+            # metadata ops, MV lifecycle: Hive prints a task tree; the
+            # one-row descriptor is the analog
+            m = re.match(r"^\s*EXPLAIN\s+([\s\S]*)$", stmt, re.I)
+            if m and (
+                _METADATA_NOOP.match(m.group(1))
+                or _REBUILD_MV.match(m.group(1))
+                or _DROP_MV.match(m.group(1))
+                or _EXPORT_STMT.match(m.group(1))
+                or _IMPORT_STMT.match(m.group(1))
+                or _ADD_CONSTRAINT.match(m.group(1))
+            ):
+                res.results.append(
+                    spark.createDataFrame(
+                        [(f"engine metadata operation: "
+                          f"{m.group(1).split()[0].upper()} ...",)],
+                        "plan string",
+                    )
                 )
                 continue
             m = _CREATE_MV.match(stmt)

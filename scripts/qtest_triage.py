@@ -46,7 +46,11 @@ def main():
         )
     else:
         names = args
-    spark = get_session()
+    # own warehouse so concurrent pytest/triage processes can't collide
+    # on default-db table directories
+    spark = get_session(
+        extra_conf={"spark.sql.warehouse.dir": f"{SCRATCH}_wh"}
+    )
     build_fixtures(spark)
     fixture_tables = {t.name for t in spark.catalog.listTables()}
     known_dbs = {d.name for d in spark.catalog.listDatabases()}
@@ -73,10 +77,20 @@ def main():
 
                 drop_memory_databases(spark)
                 spark.catalog.setCurrentDatabase(DB)
-                for t in spark.catalog.listTables():
-                    if t.name not in fixture_tables:
-                        kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
-                        spark.sql(f"DROP {kind} IF EXISTS `{t.name}`")
+                for swept in (DB, "default"):
+                    for t in spark.catalog.listTables(swept):
+                        if t.name in fixture_tables or t.name == "src":
+                            continue
+                        if t.isTemporary:
+                            spark.catalog.dropTempView(t.name)
+                        else:
+                            kind = (
+                                "VIEW" if t.tableType == "VIEW" else "TABLE"
+                            )
+                            spark.sql(
+                                f"DROP {kind} IF EXISTS"
+                                f" `{swept}`.`{t.name}`"
+                            )
                 for d in spark.catalog.listDatabases():
                     if d.name not in known_dbs:
                         spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")

@@ -63,8 +63,13 @@ def test_mapjoin_hint_broadcasts(spark, sf_dir):
 
 
 def test_shell_commands_rejected(spark):
+    # confined file ops execute through the dfs subset...
+    run_script(spark, "!mkdir /tmp/hive_spark_qtest_tmp/shelltest;")
+    import os
+    assert os.path.isdir("/tmp/hive_spark_qtest_tmp/shelltest")
+    # ...anything else still raises rather than silently diverging
     with pytest.raises(ValueError, match="shell commands"):
-        run_script(spark, "!rm -rf /tmp/x;")
+        run_script(spark, "!echo hello;")
     # dfs outside /tmp (or unsupported ops) is recorded-skipped, not run
     out = run_script(spark, "dfs -ls /;")
     assert out.skipped and "dfs -ls" in out.skipped[0]
