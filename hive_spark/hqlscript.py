@@ -693,6 +693,26 @@ def _fold_dboutput(spark):
     return fold
 
 
+def _fold_sort_array_by(args: list[str]) -> str:
+    """sort_array_by(array<struct>, f1 [, f2...] [, 'ASC'|'DESC']) ->
+    array_sort with a field-comparator lambda (ref: ql/.../udf/generic/
+    GenericUDFSortArrayByField.java)."""
+    arr = args[0]
+    rest = [_unquote_sql_literal(a) for a in args[1:]]
+    asc = True
+    # the trailing literal is a sort order only when a field precedes it
+    # (a struct may legitimately have a field named ASC/DESC —
+    # GenericUDFSortArrayByField keeps one-arg calls as field names)
+    if len(rest) >= 2 and rest[-1].upper() in ("ASC", "DESC"):
+        asc = rest.pop().upper() == "ASC"
+    lo, hi = ("-1", "1") if asc else ("1", "-1")
+    cases = " ".join(
+        f"WHEN l.`{f}` < r.`{f}` THEN {lo} WHEN l.`{f}` > r.`{f}` THEN {hi}"
+        for f in rest
+    )
+    return f"array_sort({arr}, (l, r) -> CASE {cases} ELSE 0 END)"
+
+
 def _fold_field(args: list[str]) -> str:
     """field(v, a, b, ...) -> 1-based index of the first match, else 0
     (ref: GenericUDFField.java) as a JVM-side CASE chain — SQL-text calls
@@ -813,6 +833,18 @@ def _rewrite_stored_as(stmt: str) -> str:
         sep = rf.group("sep")
         decoded = sep.encode().decode("unicode_escape") if sep else "\x01"
         _TABLE_DELIMS[name_m.group(1).lower()] = decoded
+        span_txt = rf.group(0)
+        cm = re.search(
+            r"(?i)COLLECTION\s+ITEMS\s+TERMINATED\s+BY\s+"
+            r"(['\"])(.+?)\1", span_txt,
+        )
+        mm = re.search(
+            r"(?i)MAP\s+KEYS\s+TERMINATED\s+BY\s+(['\"])(.+?)\1", span_txt
+        )
+        _TABLE_COLL_DELIMS[name_m.group(1).lower()] = (
+            cm.group(2).encode().decode("unicode_escape") if cm else "\x02",
+            mm.group(2).encode().decode("unicode_escape") if mm else "\x03",
+        )
         stmt = stmt[: rf.start()] + stmt[rf.end():]
         provider = "parquet"  # delimited text keeps Hive's row semantics
     sa = _STORED_AS.search(stmt)
@@ -1054,6 +1086,48 @@ _CREATE_NAME = re.compile(
 # per-table field delimiter recorded at CREATE time (Hive's default
 # for delimited tables with no FIELDS TERMINATED BY clause is \x01)
 _TABLE_DELIMS: dict[str, str] = {}
+# table -> (collection items delim, map keys delim); Hive defaults
+# \x02/\x03, deeper nesting walks \x04.. (LazySimpleSerDe's separators)
+_TABLE_COLL_DELIMS: dict[str, tuple[str, str]] = {}
+
+
+def _sql_quote_delim(d: str) -> str:
+    return d.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _lazy_convert_expr(src: str, dt, delims: list[str], depth: int) -> str:
+    """LazySimpleSerDe text -> typed value as a Spark SQL expression
+    (ref: serde/.../lazy/LazySimpleSerDe.java separator hierarchy:
+    field, collection, map-key, then \\x04..)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def d(i: int) -> str:
+        while len(delims) <= i:
+            delims.append(chr(len(delims) + 1))
+        return _sql_quote_delim(delims[i])
+
+    if isinstance(dt, ArrayType):
+        inner = _lazy_convert_expr("x", dt.elementType, delims, depth + 1)
+        return f"transform(split({src}, '{d(depth)}'), x -> {inner})"
+    if isinstance(dt, MapType):
+        kc = _lazy_convert_expr("k", dt.keyType, delims, depth + 2)
+        vc = _lazy_convert_expr("v", dt.valueType, delims, depth + 2)
+        return (
+            f"transform_values(transform_keys("
+            f"str_to_map({src}, '{d(depth)}', '{d(depth + 1)}'),"
+            f" (k, v) -> {kc}), (k, v) -> {vc})"
+        )
+    if isinstance(dt, StructType):
+        parts = ", ".join(
+            f"'{f.name}', "
+            + _lazy_convert_expr(
+                f"element_at(split({src}, '{d(depth)}'), {i + 1})",
+                f.dataType, delims, depth + 1,
+            )
+            for i, f in enumerate(dt.fields)
+        )
+        return f"named_struct({parts})"
+    return f"CAST({src} AS {dt.simpleString()})"
 
 _LOAD_DATA = re.compile(
     r"^\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+['\"]([^'\"]+)['\"]\s+"
@@ -1143,11 +1217,23 @@ def _exec_load_data(spark: SparkSession, m: re.Match) -> None:
         raw = spark.read.csv(
             path, sep=sep, header=False, inferSchema=False, quote="\x00"
         )
-    cols = [
-        F.col(raw.columns[i]).cast(f.dataType).alias(f.name)
-        for i, f in enumerate(data_fields)
-        if i < len(raw.columns)
-    ]
+    coll, mk = _TABLE_COLL_DELIMS.get(table.lower(), ("\x02", "\x03"))
+    delims = [sep, coll, mk]
+    cols = []
+    for i, f in enumerate(data_fields):
+        if i >= len(raw.columns):
+            break
+        src = f"`{raw.columns[i]}`"
+        if fmt is None and f.dataType.typeName() in ("array", "map", "struct"):
+            # delimited text: complex types decode through the
+            # LazySimpleSerDe separator hierarchy
+            cols.append(
+                F.expr(
+                    _lazy_convert_expr(src, f.dataType, delims, 1)
+                ).alias(f.name)
+            )
+        else:
+            cols.append(F.col(raw.columns[i]).cast(f.dataType).alias(f.name))
     df = raw.select(*cols)
     for f in data_fields[len(raw.columns):]:
         # fewer file columns than table columns: NULL-fill (Hive reads
@@ -1359,6 +1445,8 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = _fold_calls(stmt, "ds_cpc_estimate", _fold_ds_cpc)
     if re.search(r"\bdboutput\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "dboutput", _fold_dboutput(spark))
+    if re.search(r"\bsort_array_by\s*\(", stmt, re.I):
+        stmt = _fold_calls(stmt, "sort_array_by", _fold_sort_array_by)
     if re.search(r"\bfield\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "field", _fold_field)
     if re.search(r"\blikeany\s*\(", stmt, re.I):
@@ -2005,6 +2093,13 @@ _DROP_FUNCTION = re.compile(
 # session-scoped alias -> fold for class-mapped functions
 _FUNC_FOLDS: dict[int, dict[str, object]] = {}
 
+# names rewrite_statement folds inline (no Spark catalog entry exists)
+_ENGINE_FOLDED_FNS = {
+    "sort_array_by", "field", "likeany", "likeall", "dboutput",
+    "ds_hll_estimate", "ds_hll_union", "ds_hll_sketch", "ds_kll_quantile",
+    "ds_cpc_estimate",
+}
+
 
 def _macro_fold(params: list[str], body: str):
     def fold(args: list[str]) -> str:
@@ -2342,6 +2437,28 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 stmt,
             ):
                 res.skipped.append(stmt)
+                continue
+            m = re.match(
+                r"^\s*DESC(?:RIBE)?\s+FUNCTION\s+(?:EXTENDED\s+)?"
+                r"`?(\w+)`?\s*$",
+                stmt,
+                re.I,
+            )
+            if m and (
+                m.group(1).lower() in _ENGINE_FOLDED_FNS
+                or m.group(1).lower() in _MACROS.get(id(spark), {})
+                or m.group(1).lower() in _FUNC_FOLDS.get(id(spark), {})
+            ):
+                # engine-folded functions aren't in Spark's catalog;
+                # answer the way FunctionRegistry would
+                name = m.group(1).lower()
+                res.results.append(
+                    spark.createDataFrame(
+                        [(f"{name} is an engine-folded function "
+                          f"(rewritten inline at parse time)",)],
+                        "tab_name string",
+                    )
+                )
                 continue
             m = _CREATE_FUNCTION_CLASS.match(stmt)
             if m and m.group(2) in _FUNCTION_CLASS_FOLDS:

@@ -512,3 +512,27 @@ def test_load_data_avro_and_empty_table_dml(spark):
         " DROP TABLE empty_dml;",
     )
     assert [r.i for r in out.results[-1].collect()] == [7]
+
+
+def test_load_data_complex_types_delimited(spark, tmp_path):
+    """LOAD DATA decodes array/map/struct text columns through the
+    LazySimpleSerDe separator hierarchy (field \\x01, collection \\x02,
+    map-key \\x03; ref: serde/.../lazy/LazySimpleSerDe.java)."""
+    data = tmp_path / "complex.txt"
+    data.write_text(
+        "1\x01a\x02b\x01k1\x032\x02k2\x034\x01x\x025\n"
+        "2\x01c\x01k9\x039\x01y\x026\n"
+    )
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS cplx;"
+        " CREATE TABLE cplx (id INT, tags ARRAY<STRING>,"
+        "   m MAP<STRING,INT>, s STRUCT<nm:STRING, v:INT>)"
+        " ROW FORMAT DELIMITED STORED AS TEXTFILE;"
+        f" LOAD DATA LOCAL INPATH '{data}' INTO TABLE cplx;"
+        " SELECT id, size(tags) AS nt, m['k1'] AS k1, s.nm AS nm, s.v AS v"
+        " FROM cplx ORDER BY id;"
+        " DROP TABLE cplx;",
+    )
+    rows = [(r.id, r.nt, r.k1, r.nm, r.v) for r in out.results[-1].collect()]
+    assert rows == [(1, 2, 2, "x", 5), (2, 1, None, "y", 6)]
