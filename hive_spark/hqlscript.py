@@ -197,6 +197,22 @@ def _exec_dfs(stmt: str, res) -> None:
     args = shlex.split(_DFS.match(stmt).group(1))
     flags = [a for a in args if a.startswith("-")]
     paths = [a for a in args if not a.startswith("-")]
+
+    def _resolve(p: str) -> str:
+        p = re.sub(r"^(?:pfile|file|hdfs):/+", "/", p)
+        if p.startswith("/"):
+            return p
+        for base in LOAD_DATA_BASES:  # qtest-relative sources
+            cand = os.path.normpath(os.path.join(base, p))
+            if os.path.exists(cand):
+                return cand
+        return os.path.normpath(
+            os.path.join(
+                "/tmp/hive_spark_qtest_tmp", re.sub(r"^(\.\./)+", "", p)
+            )
+        )
+
+    paths = [_resolve(p) for p in paths]
     if not flags:
         res.skipped.append(stmt)
         return
@@ -246,10 +262,13 @@ def _escaped_at(text: str, i: int) -> bool:
 
 def split_statements(text: str) -> list[str]:
     """CliDriver-style split: ';' terminates a statement unless inside
-    single/double quotes or backticks; '--' comments run to end of line."""
+    single/double quotes or backticks; '--' comments run to end of line,
+    and a line whose first non-blank char is '#' is a comment line (a
+    few qtests carry shell-style comments the CLI tolerates)."""
     out, buf = [], []
     quote: str | None = None
     i, n = 0, len(text)
+    line_start = True
     while i < n:
         ch = text[i]
         if quote:
@@ -258,6 +277,12 @@ def split_statements(text: str) -> list[str]:
                 quote = None
             i += 1
             continue
+        if line_start and ch == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        if ch not in " \t":
+            line_start = ch == "\n"
         if ch in "'\"`":
             quote = ch
             buf.append(ch)
@@ -1365,6 +1390,24 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt,
     )
     stmt = _rewrite_stored_as(stmt)
+    # ANALYZE with an unvalued partition spec (Hive: stats for ALL
+    # partitions of those columns) -> table-level analyze
+    m = re.match(
+        r"(?i)^(\s*ANALYZE\s+TABLE\s+[\w.`]+\s+)PARTITION\s*\(([^)]*)\)"
+        r"(\s+COMPUTE[\s\S]*)$",
+        stmt,
+    )
+    if m and (
+        "=" not in m.group(2)
+        or re.search(r"(?i)\bFOR\s+COLUMNS\b", m.group(3))
+    ):
+        # unvalued spec, or partition-level COLUMN stats (Spark keeps
+        # column stats table-level) -> analyze at table level
+        stmt = m.group(1) + m.group(3).lstrip()
+    # Hive virtual column INPUT__FILE__NAME -> Spark's function form
+    stmt = re.sub(
+        r"(?i)\bINPUT__FILE__NAME\b", "input_file_name()", stmt
+    )
     # Hive's bare `... FOR COLUMNS` means every column; Spark requires
     # an explicit list or the ALL COLUMNS spelling
     stmt = re.sub(
@@ -1822,6 +1865,12 @@ _EXPLAIN_SPECIAL = re.compile(
     r"^\s*EXPLAIN\s+(LOCKS|DDL|AUTHORIZATION)\s+(.*)$", re.I | re.S
 )
 
+_EXCHANGE_PARTITION = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+EXCHANGE\s+"
+    r"PARTITION\s*\(([^)]*)\)\s+WITH\s+TABLE\s+`?([\w.]+)`?\s*$",
+    re.I,
+)
+
 # EXPORT/IMPORT (ref: ql/.../parse/ExportSemanticAnalyzer.java,
 # ImportSemanticAnalyzer.java; layout = data/ + metadata descriptor,
 # implemented by ddl.export_table/import_table)
@@ -2115,7 +2164,11 @@ def _macro_fold(params: list[str], body: str):
     return fold
 # EXPLAIN ANALYZE <query> (Hive ExplainSemanticAnalyzer `analyze` mode):
 # re-executes the query and prints actual per-operator row counts
-_EXPLAIN_ANALYZE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+(.*)$", re.I | re.S)
+# EXPLAIN ANALYZE <query> runs the query for actual row counts — but
+# `EXPLAIN ANALYZE TABLE ...` is EXPLAIN of an ANALYZE statement
+_EXPLAIN_ANALYZE = re.compile(
+    r"^\s*EXPLAIN\s+ANALYZE\s+(?!TABLE\b)(.*)$", re.I | re.S
+)
 _EXECUTE = re.compile(r"^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.*))?\s*$", re.I | re.S)
 
 
@@ -2263,6 +2316,55 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 res.results.extend(sub.results)
                 res.skipped.extend(sub.skipped)
                 continue
+            m = re.match(
+                r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+TO\s+"
+                r"`?([\w.]+)`?\s*$",
+                stmt,
+                re.I,
+            )
+            if m and "." in m.group(1) + m.group(2):
+                cur = spark.catalog.currentDatabase()
+                sdb = (m.group(1).rsplit(".", 1) + [""])[0] \
+                    if "." in m.group(1) else cur
+                ddb = (m.group(2).rsplit(".", 1) + [""])[0] \
+                    if "." in m.group(2) else cur
+                if sdb.lower() != ddb.lower():
+                    # cross-database RENAME (Hive moves the metastore
+                    # entry; Spark refuses) -> CoW move
+                    src_t, dst_t = m.group(1), m.group(2)
+                    df = spark.table(src_t)
+                    parts = [
+                        c.name
+                        for c in spark.catalog.listColumns(src_t)
+                        if c.isPartition
+                    ]
+                    w = df.write
+                    if parts:
+                        w = w.partitionBy(*parts)
+                    w.saveAsTable(dst_t)
+                    spark.sql(
+                        f"DROP TABLE `{src_t.replace('.', '`.`')}`"
+                    )
+                    continue
+            m = _EXCHANGE_PARTITION.match(stmt)
+            if m:
+                # EXCHANGE PARTITION (ref: ql/.../ddl/table/partition/
+                # exchange/AlterTableExchangePartitionAnalyzer.java): the
+                # partition MOVES source -> destination
+                dst, spec, src = m.groups()
+                cond = " AND ".join(
+                    f"`{k.strip().strip('`')}` = {v.strip()}"
+                    for k, v in (
+                        kv.split("=", 1) for kv in spec.split(",")
+                    )
+                )
+                moved = spark.table(src).where(cond)
+                moved.write.insertInto(dst, overwrite=False)
+                spark.sql(
+                    f"ALTER TABLE `{src.replace('.', '`.`')}` "
+                    f"DROP IF EXISTS PARTITION ({spec})"
+                )
+                continue
             m = _EXPORT_STMT.match(stmt)
             if m:
                 _exec_export(spark, m)
@@ -2357,6 +2459,7 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 or _EXPORT_STMT.match(m.group(1))
                 or _IMPORT_STMT.match(m.group(1))
                 or _ADD_CONSTRAINT.match(m.group(1))
+                or _EXCHANGE_PARTITION.match(m.group(1))
             ):
                 res.results.append(
                     spark.createDataFrame(

@@ -76,21 +76,17 @@ def main():
                 )
 
                 drop_memory_databases(spark)
-                spark.catalog.setCurrentDatabase(DB)
-                for swept in (DB, "default"):
-                    for t in spark.catalog.listTables(swept):
-                        if t.name in fixture_tables or t.name == "src":
-                            continue
-                        if t.isTemporary:
-                            spark.catalog.dropTempView(t.name)
-                        else:
-                            kind = (
-                                "VIEW" if t.tableType == "VIEW" else "TABLE"
-                            )
-                            spark.sql(
-                                f"DROP {kind} IF EXISTS"
-                                f" `{swept}`.`{t.name}`"
-                            )
+                spark.catalog.setCurrentDatabase("default")
+                for t in spark.catalog.listTables("default"):
+                    if t.name in fixture_tables:
+                        continue
+                    if t.isTemporary:
+                        spark.catalog.dropTempView(t.name)
+                    else:
+                        kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
+                        spark.sql(
+                            f"DROP {kind} IF EXISTS `default`.`{t.name}`"
+                        )
                 for d in spark.catalog.listDatabases():
                     if d.name not in known_dbs:
                         spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")

@@ -16,16 +16,31 @@ from pyspark.sql import functions as F
 REF_ROOT = "/root/reference/ql/src"
 QDIR = "/root/reference/ql/src/test/queries/clientpositive"
 
+FIXTURE_TABLES = (
+    "src", "srcpart", "src1", "src_cbo", "cbo_t1", "cbo_t2", "cbo_t3",
+    "part", "lineitem", "srcbucket", "alltypesorc", "alltypesparquet",
+    "src_thrift",
+)
+
 
 def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
-    """(Re)create database `db` at `scratch`/warehouse with the canonical
-    qtest tables and make it current."""
+    """(Re)create the canonical qtest tables IN THE DEFAULT DATABASE —
+    QTestUtil loads its datasets into `default`, and many scripts
+    reference them with that qualifier (`default.src`,
+    `analyze table default.Employee_Part ...` after an unqualified
+    CREATE), so running anywhere else diverges. `db`/`scratch` name the
+    legacy per-run database/scratch, still dropped for cleanliness;
+    process isolation comes from spark.sql.warehouse.dir (triage sets
+    its own)."""
     from hive_spark.hqlscript import LOAD_DATA_BASES
 
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     shutil.rmtree(scratch, ignore_errors=True)
-    spark.sql(f"CREATE DATABASE {db} LOCATION '{scratch}/warehouse'")
-    spark.catalog.setCurrentDatabase(db)
+    spark.catalog.setCurrentDatabase("default")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in FIXTURE_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS `default`.`{t}`")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
     src = spark.range(500).select(
         ((F.col("id") * 7) % 499).cast("string").alias("key"),
@@ -34,12 +49,6 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
         ),
     )
     src.write.saveAsTable("src")
-    # scripts also reference the canonical datasets through the default
-    # db by qualified name (QTestUtil loads them there); mirror src
-    spark.sql("DROP TABLE IF EXISTS default.src")
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(os.path.join(wh, "src"), ignore_errors=True)
-    src.write.saveAsTable("default.src")
     parts = spark.createDataFrame(
         [("2008-04-08", "11"), ("2008-04-08", "12"),
          ("2008-04-09", "11"), ("2008-04-09", "12")],
@@ -95,6 +104,44 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
     spark.read.orc(
         "/root/reference/data/files/alltypesorc"
     ).write.saveAsTable("alltypesorc")
+    spark.read.orc(
+        "/root/reference/data/files/alltypesorc"
+    ).write.format("parquet").saveAsTable("alltypesparquet")
+
+    # src_thrift: the reference loads complex.seq (ThriftDeserializer over
+    # serde2.thrift.test.Complex); the generator is deterministic
+    # (serde/src/test/.../thrift_test/CreateSequenceFile.java — 10 rows
+    # from java.util.Random(20081215) + one all-null record), so the same
+    # rows are synthesized here. The thrift-union columns (attributes,
+    # unionfield1-3) have no Spark type and are omitted; scripts touching
+    # them fail visibly rather than silently.
+    def _jrand_ints(seed: int, n: int) -> list[int]:
+        s = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+        out = []
+        for _ in range(n):
+            s = (s * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+            v = s >> 16
+            out.append(v - (1 << 32) if v >= (1 << 31) else v)
+        return out
+
+    aints = _jrand_ints(20081215, 10)
+    thrift_rows = [
+        (
+            aints[i],
+            f"record_{i}",
+            [i, i * 2, i * 3],
+            [str(i * 10), str(i * 100), str(i * 1000)],
+            [(i * i, str(i ** 3), i)],
+            {f"key_{i}": f"value_{i}"},
+        )
+        for i in range(10)
+    ] + [(0, None, None, None, None, None)]
+    spark.createDataFrame(
+        thrift_rows,
+        "aint int, astring string, lint array<int>, lstring array<string>,"
+        " lintstring array<struct<myint:int,mystring:string,"
+        "underscore_int:int>>, mstringstring map<string,string>",
+    ).coalesce(1).write.saveAsTable("src_thrift")
 
     # qtest LOAD DATA paths are relative to ql/src
     if REF_ROOT not in LOAD_DATA_BASES:
@@ -117,18 +164,15 @@ def run_and_cleanup(
         from hive_spark.sources.jdbc_handler import drop_memory_databases
 
         drop_memory_databases(spark)
-        spark.catalog.setCurrentDatabase(db)
-        for swept in (db, "default"):
-            for t in spark.catalog.listTables(swept):
-                if t.name in fixture_tables or t.name == "src":
-                    continue
-                if t.isTemporary:
-                    spark.catalog.dropTempView(t.name)
-                else:
-                    kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
-                    spark.sql(
-                        f"DROP {kind} IF EXISTS `{swept}`.`{t.name}`"
-                    )
+        spark.catalog.setCurrentDatabase("default")
+        for t in spark.catalog.listTables("default"):
+            if t.name in fixture_tables:
+                continue
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+            else:
+                kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
+                spark.sql(f"DROP {kind} IF EXISTS `default`.`{t.name}`")
         if known_dbs is not None:
             for d in spark.catalog.listDatabases():
                 if d.name not in known_dbs:

@@ -49,12 +49,15 @@ CORPUS = _load_manifest()
 
 @pytest.fixture(scope="module")
 def corpus_db(spark):
+    from tests.qtest_fixture_lib import FIXTURE_TABLES
+
     build_qtest_fixtures(spark, DB, SCRATCH)
     fixture_tables = {t.name for t in spark.catalog.listTables()}
     known_dbs = {d.name for d in spark.catalog.listDatabases()}
     yield fixture_tables, known_dbs
     spark.catalog.setCurrentDatabase("default")
-    spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+    for t in FIXTURE_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS `default`.`{t}`")
 
 
 @pytest.mark.parametrize(

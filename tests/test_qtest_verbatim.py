@@ -44,21 +44,25 @@ def qtables(spark):
     the scripts CREATE/INSERT their own dest tables next to them."""
     from tests.qtest_fixture_lib import build_qtest_fixtures
 
+    from tests.qtest_fixture_lib import FIXTURE_TABLES
+
     build_qtest_fixtures(spark, "qverbatim", SCRATCH)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
 
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW src AS SELECT key, value FROM "
-        f"read_parquet('{SCRATCH}/warehouse/src/*.parquet')"
+        f"read_parquet('{wh}/src/*.parquet')"
     )
     con.execute(
         "CREATE VIEW srcpart AS SELECT * FROM "
-        f"read_parquet('{SCRATCH}/warehouse/srcpart/*/*/*.parquet',"
+        f"read_parquet('{wh}/srcpart/*/*/*.parquet',"
         " hive_partitioning = true)"
     )
     yield con
     spark.catalog.setCurrentDatabase("default")
-    spark.sql("DROP DATABASE IF EXISTS qverbatim CASCADE")
+    for t in FIXTURE_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS `default`.`{t}`")
 
 
 def _run(spark, fname):
