@@ -984,7 +984,21 @@ _WINDOW_SPEC_OPEN = re.compile(
 )
 
 
-def _rewrite_one_window_spec(span: str) -> str:
+_NEEDS_ORDER_FNS = re.compile(
+    r"(?i)\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile"
+    r"|lead|lag)\s*\((?:[^()]|\([^()]*\))*\)\s*$"
+)
+
+
+def _rewrite_one_window_spec(span: str, before: str = "") -> str:
+    # Hive permits rank-family/lead/lag over an UNORDERED window
+    # (arbitrary order); Spark requires ORDER BY — a constant keeps the
+    # arbitrary-order semantic explicit
+    if (
+        not re.search(r"(?i)\b(ORDER|SORT)\s+BY\b", span)
+        and _NEEDS_ORDER_FNS.search(before)
+    ):
+        span = span.rstrip() + (" " if span.strip() else "") + "ORDER BY 1"
     m = re.search(r"\bCLUSTER\s+BY\b(.*?)(?=\bROWS\b|\bRANGE\b|$)",
                   span, re.I | re.S)
     if m:
@@ -1012,7 +1026,12 @@ def _rewrite_window_specs(stmt: str) -> str:
         open_at = m.end() - 1
         close = _scan_parens(stmt, open_at)
         out.append(stmt[i : open_at + 1])
-        out.append(_rewrite_one_window_spec(stmt[open_at + 1 : close - 1]))
+        out.append(
+            _rewrite_one_window_spec(
+                stmt[open_at + 1 : close - 1],
+                stmt[max(0, m.start() - 80) : m.start()],
+            )
+        )
         out.append(")")
         i = close
 
@@ -1268,7 +1287,20 @@ def _exec_load_data(spark: SparkSession, m: re.Match) -> None:
         if f.name in parts:
             df = df.withColumn(f.name, F.lit(parts[f.name]).cast(f.dataType))
     df = df.select(*[f.name for f in schema.fields])
-    df.write.insertInto(table, overwrite=overwrite)
+    if overwrite and parts:
+        # OVERWRITE into a STATIC partition replaces only that partition
+        # (Hive LoadSemanticAnalyzer); Spark's static overwrite would
+        # truncate the whole table — dynamic mode scopes it
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.insertInto(table, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        df.write.insertInto(table, overwrite=overwrite)
 
 
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
@@ -1390,6 +1422,36 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt,
     )
     stmt = _rewrite_stored_as(stmt)
+    # metadata statements address partitions by VALUE STRING (Hive keeps
+    # every partition value a string); Spark parses unquoted values as
+    # expressions (ds=2008-04-08 becomes arithmetic) — quote them
+    if re.match(
+        r"(?i)\s*(ALTER\s+TABLE|ANALYZE|TRUNCATE|MSCK|SHOW|DESC)", stmt
+    ) and re.search(r"(?i)\bPARTITION\s*\(", stmt):
+        def _quote_pv(m: re.Match) -> str:
+            parts = []
+            for kv in _split_args(m.group(1)):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    v = v.strip()
+                    if v and v[0] not in "'\"":
+                        v = "'" + v + "'"
+                    parts.append(f"{k.strip()}={v}")
+                else:
+                    parts.append(kv.strip())
+            return "PARTITION (" + ", ".join(parts) + ")"
+
+        stmt = re.sub(
+            r"(?i)\bPARTITION\s*\(((?:[^()]|\([^()]*\))*)\)", _quote_pv, stmt
+        )
+    # SET TIME ZONE <tz>: map onto the session conf (restored by the
+    # qtest cleanup); Hive accepts unquoted displacement forms
+    m = re.match(r"(?i)^\s*SET\s+TIME\s+ZONE\s+(.+?)\s*$", stmt)
+    if m:
+        tz = m.group(1).strip().strip("'\"")
+        if tz.upper() == "LOCAL":
+            tz = "UTC"
+        stmt = f"SET TIME ZONE '{tz}'"
     # ANALYZE with an unvalued partition spec (Hive: stats for ALL
     # partitions of those columns) -> table-level analyze
     m = re.match(
@@ -1865,6 +1927,50 @@ _EXPLAIN_SPECIAL = re.compile(
     r"^\s*EXPLAIN\s+(LOCKS|DDL|AUTHORIZATION)\s+(.*)$", re.I | re.S
 )
 
+def _drop_partial_partitions(spark: SparkSession, table: str,
+                             spec: str) -> bool:
+    """Hive's DROP PARTITION with a PARTIAL spec drops every matching
+    partition (ref: ql/.../ddl/table/partition/drop/
+    AlterTableDropPartitionAnalyzer.java); Spark requires the full spec.
+    Returns True when the partial form was expanded and handled."""
+    from urllib.parse import unquote
+
+    wanted: dict[str, str] = {}
+    for kv in _split_args(spec):
+        if "=" not in kv:
+            return False  # comparator forms fall through
+        k, v = kv.split("=", 1)
+        wanted[k.strip().strip("`").lower()] = v.strip().strip("'\"")
+    try:
+        part_cols = [
+            c.name for c in spark.catalog.listColumns(table) if c.isPartition
+        ]
+    except Exception:
+        return False
+    if not part_cols or set(wanted) >= {c.lower() for c in part_cols}:
+        return False  # full spec: Spark handles it natively
+    rows = spark.sql(f"SHOW PARTITIONS `{table.replace('.', '`.`')}`")
+    dropped = False
+    for r in rows.collect():
+        pairs = dict(
+            (kv.split("=", 1)[0], unquote(kv.split("=", 1)[1]))
+            for kv in r[0].split("/")
+        )
+        if all(pairs.get(k) == v for k, v in wanted.items()):
+            full = ", ".join(
+                "`{}`='{}'".format(
+                    k, v.replace("\\", "\\\\").replace("'", "\\'")
+                )
+                for k, v in pairs.items()
+            )
+            spark.sql(
+                f"ALTER TABLE `{table.replace('.', '`.`')}` "
+                f"DROP IF EXISTS PARTITION ({full})"
+            )
+            dropped = True
+    return True
+
+
 _EXCHANGE_PARTITION = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+EXCHANGE\s+"
     r"PARTITION\s*\(([^)]*)\)\s+WITH\s+TABLE\s+`?([\w.]+)`?\s*$",
@@ -1930,9 +2036,19 @@ def _exec_import(spark: SparkSession, m: re.Match) -> None:
     from hive_spark import ddl
 
     name, src = m.group(1), _exim_path(m.group(2))
+    meta = json.load(open(os.path.join(src, "_metadata.json")))
     if not name:
-        meta = json.load(open(os.path.join(src, "_metadata.json")))
         name = meta["table"].split(".")[-1]
+    if spark.catalog.tableExists(name):
+        # IMPORT into an existing table appends the exported rows
+        # (ImportSemanticAnalyzer's existing-table path)
+        staged = spark.read.format(meta.get("provider", "parquet")).load(
+            os.path.join(src, "data")
+        )
+        staged.select(*spark.table(name).columns).write.insertInto(
+            name, overwrite=False
+        )
+        return
     ddl.import_table(spark, src, name)
 
 
@@ -2346,6 +2462,15 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                         f"DROP TABLE `{src_t.replace('.', '`.`')}`"
                     )
                     continue
+            m = re.match(
+                r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+"
+                r"(?:IF\s+EXISTS\s+)?PARTITION\s*"
+                r"\(((?:[^()]|\([^()]*\))*)\)\s*(?:PURGE\s*)?$",
+                stmt,
+                re.I,
+            )
+            if m and _drop_partial_partitions(spark, m.group(1), m.group(2)):
+                continue
             m = _EXCHANGE_PARTITION.match(stmt)
             if m:
                 # EXCHANGE PARTITION (ref: ql/.../ddl/table/partition/
@@ -2353,7 +2478,12 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 # partition MOVES source -> destination
                 dst, spec, src = m.groups()
                 cond = " AND ".join(
-                    f"`{k.strip().strip('`')}` = {v.strip()}"
+                    "`{}` = {}".format(
+                        k.strip().strip("`"),
+                        v.strip()
+                        if v.strip()[:1] in "'\""
+                        else "'" + v.strip() + "'",
+                    )
                     for k, v in (
                         kv.split("=", 1) for kv in spec.split(",")
                     )

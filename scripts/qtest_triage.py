@@ -47,7 +47,9 @@ def main():
     else:
         names = args
     # own warehouse so concurrent pytest/triage processes can't collide
-    # on default-db table directories
+    # on default-db table directories; start it clean (a killed run
+    # leaves managed-table dirs that LOCATION_ALREADY_EXISTS later)
+    shutil.rmtree(f"{SCRATCH}_wh", ignore_errors=True)
     spark = get_session(
         extra_conf={"spark.sql.warehouse.dir": f"{SCRATCH}_wh"}
     )
@@ -76,6 +78,7 @@ def main():
                 )
 
                 drop_memory_databases(spark)
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
                 spark.catalog.setCurrentDatabase("default")
                 for t in spark.catalog.listTables("default"):
                     if t.name in fixture_tables:

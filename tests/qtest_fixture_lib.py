@@ -41,6 +41,20 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
     for t in FIXTURE_TABLES:
         spark.sql(f"DROP TABLE IF EXISTS `default`.`{t}`")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    # a killed earlier process leaves managed-table dirs with no catalog
+    # entry (this catalog is in-memory); orphans make later CREATEs die
+    # LOCATION_ALREADY_EXISTS — sweep them
+    live = {t.name.lower() for t in spark.catalog.listTables("default")}
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            p = os.path.join(wh, d)
+            if (
+                os.path.isdir(p)
+                and not d.startswith("_")
+                and not d.endswith(".db")
+                and d.lower() not in live
+            ):
+                shutil.rmtree(p, ignore_errors=True)
 
     src = spark.range(500).select(
         ((F.col("id") * 7) % 499).cast("string").alias("key"),
@@ -158,12 +172,21 @@ def run_and_cleanup(
     from hive_spark.hqlscript import run_script
 
     path = os.path.join(QDIR, fname)
+    from hive_spark.scheduled import ScheduledQueryRegistry
+
+    sched = ScheduledQueryRegistry(spark)
+    pre_sched = {q.name for q in sched.list()}
     try:
         return run_script(spark, open(path).read())
     finally:
         from hive_spark.sources.jdbc_handler import drop_memory_databases
 
         drop_memory_databases(spark)
+        for q in sched.list():  # scripts' scheduled queries don't persist
+            if q.name not in pre_sched:
+                sched.drop(q.name)
+        # scripts may SET TIME ZONE; determinism needs UTC back
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.catalog.setCurrentDatabase("default")
         for t in spark.catalog.listTables("default"):
             if t.name in fixture_tables:

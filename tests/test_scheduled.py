@@ -33,7 +33,8 @@ def test_cron_normalization_and_matching():
 def test_registry_lifecycle_and_due(spark, sf_dir):
     views(spark, sf_dir)
     reg = ScheduledQueryRegistry(spark)
-    reg.drop("sq_demo")
+    for q in reg.list():  # isolate from registry leftovers on disk
+        reg.drop(q.name)
     reg.create(
         "sq_demo",
         "0 */10 * * * ? *",
