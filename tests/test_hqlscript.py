@@ -536,3 +536,59 @@ def test_load_data_complex_types_delimited(spark, tmp_path):
     )
     rows = [(r.id, r.nt, r.k1, r.nm, r.v) for r in out.results[-1].collect()]
     assert rows == [(1, 2, 2, "x", 5), (2, 1, None, "y", 6)]
+
+
+def test_export_import_sql_text(spark):
+    """EXPORT TABLE [PARTITION] TO / IMPORT FROM (ref: ql/.../parse/
+    ExportSemanticAnalyzer.java): partition-pruned export, import into
+    new and existing tables."""
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS exim_src;"
+        " CREATE TABLE exim_src (k INT) PARTITIONED BY (ds STRING);"
+        " INSERT INTO exim_src PARTITION (ds='a') VALUES (1), (2);"
+        " INSERT INTO exim_src PARTITION (ds='b') VALUES (3);"
+        " EXPORT TABLE exim_src PARTITION (ds='a') TO"
+        "   '/tmp/hive_spark_qtest_tmp/exim_a';"
+        " DROP TABLE IF EXISTS exim_dst;"
+        " IMPORT TABLE exim_dst FROM '/tmp/hive_spark_qtest_tmp/exim_a';"
+        " SELECT COUNT(*) AS n FROM exim_dst;"
+        " IMPORT TABLE exim_dst FROM '/tmp/hive_spark_qtest_tmp/exim_a';"
+        " SELECT COUNT(*) AS n2 FROM exim_dst;"
+        " DROP TABLE exim_src; DROP TABLE exim_dst;",
+    )
+    assert out.results[-2].collect()[0].n == 2  # only partition ds='a'
+    assert out.results[-1].collect()[0].n2 == 4  # second import appends
+
+
+def test_exchange_and_partial_drop_partition(spark):
+    """EXCHANGE PARTITION moves a partition between tables; DROP
+    PARTITION with a partial spec drops every matching partition."""
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS xp_a; DROP TABLE IF EXISTS xp_b;"
+        " CREATE TABLE xp_a (k INT) PARTITIONED BY (ds STRING, hr STRING);"
+        " CREATE TABLE xp_b (k INT) PARTITIONED BY (ds STRING, hr STRING);"
+        " INSERT INTO xp_b PARTITION (ds='1', hr='a') VALUES (10);"
+        " INSERT INTO xp_b PARTITION (ds='1', hr='b') VALUES (11);"
+        " ALTER TABLE xp_a EXCHANGE PARTITION (ds='1', hr='a')"
+        "   WITH TABLE xp_b;"
+        " SELECT COUNT(*) AS na FROM xp_a;"
+        " SELECT COUNT(*) AS nb FROM xp_b;"
+        " ALTER TABLE xp_a DROP PARTITION (ds=1);"
+        " SELECT COUNT(*) AS nafter FROM xp_a;"
+        " DROP TABLE xp_a; DROP TABLE xp_b;",
+    )
+    assert out.results[0].collect()[0].na == 1
+    assert out.results[1].collect()[0].nb == 1
+    assert out.results[2].collect()[0].nafter == 0
+
+
+def test_unordered_window_order_injection(spark):
+    """Hive allows rank-family functions over unordered windows."""
+    out = run_script(
+        spark,
+        "SELECT id, row_number() OVER (PARTITION BY id % 2) AS rn"
+        " FROM range(4) ORDER BY id;",
+    )
+    assert sorted(r.rn for r in out.results[-1].collect()) == [1, 1, 2, 2]
