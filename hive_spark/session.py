@@ -89,6 +89,15 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # Shuffle/blockmgr scratch: /tmp is subject to tmpfiles purging on this
+    # host (observed mid-run: FAILED_READ_FILE on /tmp/spark-*), so default
+    # the local dir somewhere durable unless the caller already chose one.
+    if "SPARK_LOCAL_DIRS" not in os.environ:
+        local_dir = os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR", os.path.expanduser("~/.spark_local")
+        )
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
