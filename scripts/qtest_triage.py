@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 QDIR = "/root/reference/ql/src/test/queries/clientpositive"
 DB = os.environ.get("QTRIAGE_DB", "qtriage")
-SCRATCH = f"/tmp/hive_spark_{DB}"
+# durable base: /tmp is purged on this host mid-sweep, which killed whole
+# chunks with FAILED_READ_FILE on warehouse files (see sweep5/6 triage)
+SCRATCH = os.path.expanduser(f"~/.hive_spark_scratch/{DB}")
 REF_ROOT = "/root/reference/ql/src"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
