@@ -11,6 +11,7 @@ Usage: python scripts/qtest_triage.py file1.q file2.q ...
 """
 
 import fnmatch
+import re
 import os
 import shutil
 import sys
@@ -63,14 +64,33 @@ def main():
         if not os.path.isfile(path):
             print(f"{fname}\tMISSING")
             continue
+        text = open(path).read()
+        # QTestUtil resets HiveConf between tests: snapshot every conf
+        # key this script SETs so a leaked knob (shuffle partitions,
+        # partitionOverwriteMode, ...) can't poison later scripts
+        conf_keys = re.findall(r"(?im)^\s*set\s+([\w.]+)\s*=", text)
+        conf_prev = {}
+        for k in conf_keys:
+            try:
+                conf_prev[k] = spark.conf.get(k)
+            except Exception:
+                conf_prev[k] = None
         try:
-            res = run_script(spark, open(path).read())
+            res = run_script(spark, text)
             n = res.results[-1].count() if res.results else -1
             print(f"{fname}\tOK\t{n}")
         except Exception as e:
             first = str(e).replace("\n", " ")[:160]
             print(f"{fname}\tFAIL\t{type(e).__name__}: {first}")
         finally:
+            for k, v in conf_prev.items():
+                try:
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+                except Exception:
+                    pass
             # QTestUtil.clearTablesCreatedDuringTests analog: drop what
             # the script created so scripts can't collide on names;
             # reset the database pointer (scripts may USE other dbs)
