@@ -2643,6 +2643,13 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             if m and m.group(2) is not None:
                 key, val = m.group(1), m.group(2).strip()
                 res.set_commands[key] = val
+                # qtests set fs.default.name=invalidscheme:/// to prove
+                # metadata-only ops never touch the FS; Spark propagates
+                # session conf into the Hadoop conf of every file source,
+                # so applying it poisons all later reads in the session.
+                # This runtime is always local-FS — record, don't apply.
+                if key.lower() in ("fs.default.name", "fs.defaultfs"):
+                    continue
                 try:
                     spark.conf.set(key, val)
                 except Exception:

@@ -148,6 +148,24 @@ def spark_type(schema, names: dict | None = None) -> str:
     return spark_type(t, names)
 
 
+def ddl_from_schema_json(schema_json: str) -> str:
+    """avro.schema.literal text -> 'name type, ...' DDL columns.
+
+    AvroSerDe derives the Hive schema from the table property when no
+    column list is given (ref: serde/.../avro/AvroSerdeUtils.java
+    determineSchemaOrThrowException); same derivation here so SQL-text
+    CREATEs get real columns instead of a schema-less datasource table.
+    """
+    schema = _skip_to_named(json.loads(schema_json))
+    names: dict = {}
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        return ", ".join(
+            f"`{f['name']}` {spark_type(f['type'], names)}"
+            for f in schema["fields"]
+        )
+    return f"value {spark_type(schema, names)}"
+
+
 def ddl_schema(path: str) -> str:
     """Top-level record -> 'name type, ...' DDL string for createDataFrame."""
     raw = open(path, "rb").read()
