@@ -153,6 +153,17 @@ def handle(spark: SparkSession, stmt: str):
         else:
             if role not in st.roles:
                 raise ValueError(f"SET ROLE: role {role} does not exist")
+            # SQLStdHiveAccessController.setCurrentRole: a user may only
+            # assume roles granted to them (public is implicit)
+            user = current_user()
+            if role != "public" and not any(
+                p == user
+                for p, t, _adm in st.role_grants.get(role, [])
+                if t == "USER"
+            ):
+                raise ValueError(
+                    f"SET ROLE: {user} doesn't belong to role {role}"
+                )
             st.current_roles = [role]
         return True
     if _SHOW_ROLES.match(stmt):

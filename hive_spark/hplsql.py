@@ -44,10 +44,11 @@ Variables substitute as SQL literals at word boundaries before execution
 (HPL/SQL semantics: untyped-ish, late-bound text substitution — Exec.java
 resolves identifiers against its variable scope the same way).
 
-Out of scope (documented): RESIGNAL/GET DIAGNOSTICS, package functions
-in expressions (procedures only), handler scoping narrower than the
-script (handlers declared anywhere guard every later statement). The
-subset is the part used by batch ETL control flow.
+Out of scope (documented): handler scoping narrower than the script
+(handlers declared anywhere guard every later statement). RESIGNAL and
+GET DIAGNOSTICS are implemented (see below; tests/test_hplsql.py), as
+is CREATE PACKAGE [BODY] with session package state. The subset is the
+part used by batch ETL control flow.
 
 Scale note: control flow runs on the driver; every SQL statement inside
 is a full distributed query. A WHILE loop over micro-batches is the

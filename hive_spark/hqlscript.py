@@ -220,9 +220,25 @@ def _exec_dfs(stmt: str, res) -> None:
     # writes/deletes confined to /tmp; copy SOURCES may read anywhere
     # (scripts copy the reference's own data files into scratch dirs)
     guarded = paths[-1:] if op in ("-cp", "-put", "-copyFromLocal") else paths
-    if any(not p.startswith("/tmp") for p in guarded):
+
+    def _inside_tmp(p: str) -> bool:
+        # realpath collapses ../ tricks and symlink escapes BEFORE the
+        # containment check; require a strict descendant of /tmp proper
+        # (so /tmp itself and /tmpfoo both fail).
+        rp = os.path.realpath(p)
+        try:
+            return (
+                os.path.commonpath([rp, "/tmp"]) == "/tmp" and rp != "/tmp"
+            )
+        except ValueError:
+            return False
+
+    if any(not _inside_tmp(p) for p in guarded):
         res.skipped.append(stmt)
         return
+    paths = [
+        os.path.realpath(p) if p in guarded else p for p in paths
+    ]
     if op == "-mkdir":
         for p in paths:
             os.makedirs(p, exist_ok=True)
@@ -955,7 +971,18 @@ def _rewrite_stored_as(stmt: str) -> str:
             provider = provider or "parquet"
     if provider:
         span = col_span()
-        at = span[1] if span else _CREATE_NAME.match(stmt).end()
+        if span:
+            at = span[1]
+        else:
+            at = _CREATE_NAME.match(stmt).end()
+            # CREATE TABLE t LIKE s STORED AS <fmt>: Spark's grammar
+            # wants `... LIKE s USING <provider>` — after the source
+            # table, not after the new table's name
+            like_m = re.match(
+                r"\s+LIKE\s+[\w.`]+", stmt[at:], re.I
+            )
+            if like_m:
+                at += like_m.end()
         stmt = stmt[:at] + f" USING {provider}" + stmt[at:]
     return stmt
 
@@ -1549,7 +1576,13 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     if re.search(r"\bds_cpc_estimate\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "ds_cpc_estimate", _fold_ds_cpc)
     if re.search(r"\bdboutput\s*\(", stmt, re.I):
-        stmt = _fold_calls(stmt, "dboutput", _fold_dboutput(spark))
+        # Hive's EXPLAIN never executes the plan (ExplainTask renders
+        # it); folding dboutput eagerly under EXPLAIN would run the JDBC
+        # DML as a rewrite side effect — render a constant instead
+        if re.match(r"\s*EXPLAIN\b", stmt, re.I):
+            stmt = _fold_calls(stmt, "dboutput", lambda a: "0")
+        else:
+            stmt = _fold_calls(stmt, "dboutput", _fold_dboutput(spark))
     if re.search(r"\bsort_array_by\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "sort_array_by", _fold_sort_array_by)
     if re.search(r"\bfield\s*\(", stmt, re.I):
@@ -1928,7 +1961,7 @@ _EXPLAIN_SPECIAL = re.compile(
 )
 
 def _drop_partial_partitions(spark: SparkSession, table: str,
-                             spec: str) -> bool:
+                             spec: str, if_exists: bool = True) -> bool:
     """Hive's DROP PARTITION with a PARTIAL spec drops every matching
     partition (ref: ql/.../ddl/table/partition/drop/
     AlterTableDropPartitionAnalyzer.java); Spark requires the full spec.
@@ -1968,6 +2001,12 @@ def _drop_partial_partitions(spark: SparkSession, table: str,
                 f"DROP IF EXISTS PARTITION ({full})"
             )
             dropped = True
+    if not dropped and not if_exists:
+        # Hive raises for a no-match spec without IF EXISTS
+        # (AlterTableDropPartitionAnalyzer: INVALID_PARTITION)
+        raise ValueError(
+            f"Partition not found: {table} PARTITION ({spec})"
+        )
     return True
 
 
@@ -2464,12 +2503,14 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     continue
             m = re.match(
                 r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+"
-                r"(?:IF\s+EXISTS\s+)?PARTITION\s*"
+                r"(IF\s+EXISTS\s+)?PARTITION\s*"
                 r"\(((?:[^()]|\([^()]*\))*)\)\s*(?:PURGE\s*)?$",
                 stmt,
                 re.I,
             )
-            if m and _drop_partial_partitions(spark, m.group(1), m.group(2)):
+            if m and _drop_partial_partitions(
+                spark, m.group(1), m.group(3), if_exists=bool(m.group(2))
+            ):
                 continue
             m = _EXCHANGE_PARTITION.match(stmt)
             if m:

@@ -328,14 +328,93 @@ def test_variable_substitution_and_dfs(spark, tmp_path):
     assert any("dfs -rm" in s for s in out.skipped)
 
 
+def test_dfs_guard_rejects_traversal_and_prefix_tricks(spark):
+    """The /tmp confinement must survive ../ traversal, the bare /tmp
+    root, and sibling-prefix paths like /tmpfoo — all are skipped,
+    never executed (qtest scripts are untrusted input)."""
+    import os
+    import shutil
+    import tempfile
+
+    outside = tempfile.mkdtemp(dir=os.path.dirname(__file__))
+    try:
+        canary = os.path.join(outside, "canary.txt")
+        with open(canary, "w") as f:
+            f.write("x")
+        # /tmp/../<elsewhere> — realpath lands outside /tmp
+        probe = f"/tmp/..{canary}"
+        out = run_script(spark, f"dfs -rm {probe};")
+        assert any("dfs -rm" in s for s in out.skipped)
+        assert os.path.exists(canary)
+        # bare /tmp itself and a /tmpfoo sibling both refused
+        out = run_script(spark, "dfs -rm -r /tmp; dfs -mkdir /tmpfoo;")
+        assert len(out.skipped) == 2
+        assert os.path.isdir("/tmp") and not os.path.exists("/tmpfoo")
+        # symlink escape: a link under /tmp pointing outside is refused
+        link = "/tmp/hive_spark_qtest_tmp/esc_link"
+        os.makedirs(os.path.dirname(link), exist_ok=True)
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(outside, link)
+        try:
+            out = run_script(spark, f"dfs -rm -r {link};")
+            assert any("dfs -rm" in s for s in out.skipped)
+            assert os.path.exists(canary)
+        finally:
+            os.remove(link)
+    finally:
+        shutil.rmtree(outside, ignore_errors=True)
+
+
+def test_create_table_like_stored_as(spark):
+    """CREATE TABLE t LIKE s STORED AS ORC: the USING clause must land
+    after `LIKE s` (Spark grammar), not after the new table name."""
+    run_script(spark, "DROP TABLE IF EXISTS like_src;"
+                      " DROP TABLE IF EXISTS like_dst;")
+    out = run_script(
+        spark,
+        "CREATE TABLE like_src (k INT, v STRING) STORED AS PARQUET;"
+        " CREATE TABLE like_dst LIKE like_src STORED AS ORC;"
+        " DESCRIBE like_dst;",
+    )
+    cols = [r.col_name for r in out.results[-1].collect()]
+    assert cols[:2] == ["k", "v"]
+    run_script(spark, "DROP TABLE like_src; DROP TABLE like_dst;")
+
+
+def test_drop_partial_partition_no_match_raises(spark):
+    """A partial DROP PARTITION spec matching nothing must raise without
+    IF EXISTS (Hive INVALID_PARTITION), succeed silently with it."""
+    run_script(
+        spark,
+        "DROP TABLE IF EXISTS pdrop_t;"
+        " CREATE TABLE pdrop_t (v INT) PARTITIONED BY (a STRING, b STRING)"
+        " STORED AS PARQUET;"
+        " INSERT INTO pdrop_t PARTITION (a='x', b='1') VALUES (10);",
+    )
+    with pytest.raises(Exception, match="[Pp]artition"):
+        run_script(spark, "ALTER TABLE pdrop_t DROP PARTITION (a='zz');")
+    out = run_script(
+        spark,
+        "ALTER TABLE pdrop_t DROP IF EXISTS PARTITION (a='zz');"
+        " SELECT COUNT(*) AS n FROM pdrop_t;",
+    )
+    assert out.results[-1].collect()[0].n == 1
+    run_script(spark, "DROP TABLE pdrop_t;")
+
+
 def test_sql_std_authorization(spark):
     """SQL-standard auth statements (ref: ql/.../sqlstd/
     SQLStdHiveAccessController.java): role lifecycle, role + privilege
     grants, and the SHOW readbacks are a live session registry."""
+    import getpass
+
+    me = getpass.getuser()
     out = run_script(
         spark,
         "CREATE ROLE auditors;"
         " GRANT auditors TO USER alice;"
+        f" GRANT auditors TO USER {me};"
         " CREATE TABLE IF NOT EXISTS authz_t(k INT);"
         " GRANT SELECT, INSERT ON TABLE authz_t TO ROLE auditors;"
         " SHOW ROLES;"
@@ -356,6 +435,12 @@ def test_sql_std_authorization(spark):
     privs_after = {r.privilege for r in out.results[3].collect()}
     assert privs_after == {"SELECT"}
     assert [r.role for r in out.results[4].collect()] == ["auditors"]
+    # SET ROLE of a role NOT granted to the current user must fail
+    # (SQLStdHiveAccessController.setCurrentRole)
+    run_script(spark, "CREATE ROLE outsiders;")
+    with pytest.raises(Exception, match="belong"):
+        run_script(spark, "SET ROLE outsiders;")
+    run_script(spark, "DROP ROLE outsiders;")
 
 
 def test_alter_change_replace_columns(spark):

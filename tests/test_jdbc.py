@@ -85,3 +85,38 @@ def test_jdbc_storage_handler_sql_text(spark):
         assert "ht" not in HANDLER_TABLES
     finally:
         drop_memory_databases(spark)
+
+
+def test_dboutput_not_executed_under_explain(spark):
+    """Hive's EXPLAIN renders without executing; a dboutput inside an
+    EXPLAINed statement must not run its JDBC DML as a rewrite side
+    effect."""
+    from hive_spark.hqlscript import run_script
+    from hive_spark.sources.jdbc_handler import drop_memory_databases
+
+    try:
+        # the EXPLAIN must produce plan text while leaving its INSERT
+        # unexecuted: only k=2 (the non-EXPLAIN insert) lands in ET
+        out = run_script(
+            spark,
+            "--!qt:database:derby:expl\n"
+            "SELECT dboutput('${system:hive.test.database.expl.jdbc.url}',"
+            " '', '', 'CREATE TABLE ET (\"k\" INTEGER)') AS rc;\n"
+            "EXPLAIN SELECT dboutput("
+            "'${system:hive.test.database.expl.jdbc.url}',"
+            " '', '', 'INSERT INTO ET VALUES (1)') AS rc;\n"
+            "SELECT dboutput('${system:hive.test.database.expl.jdbc.url}',"
+            " '', '', 'INSERT INTO ET VALUES (2)') AS rc;\n"
+            "CREATE EXTERNAL TABLE et_rb (k INT)"
+            " STORED BY 'org.apache.hive.storage.jdbc.JdbcStorageHandler'"
+            " TBLPROPERTIES ("
+            "  'hive.sql.database.type' = 'DERBY',"
+            "  'hive.sql.jdbc.url' ="
+            "    '${system:hive.test.database.expl.jdbc.url}',"
+            "  'hive.sql.table' = 'ET');\n"
+            "SELECT k FROM et_rb ORDER BY k;\n"
+            "DROP TABLE et_rb;",
+        )
+        assert [r.k for r in out.results[-1].collect()] == [2]
+    finally:
+        drop_memory_databases(spark)
