@@ -63,11 +63,29 @@ SCALE_SWEEP = [
     "text_inverted_index",
 ]
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "4"))
+# sf1 tier: 10x the sf0.1 facts ≈ TPC-H sf1 row counts (6M lineitem),
+# multi-file layout. 0 disables (e.g. when benching sf0.001 in tests).
+SF1_FACTOR = int(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
+
+# TPC-DS star-shape extras: reported separately so the headline total
+# stays comparable across rounds
+TPCDS_EXTRA = (
+    "tpcds_q3",
+    "tpcds_q19",
+    "tpcds_q25_sales_returns",
+    "tpcds_q68",
+    "tpcds_q98_class_ratio",
+    "tpcds_q4_three_channel_growth",
+    "tpcds_q38_channel_intersect",
+    "tpcds_q75_prior_year_delta",
+)
 
 # fact tables unioned SCALE_FACTOR times with join keys shifted per copy
 # (joins stay copy-local; dims keep their cardinality, so each dim row
 # simply matches k times — the realistic fact/dim growth asymmetry)
-_FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey", "documents": None}
+_FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey",
+          "documents": "doc_id", "events": "events",
+          "embeddings": "embeddings"}
 
 
 def _build_scaled_dir(spark, src: str, k: int) -> str:
@@ -87,20 +105,48 @@ def _build_scaled_dir(spark, src: str, k: int) -> str:
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     tables = load_tables(spark, src, tuple(TESTDATA_TABLES))
+    # orders/lineitem share the orderkey domain: one offset keeps joins
+    # copy-local AND copy-consistent (a per-table max would misalign the
+    # shifted keys whenever the two maxima differ)
+    okey_offset = (
+        max(
+            tables["lineitem"].agg(F.max("l_orderkey")).collect()[0][0],
+            tables["orders"].agg(F.max("o_orderkey")).collect()[0][0],
+        )
+        + 1
+    )
     for t in TESTDATA_TABLES:
         out = os.path.join(dst, f"{t}.parquet")
         if t in _FACTS:
             df, key = tables[t], _FACTS[t]
-            if key is None:  # documents: shift the doc id textually
+            if key == "events":
+                # shift event AND user ids: sessions stay copy-local
+                # (identical copies would stack 10 events on one ts)
+                eoff = df.agg(F.max("event_id")).collect()[0][0] + 1
+                uoff = df.agg(F.max("user_id")).collect()[0][0] + 1
                 parts = [
-                    df.withColumn(
-                        "doc_id",
-                        F.concat(F.col("doc_id").cast("string"), F.lit(f"_{i}")),
+                    df.withColumn("event_id", F.col("event_id") + F.lit(i * eoff))
+                    .withColumn("user_id", F.col("user_id") + F.lit(i * uoff))
+                    for i in range(k)
+                ]
+            elif key == "embeddings":
+                # shift ids and perturb each copy's vectors slightly so
+                # scaled corpora aren't k exact duplicates of every
+                # point (which would distort LSH bucket occupancy)
+                voff = df.agg(F.max("vec_id")).collect()[0][0] + 1
+                parts = [
+                    df.withColumn("vec_id", F.col("vec_id") + F.lit(i * voff))
+                    .withColumn(
+                        "embedding",
+                        F.transform(
+                            "embedding",
+                            lambda x, i=i: (x + F.lit(i * 1e-3)).cast("float"),
+                        ),
                     )
                     for i in range(k)
                 ]
             else:
-                offset = df.agg(F.max(key)).collect()[0][0] + 1
+                offset = okey_offset
                 parts = [
                     df.withColumn(key, F.col(key) + F.lit(i * offset)) for i in range(k)
                 ]
@@ -206,14 +252,8 @@ def main() -> None:
 
     overhead = _fixed_overhead(spark)
 
-    # TPC-DS star-shape timings (r4): reported separately so the
-    # headline total stays comparable across rounds
     extra: dict[str, float] = {}
-    for name in ("tpcds_q3", "tpcds_q19", "tpcds_q25_sales_returns",
-                 "tpcds_q68", "tpcds_q98_class_ratio",
-                 "tpcds_q4_three_channel_growth",
-                 "tpcds_q38_channel_intersect",
-                 "tpcds_q75_prior_year_delta"):
+    for name in TPCDS_EXTRA:
         spec = registry[name]
         best = float("inf")
         for _ in range(2):
@@ -221,6 +261,30 @@ def main() -> None:
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         extra[name] = round(best, 3)
+
+    # sf1 tier (r4 verdict #1): at sf0.1 the ~0.2-0.5 s/query session
+    # constant dominates and the bench measures the constant, not the
+    # engine. Run the full headline suite + TPC-DS extras against a
+    # 10x-row multi-file copy so the data-dependent cost is the signal.
+    sf1: dict[str, object] = {}
+    if SF1_FACTOR > 1:
+        sf1_dir = _build_scaled_dir(spark, SF_DIR, SF1_FACTOR)
+        sf1_timings: dict[str, float] = {}
+        for name in HEADLINE + list(TPCDS_EXTRA):
+            spec = registry[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            sf1_timings[name] = round(best, 3)
+        sf1 = {
+            "factor": SF1_FACTOR,
+            "total_sec": round(sum(sf1_timings.values()), 3),
+            "queries": sf1_timings,
+        }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -238,6 +302,7 @@ def main() -> None:
                 "scale_sweep": sweep,
                 "breakdowns": breakdowns,
                 "extra_queries": extra,
+                "sf1": sf1,
             }
         )
     )

@@ -29,7 +29,14 @@ if _REPO not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-from bench import HEADLINE, SCALE_FACTOR, SCALE_SWEEP, _build_scaled_dir
+from bench import (
+    HEADLINE,
+    SCALE_FACTOR,
+    SCALE_SWEEP,
+    SF1_FACTOR,
+    TPCDS_EXTRA,
+    _build_scaled_dir,
+)
 
 
 def _duck_con(sf_dir: str, cpus: str):
@@ -110,6 +117,18 @@ def main() -> None:
         SF_DIR,
     )
 
+    # sf1 tier (r4 verdict #1): the gross 2x gate is only meetable at a
+    # scale where per-query fixed cost stops dominating. Same queries,
+    # both engines on the same 10x multi-file parquet.
+    per_query_sf1: dict[str, dict[str, float]] = {}
+    if SF1_FACTOR > 1:
+        sf1_dir = _build_scaled_dir(spark, SF_DIR, SF1_FACTOR)
+        con_sf1 = _duck_con(sf1_dir, CPUS)
+        con_sf1.sql("SELECT count(*) FROM lineitem").fetchall()
+        per_query_sf1 = _run_pair(
+            spark, con_sf1, registry, HEADLINE + list(TPCDS_EXTRA), sf1_dir
+        )
+
     # Two-point ratio evidence: same queries, same multi-file layout, 1x
     # vs SCALE_FACTOR x the fact rows. Layout is held constant on purpose:
     # the raw testdata files are single-row-group, which caps BOTH
@@ -152,6 +171,21 @@ def main() -> None:
                 "per_query_x1_multifile": per_query_x1,
                 "per_query_scaled": per_query_scaled,
                 "ratio_trend": ratio_trend,
+                "sf1_factor": SF1_FACTOR,
+                "per_query_sf1": per_query_sf1,
+                "sf1_spark_total_sec": round(
+                    sum(v["spark"] for v in per_query_sf1.values()), 3
+                ),
+                "sf1_duckdb_total_sec": round(
+                    sum(v["duckdb"] for v in per_query_sf1.values()), 3
+                ),
+                "sf1_gross_ratio": round(
+                    sum(v["spark"] for v in per_query_sf1.values())
+                    / max(
+                        sum(v["duckdb"] for v in per_query_sf1.values()), 1e-9
+                    ),
+                    2,
+                ),
             }
         )
     )

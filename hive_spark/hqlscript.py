@@ -1330,8 +1330,73 @@ def _exec_load_data(spark: SparkSession, m: re.Match) -> None:
         df.write.insertInto(table, overwrite=overwrite)
 
 
+def _top_level_spans(text: str, pattern: str) -> list:
+    """Spans of `pattern` matches at paren-depth 0, outside quotes."""
+    spans = []
+    depth = 0
+    i = 0
+    rx = re.compile(pattern, re.I)
+    while i < len(text):
+        c = text[i]
+        if c in "'\"":
+            q = c
+            i += 1
+            while i < len(text) and text[i] != q:
+                i += 2 if text[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(text, i)
+            if m:
+                spans.append((m.start(), m.end()))
+                i = m.end()
+                continue
+        i += 1
+    return spans
+
+
+def _desugar_distinct_having(stmt: str) -> str:
+    """Hive accepts ``SELECT DISTINCT ... HAVING <agg>`` with no GROUP
+    BY, grouping by every select column (ref: ql/.../parse/
+    SemanticAnalyzer.java — DISTINCT+HAVING analyzes as group-by-all).
+    Spark raises [MISSING_GROUP_BY]; rewrite to an explicit GROUP BY on
+    the select items' base expressions."""
+    m = re.match(
+        r"(\s*(?:EXPLAIN\s+(?:\w+\s+)?)?)(SELECT\s+DISTINCT\b)(.*)$",
+        stmt, re.I | re.S,
+    )
+    if not m:
+        return stmt
+    body = m.group(3)
+    having = _top_level_spans(body, r"\bHAVING\b")
+    if not having or _top_level_spans(body, r"\bGROUP\s+BY\b"):
+        return stmt
+    froms = _top_level_spans(body, r"\bFROM\b")
+    if not froms or froms[0][0] > having[0][0]:
+        return stmt
+    items = _split_args(body[: froms[0][0]])
+    keys = []
+    for it in items:
+        base = re.sub(r"(?is)\s+AS\s+[`\w]+\s*$", "", it.strip())
+        # implicit alias: `expr alias` where expr is a bare column path
+        im = re.match(r"^([\w.`]+)\s+[`\w]+$", base)
+        if im:
+            base = im.group(1)
+        keys.append(base)
+    h0 = having[0][0]
+    return (
+        m.group(1) + m.group(2) + body[:h0]
+        + "GROUP BY " + ", ".join(keys) + " " + body[h0:]
+    )
+
+
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     """All HiveQL-text rewrites this engine applies before spark.sql."""
+    stmt = _desugar_distinct_having(stmt)
     stmt = _DROP_BARE.sub(lambda m: m.group(1) + "IF EXISTS ", stmt)
     # TIMESTAMPLOCALTZ: Spark's TIMESTAMP already carries local-tz
     # semantics (SURVEY 1.2 type table); Hive's long spelling parses out

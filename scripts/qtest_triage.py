@@ -77,7 +77,9 @@ def main():
                 conf_prev[k] = None
         try:
             res = run_script(spark, text)
-            n = res.results[-1].count() if res.results else -1
+            from tests.qtest_fixture_lib import final_rowcount
+
+            n = final_rowcount(res)
             print(f"{fname}\tOK\t{n}")
         except Exception as e:
             first = str(e).replace("\n", " ")[:160]

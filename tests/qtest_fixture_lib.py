@@ -162,6 +162,18 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
         LOAD_DATA_BASES.append(REF_ROOT)
 
 
+def final_rowcount(res) -> int:
+    """Manifest row count for a script result. EXPLAIN output is plan
+    TEXT — its row count changes with Spark rendering details, so it is
+    not a semantic signal; normalize any plan-text result to 1 row."""
+    if not res.results:
+        return -1
+    df = res.results[-1]
+    if df.columns == ["plan"]:
+        return 1
+    return df.count()
+
+
 def run_and_cleanup(
     spark, db: str, fname: str, fixture_tables: set, known_dbs: set | None = None
 ):

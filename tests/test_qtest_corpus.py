@@ -20,7 +20,12 @@ import os
 
 import pytest
 
-from tests.qtest_fixture_lib import QDIR, build_qtest_fixtures, run_and_cleanup
+from tests.qtest_fixture_lib import (
+    QDIR,
+    build_qtest_fixtures,
+    final_rowcount,
+    run_and_cleanup,
+)
 
 MANIFEST = os.path.join(os.path.dirname(__file__), "qtest_manifest.txt")
 SCRATCH = "/tmp/hive_spark_qcorpus"
@@ -73,5 +78,5 @@ def test_qtest_corpus(spark, corpus_db, fname, last_rows):
         present = {t.name for t in spark.catalog.listTables()}
         if fixture_tables - present:
             build_qtest_fixtures(spark, DB, SCRATCH)
-    got = res.results[-1].count() if res.results else -1
+    got = final_rowcount(res)
     assert got == last_rows, f"{fname}: final rows {got} != {last_rows}"
