@@ -35,6 +35,9 @@ class _AuthState:
         #                              grant_option, grantor)
         self.priv_grants: dict[tuple, list[tuple]] = {}
         self.current_roles: list[str] = ["public"]
+        # (db, table) -> owner user (object creator has all privileges,
+        # SQLStdHiveAuthorizationValidator's ownership short-circuit)
+        self.owners: dict[tuple, str] = {}
 
 
 _STATES: dict[int, _AuthState] = {}
@@ -283,3 +286,146 @@ def handle(spark: SparkSession, stmt: str):
             ]
         return True
     return None
+
+
+# ---------------------------------------------------------------------------
+# Privilege ENFORCEMENT on the query path (r5). Hive gates compiled plans
+# through SQLStdHiveAuthorizationValidator.checkPrivileges (ref: ql/.../
+# security/authorization/plugin/sqlstd/SQLStdHiveAuthorizationValidator.java);
+# the analog here resolves a statement's input/output tables from Spark's
+# UNRESOLVED parse plan (no execution) and requires the matching grant.
+# Off by default — enable with SET hive.security.authorization.enabled=true
+# (the reference's own conf key), so single-user flows are untouched.
+
+
+class HiveAccessControlError(PermissionError):
+    """Analog of HiveAccessControlException."""
+
+
+def enforcement_enabled(spark: SparkSession) -> bool:
+    try:
+        return (
+            spark.conf.get("hive.security.authorization.enabled", "false")
+            .lower()
+            == "true"
+        )
+    except Exception:
+        return False
+
+
+def record_owner(spark: SparkSession, name: str) -> None:
+    """Remember the creator of a table/view; owners pass all checks on
+    their own objects (StorageBasedAuthorizationProvider ownership)."""
+    st = _state(spark)
+    if "." in name:
+        db, tbl = name.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), name
+    st.owners[(db.lower(), tbl.strip("`").lower())] = current_user()
+
+
+def _statement_relations(spark: SparkSession, stmt: str) -> set:
+    """Table names referenced by `stmt`, from the unresolved parse plan
+    (subquery plans included — treeString renders them). Returns a set
+    of dotted names exactly as written; resolution happens in the
+    privilege check."""
+    try:
+        jplan = (
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+        )
+        tree = jplan.treeString()
+    except Exception:
+        return set()  # engine-dialect statements Spark can't parse
+    names = set()
+    for m in re.finditer(r"'UnresolvedRelation \[([^\]]*)\]", tree):
+        parts = [p.strip() for p in m.group(1).split(",")]
+        names.add(".".join(parts))
+    return names
+
+
+_WRITE_TARGET = re.compile(
+    r"(?i)^\s*(?:"
+    r"INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?"
+    r"|UPDATE\s+`?([\w.]+)`?"
+    r"|DELETE\s+FROM\s+`?([\w.]+)`?"
+    r"|MERGE\s+INTO\s+`?([\w.]+)`?"
+    r"|LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+\S+\s+(?:OVERWRITE\s+)?"
+    r"INTO\s+TABLE\s+`?([\w.]+)`?"
+    r")"
+)
+_WRITE_PRIV = {1: "INSERT", 2: "UPDATE", 3: "DELETE", 4: "UPDATE",
+               5: "INSERT"}
+
+
+def _resolve(spark: SparkSession, name: str) -> tuple:
+    if "." in name:
+        db, tbl = name.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), name
+    return (db.lower(), tbl.strip("`").lower())
+
+
+def _has_priv(st: _AuthState, db: str, tbl: str, priv: str) -> bool:
+    """True when the current user (directly or via a CURRENT role) holds
+    `priv` on (db, tbl) — table-level or database-level, whole-object
+    grants only (column grants don't authorize the full table)."""
+    user = current_user()
+    principals = {(user, "USER"), ("public", "ROLE")} | {
+        (r, "ROLE") for r in st.current_roles
+    }
+    for key in ((db, tbl, ""), (db, "", "")):
+        for p, t, pr, _gopt, _grantor in st.priv_grants.get(key, []):
+            if (p, t if t != "GROUP" else "USER") in principals or (
+                (p, t) in principals
+            ):
+                if pr == "ALL" or pr == priv:
+                    return True
+    return False
+
+
+def check_statement(spark: SparkSession, stmt: str) -> None:
+    """Raise HiveAccessControlError unless the current principal set may
+    run `stmt`. No-op when enforcement is disabled (default)."""
+    if not enforcement_enabled(spark):
+        return
+    st = _state(spark)
+    if "admin" in st.current_roles:
+        return  # admin role active: all privileges (SQLStdAuth)
+    wm = _WRITE_TARGET.match(stmt)
+    write_name, write_priv = None, None
+    if wm:
+        gi = next(i for i in range(1, 6) if wm.group(i))
+        write_name, write_priv = wm.group(gi), _WRITE_PRIV[gi]
+    user = current_user()
+    denied = []
+    for name in _statement_relations(spark, stmt):
+        db, tbl = _resolve(spark, name)
+        try:
+            # temp views and CTE aliases are session-local, not
+            # metastore objects — Hive doesn't gate them
+            if not spark.catalog.tableExists(f"{db}.{tbl}"):
+                if not spark.catalog.tableExists(tbl):
+                    continue
+                if any(
+                    t.name == tbl and t.isTemporary
+                    for t in spark.catalog.listTables()
+                ):
+                    continue
+        except Exception:
+            continue
+        if st.owners.get((db, tbl)) == user:
+            continue
+        need = (
+            write_priv
+            if write_name and _resolve(spark, write_name) == (db, tbl)
+            else "SELECT"
+        )
+        if not _has_priv(st, db, tbl, need):
+            denied.append((need, f"{db}.{tbl}"))
+    if denied:
+        objs = "], [".join(f"{pr}] on Object [type=TABLE_OR_VIEW, "
+                           f"name={nm}" for pr, nm in sorted(denied))
+        raise HiveAccessControlError(
+            f"Permission denied: Principal [name={user}, type=USER] does"
+            f" not have following privileges for operation QUERY [[{objs}]]"
+        )

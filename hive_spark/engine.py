@@ -70,6 +70,9 @@ class Engine:
         """One statement. MV rewrite always consults the registry;
         `use_cache=True` additionally serves/stores by plan fingerprint
         (reads only — statements without a result shape skip both)."""
+        from hive_spark import authz
+
+        authz.check_statement(self.spark, text)
         text = rewrite_statement(self.spark, text)
         text = spool_ctes(
             self.spark, text, threshold=self.cte_materialize_threshold

@@ -2675,6 +2675,17 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                         spark.createDataFrame(auth.collect(), auth.schema)
                     )
                 continue
+            # privilege enforcement (no-op unless
+            # hive.security.authorization.enabled=true): gate the
+            # statement's input/output tables on the session's grants
+            authz.check_statement(spark, stmt)
+            cm = _CREATE_NAME.match(stmt) or re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?"
+                r"VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?",
+                stmt, re.I,
+            )
+            if cm:
+                authz.record_owner(spark, cm.group(1))
             if _ADD.match(stmt) or _METADATA_NOOP.match(stmt):
                 res.skipped.append(stmt)
                 continue

@@ -96,3 +96,78 @@ def test_disable_restores_after_policy_dropped(spark):
         security.drop_policy("gov_drop_demo")
         security.disable(spark)
         spark.catalog.dropTempView("gov_drop_demo")
+
+
+def test_privilege_enforcement_on_query_path(spark):
+    """SQLStdHiveAuthorizationValidator analog (r5): with
+    hive.security.authorization.enabled=true a metastore table is
+    readable only by its owner, an admin-role session, or a granted
+    principal — denied read raises, GRANT opens it, REVOKE closes it.
+    Default sessions (conf unset) are untouched."""
+    import pytest
+
+    from hive_spark import authz
+    from hive_spark.authz import HiveAccessControlError
+    from hive_spark.hqlscript import run_script
+
+    run_script(
+        spark,
+        "DROP TABLE IF EXISTS sec_enf_t;"
+        " CREATE TABLE sec_enf_t (k INT) USING parquet;"
+        " INSERT INTO sec_enf_t VALUES (1), (2);",
+    )
+    st = authz._state(spark)
+    saved_owner = st.owners.pop(
+        (spark.catalog.currentDatabase().lower(), "sec_enf_t"), None
+    )
+    try:
+        # enforcement off (default): anyone reads
+        assert spark.sql("SELECT * FROM sec_enf_t").count() == 2
+        spark.conf.set("hive.security.authorization.enabled", "true")
+        # not owner, role=public, no grant -> denied (both surfaces)
+        with pytest.raises(HiveAccessControlError, match="SELECT"):
+            run_script(spark, "SELECT * FROM sec_enf_t;")
+        from hive_spark.engine import Engine
+
+        with pytest.raises(HiveAccessControlError, match="SELECT"):
+            Engine(spark).sql("SELECT count(*) AS n FROM sec_enf_t")
+        # writes need the write privilege, reported as such
+        with pytest.raises(HiveAccessControlError, match="INSERT"):
+            run_script(spark, "INSERT INTO sec_enf_t VALUES (3);")
+        # GRANT SELECT to the user's active role -> read ok, write still not
+        run_script(
+            spark,
+            "GRANT SELECT ON TABLE sec_enf_t TO ROLE public;",
+        )
+        out = run_script(spark, "SELECT count(*) AS n FROM sec_enf_t;")
+        assert out.results[-1].collect()[0].n == 2
+        with pytest.raises(HiveAccessControlError, match="INSERT"):
+            run_script(spark, "INSERT INTO sec_enf_t VALUES (3);")
+        # REVOKE -> denied again
+        run_script(
+            spark, "REVOKE SELECT ON TABLE sec_enf_t FROM ROLE public;"
+        )
+        with pytest.raises(HiveAccessControlError, match="SELECT"):
+            run_script(spark, "SELECT * FROM sec_enf_t;")
+        # active admin role passes everything
+        st.current_roles = ["admin"]
+        assert (
+            run_script(spark, "SELECT count(*) AS n FROM sec_enf_t;")
+            .results[-1]
+            .collect()[0]
+            .n
+            == 2
+        )
+        st.current_roles = ["public"]
+        # owner passes without grants
+        st.owners[
+            (spark.catalog.currentDatabase().lower(), "sec_enf_t")
+        ] = authz.current_user()
+        run_script(spark, "INSERT INTO sec_enf_t VALUES (3);")
+    finally:
+        spark.conf.unset("hive.security.authorization.enabled")
+        if saved_owner is not None:
+            st.owners[
+                (spark.catalog.currentDatabase().lower(), "sec_enf_t")
+            ] = saved_owner
+        run_script(spark, "DROP TABLE IF EXISTS sec_enf_t;")
