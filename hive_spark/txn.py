@@ -7,15 +7,17 @@ ql/.../txn/TxnHandler.java — txn state; readers keep their snapshot).
 This module supplies the same two guarantees for this engine's
 copy-on-write tables:
 
-- **Exclusive write locks** (`write_lock`): an O_EXCL lock file next to
-  the table directory. Every DML rewrite (`dml.update_where` /
-  `delete_where` / `merge_into`) takes it for the full
-  materialize+publish window, so two concurrent writers SERIALIZE
-  instead of last-write-winning at the file level. Stale locks (holder
-  pid dead) are reclaimed. SCOPE: one host — pids and O_EXCL are only
-  meaningful on a shared local filesystem. Multi-host writers need a
-  shared lock service, exactly as Hive needs the metastore DB; that
-  boundary is unchanged and documented.
+- **Exclusive write locks** (`write_lock`): lock ROWS in a central lock
+  database by default (`hive_spark/lockdb.py` — DbTxnManager's actual
+  mechanism: acquire/heartbeat/timeout rows, cross-PROCESS, SHOW LOCKS
+  reads the table; see that module for why SQLite plays the
+  metastore-RDBMS role in this environment). Every DML rewrite
+  (`dml.update_where` / `delete_where` / `merge_into`) takes it for the
+  full materialize+publish window, so two concurrent writers SERIALIZE
+  instead of last-write-winning at the file level.
+  `HIVE_SPARK_LOCK_BACKEND=file` selects the legacy O_EXCL lock-file
+  fallback (single shared filesystem; stale holders reclaimed by pid
+  probe).
 
 - **Multi-statement transactions** (`Transaction`): over
   `snapshots.py`-layout versioned tables. BEGIN pins each table's
@@ -78,11 +80,25 @@ def _lock_file(table_path: str) -> str:
     return table_path.rstrip("/") + "._lock"
 
 
+def _backend() -> str:
+    """'db' (default): lock rows in the central lock database —
+    DbTxnManager's real mechanism (see hive_spark/lockdb.py). 'file':
+    the O_EXCL lock-file fallback for environments with no writable
+    shared database path."""
+    return os.environ.get("HIVE_SPARK_LOCK_BACKEND", "db").lower()
+
+
 @contextmanager
 def write_lock(table_path: str, timeout: float = 30.0, poll: float = 0.05):
-    """Exclusive writer lock for one table path (DbLockManager analog).
+    """Exclusive writer lock for one table path (DbTxnManager analog).
     Blocks up to `timeout` seconds, reclaims stale locks, raises
     LockTimeout otherwise."""
+    if _backend() == "db":
+        from hive_spark import lockdb
+
+        with lockdb.lock(table_path, timeout=timeout, poll=poll):
+            yield
+        return
     lock = _lock_file(table_path)
     deadline = time.monotonic() + timeout
     while True:
@@ -141,10 +157,33 @@ def write_lock(table_path: str, timeout: float = 30.0, poll: float = 0.05):
 
 def list_locks(tables: dict[str, str]) -> list[dict]:
     """SHOW LOCKS analog (ref: ql/.../ddl/process/show/locks/ — Hive
-    lists metastore locks; ours are the lock files): one row per held
-    lock among `tables` (name -> path), with holder pid and liveness."""
+    lists metastore lock rows): one row per held lock among `tables`
+    (name -> path), with holder pid and liveness. Reads the central
+    lock DATABASE first (the DbTxnManager mechanism), then any legacy
+    lock files."""
     out = []
+    seen = set()
+    if _backend() == "db":
+        from hive_spark import lockdb
+
+        by_path = {path: name for name, path in tables.items()}
+        for row in lockdb.DbLockManager().locks():
+            name = by_path.get(row["path"])
+            if name is None:
+                continue
+            seen.add(name)
+            out.append(
+                {
+                    "table": name,
+                    "path": row["path"],
+                    "holder_pid": row["holder_pid"],
+                    "holder_alive": row["holder_alive"],
+                    "acquired_at": row["acquired_at"],
+                }
+            )
     for name, path in sorted(tables.items()):
+        if name in seen:
+            continue
         lock = _lock_file(path)
         if not os.path.exists(lock):
             continue
@@ -162,6 +201,7 @@ def list_locks(tables: dict[str, str]) -> list[dict]:
             )
         except (OSError, ValueError):
             continue
+    out.sort(key=lambda r: r["table"])
     return out
 
 

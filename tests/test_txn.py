@@ -21,9 +21,11 @@ def test_write_lock_excludes_second_writer(tmp_path):
         pass
 
 
-def test_stale_lock_reclaimed(tmp_path):
+def test_stale_lock_reclaimed(tmp_path, monkeypatch):
     """A lock whose holder pid is dead must be reclaimed (heartbeat-expiry
-    analog), not block forever."""
+    analog), not block forever. (File backend — the DB backend's expiry
+    is covered in test_lockdb_*.)"""
+    monkeypatch.setenv("HIVE_SPARK_LOCK_BACKEND", "file")
     path = str(tmp_path / "t")
     os.makedirs(path)
     with open(path + "._lock", "w") as f:
@@ -189,9 +191,11 @@ def test_pid_alive_eperm_means_alive(monkeypatch):
     assert _pid_alive(12345)
 
 
-def test_reclaim_restores_fresh_lock(tmp_path):
+def test_reclaim_restores_fresh_lock(tmp_path, monkeypatch):
     """If the reclaim rename grabs a DIFFERENT (fresh, live) lock than
-    the stale one observed, the fresh lock is restored, not dropped."""
+    the stale one observed, the fresh lock is restored, not dropped.
+    (File backend internals.)"""
+    monkeypatch.setenv("HIVE_SPARK_LOCK_BACKEND", "file")
     import hive_spark.txn as txn_mod
 
     path = str(tmp_path / "t")
@@ -252,3 +256,132 @@ def test_script_error_inside_txn_rolls_back_and_releases(spark, tmp_path):
         assert spark.table("vt_err_demo").count() == 6
     finally:
         VERSIONED_TABLES.pop("vt_err_demo", None)
+
+
+# ---------------------------------------------------------------------------
+# DB-backed lock manager (r5): DbTxnManager's real mechanism — lock ROWS
+# in one central database, heartbeats, timeout expiry, cross-PROCESS.
+
+
+_CHILD_ACQUIRE = """
+import sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ["HIVE_SPARK_LOCKDB"] = {db!r}
+from hive_spark.lockdb import DbLockManager
+from hive_spark.txn import LockTimeout
+try:
+    lid = DbLockManager().acquire({path!r}, timeout={timeout})
+    print("ACQUIRED", lid, flush=True)
+    {after}
+except LockTimeout:
+    print("TIMEOUT", flush=True)
+"""
+
+
+def _spawn_child(tmp_path, db, path, timeout, after="pass"):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _CHILD_ACQUIRE.format(
+        repo=repo, db=db, path=path, timeout=timeout, after=after
+    )
+    return subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+
+
+def test_lockdb_two_processes_serialize(tmp_path, monkeypatch):
+    """Two OS processes contending on the same table path serialize on
+    the lock ROW: the child times out while the parent holds, then
+    acquires after release."""
+    db = str(tmp_path / "locks.sqlite")
+    monkeypatch.setenv("HIVE_SPARK_LOCKDB", db)
+    path = str(tmp_path / "t")
+    from hive_spark.lockdb import DbLockManager
+
+    mgr = DbLockManager()
+    lid = mgr.acquire(path, timeout=1.0)
+    try:
+        child = _spawn_child(tmp_path, db, path, 0.5)
+        out, _ = child.communicate(timeout=30)
+        assert "TIMEOUT" in out
+    finally:
+        mgr.release(lid)
+    child = _spawn_child(tmp_path, db, path, 2.0)
+    out, _ = child.communicate(timeout=30)
+    assert "ACQUIRED" in out
+
+
+def test_lockdb_survives_filesystem_tricks(tmp_path, monkeypatch):
+    """Deleting lock FILES can't steal a DB lock — the row is the lock."""
+    db = str(tmp_path / "locks.sqlite")
+    monkeypatch.setenv("HIVE_SPARK_LOCKDB", db)
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    from hive_spark.lockdb import DbLockManager
+    from hive_spark.txn import write_lock
+
+    with write_lock(path):
+        # the old file backend's artifact doesn't even exist...
+        assert not os.path.exists(path + "._lock")
+        # ...and planting/removing one changes nothing: still locked
+        open(path + "._lock", "w").write("999999999:0")
+        os.remove(path + "._lock")
+        with pytest.raises(LockTimeout):
+            with write_lock(path, timeout=0.4):
+                pass
+        assert len(DbLockManager().locks()) == 1
+    assert DbLockManager().locks() == []
+
+
+def test_lockdb_dead_holder_expired(tmp_path, monkeypatch):
+    """A SIGKILLed holder's row is expired by the next acquirer
+    (performTimeOuts analog via same-host pid probe)."""
+    import signal
+    import time as _t
+
+    db = str(tmp_path / "locks.sqlite")
+    monkeypatch.setenv("HIVE_SPARK_LOCKDB", db)
+    path = str(tmp_path / "t")
+    child = _spawn_child(
+        tmp_path, db, path, 5.0, after="time.sleep(60)"
+    )
+    # wait for the child to report acquisition, then SIGKILL it
+    line = child.stdout.readline()
+    assert "ACQUIRED" in line
+    child.send_signal(signal.SIGKILL)
+    child.wait(timeout=30)
+    from hive_spark.txn import write_lock
+
+    t0 = _t.monotonic()
+    with write_lock(path, timeout=10.0):
+        pass  # acquired by expiring the dead holder's row
+    assert _t.monotonic() - t0 < 8.0
+
+
+def test_lockdb_show_locks_reads_db(tmp_path, monkeypatch, spark):
+    """SHOW LOCKS surfaces DB lock rows for registered versioned
+    tables."""
+    db = str(tmp_path / "locks.sqlite")
+    monkeypatch.setenv("HIVE_SPARK_LOCKDB", db)
+    from hive_spark.hqlscript import VERSIONED_TABLES, register_versioned, run_script
+    from hive_spark.txn import write_lock
+
+    ta = str(tmp_path / "locked")
+    snapshots.write_version(spark.range(2), ta)
+    register_versioned("locked_db_tbl", ta)
+    try:
+        with write_lock(ta):
+            rows = run_script(spark, "SHOW LOCKS;").results[-1].collect()
+            mine = [r for r in rows if r.table == "locked_db_tbl"]
+            assert len(mine) == 1
+            assert mine[0].holder_pid == os.getpid() and mine[0].holder_alive
+        rows = run_script(spark, "SHOW LOCKS;").results[-1].collect()
+        assert not [r for r in rows if r.table == "locked_db_tbl"]
+    finally:
+        VERSIONED_TABLES.pop("locked_db_tbl", None)
