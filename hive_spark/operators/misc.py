@@ -213,6 +213,90 @@ ORDER BY l_returnflag
 """
 
 
+_STAR_MVS: dict = {}
+
+
+def mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join MV with JOIN-CONTAINMENT rewrite, end-to-end (r5; ref:
+    ql/.../optimizer/calcite/rules/views/HiveMaterializedViewRule.java):
+    materialize store_sales x date_dim x item pre-aggregated on
+    (d_year, d_moy, i_brand, i_brand_id, i_manufact_id), then run a
+    TPC-DS q3-family query — same joins, dim filters, coarser GROUP BY —
+    through ``try_rewrite``. The rewrite must HIT (asserted: no fact
+    relation in the executed plan, tests/test_mv_containment.py), and
+    the oracle computes the same query from the BASE tables, so the hash
+    match proves join-containment derivation is sound.
+
+    At scale: the MV holds one row per (year, month, brand, manufact)
+    combination — the fact scan and the 3-way shuffle join are replaced
+    by a parquet read orders of magnitude smaller."""
+    from hive_spark.operators.tpcds import _register_star
+    from hive_spark.plans.star_mv import StarJoinMV
+
+    _register_star(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _STAR_MVS:
+        _STAR_MVS[key] = StarJoinMV(
+            spark,
+            f"q3_family_{os.path.basename(os.path.normpath(sf_dir))}",
+            spark.table("store_sales"),
+            [
+                (spark.table("date_dim"), "ss_sold_date_sk", "d_date_sk"),
+                (spark.table("item"), "ss_item_sk", "i_item_sk"),
+            ],
+            ["d_year", "d_moy", "i_brand", "i_brand_id", "i_manufact_id"],
+            {
+                "sum_cents": (
+                    "sum",
+                    "CAST(round(ss_ext_sales_price * 100) AS BIGINT)",
+                ),
+                "n_rows": ("count", "*"),
+            },
+        )
+    mv = _STAR_MVS[key]
+    q = spark.sql(
+        """
+        SELECT dt.d_year, item.i_brand_id AS brand_id,
+               item.i_brand AS brand,
+               SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT))
+                 AS sum_cents
+        FROM date_dim dt, store_sales, item
+        WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+          AND store_sales.ss_item_sk = item.i_item_sk
+          AND item.i_manufact_id = 4
+          AND dt.d_moy = 12
+        GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+        """
+    )
+    hit = mv.try_rewrite(q)
+    out = hit if hit is not None else q
+    return out.select(
+        "d_year",
+        "brand_id",
+        "brand",
+        (F.col("sum_cents").cast("double") / 100).alias("sum_agg"),
+    ).orderBy("d_year", F.desc("sum_agg"), "brand_id")
+
+
+def _mv_star_oracle() -> str:
+    from hive_spark.operators.tpcds import _oracle
+
+    return _oracle(
+        """
+SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+       CAST(SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS sum_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manufact_id = 4
+  AND dt.d_moy = 12
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+ORDER BY dt.d_year, sum_agg DESC, brand_id
+"""
+    )
+
+
 def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram via width_bucket (Hive GenericUDFWidthBucket,
     ref udf/generic/GenericUDFWidthBucket.java; the deterministic sibling
@@ -307,5 +391,10 @@ REGISTRY: dict[str, QuerySpec] = {
         mv_rollup_containment,
         _MV_ROLLUP_SQL,
         "aggregate MV answers a coarser filtered rollup; oracle = base table",
+    ),
+    "mv_star_join": QuerySpec(
+        mv_star_join,
+        _mv_star_oracle(),
+        "star-join MV join-containment rewrite; oracle = base star join",
     ),
 }

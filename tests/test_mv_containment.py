@@ -203,3 +203,112 @@ def test_incremental_refresh_equals_full_rebuild(spark, sf_dir, tmp_path):
     # widening is capped, merge rules are idempotent over new deltas)
     inc.refresh_incremental(delta.limit(0))
     assert _rows(inc.answer(["l_returnflag"], q), "l_returnflag") == want
+
+
+# ---------------------------------------------------------------------------
+# Star-join MV (r5): join-containment rewrite
+# (HiveMaterializedViewRule join derivability + residual dimensions)
+
+
+@pytest.fixture(scope="module")
+def star_mv(spark, sf_dir, tmp_path_factory):
+    from hive_spark.operators.tpcds import _register_star
+    from hive_spark.plans.star_mv import StarJoinMV
+
+    _register_star(spark, sf_dir)
+    mv = StarJoinMV(
+        spark,
+        "t_star",
+        spark.table("store_sales"),
+        [(spark.table("date_dim"), "ss_sold_date_sk", "d_date_sk"),
+         (spark.table("item"), "ss_item_sk", "i_item_sk")],
+        ["d_year", "d_moy", "i_brand", "i_brand_id", "i_manufact_id",
+         "ss_store_sk"],
+        {"sum_cents": ("sum",
+                       "CAST(round(ss_ext_sales_price * 100) AS BIGINT)"),
+         "n": ("count", "*")},
+        root=str(tmp_path_factory.mktemp("starmv")),
+    )
+    return mv
+
+
+def test_star_mv_q3_family_hit(spark, star_mv):
+    """Same joins + dim filters + coarser GROUP BY: answered from the MV
+    with NO fact relation in the executed plan."""
+    q = spark.sql("""
+        SELECT dt.d_year, item.i_brand_id AS brand_id,
+               SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS s
+        FROM date_dim dt, store_sales, item
+        WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+          AND store_sales.ss_item_sk = item.i_item_sk
+          AND dt.d_moy = 12
+        GROUP BY dt.d_year, item.i_brand_id
+    """)
+    hit = star_mv.try_rewrite(q)
+    assert hit is not None
+    assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, q.collect()))
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "t_star" in plan  # MV parquet scan
+    assert "lineitem" not in plan  # the fact's backing relation is gone
+
+
+def test_star_mv_residual_dim_rejoin(spark, star_mv):
+    """A query joining an EXTRA dim (store, not in the MV) through an MV
+    group key is answered by re-joining store onto the rolled-up MV."""
+    q = spark.sql("""
+        SELECT d_year, s_county,
+               SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM store_sales, date_dim, item, store
+        WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+          AND ss_store_sk = s_store_sk
+        GROUP BY d_year, s_county
+    """)
+    hit = star_mv.try_rewrite(q)
+    assert hit is not None
+    assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, q.collect()))
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "t_star" in plan and "lineitem" not in plan
+
+
+def test_star_mv_rejections(spark, star_mv):
+    """Filters on collapsed fact columns and non-derivable aggregates
+    must MISS (run from base), never be answered wrong."""
+    # filter on a non-group-key fact column the MV collapsed
+    q1 = spark.sql("""
+        SELECT d_year, SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS s
+        FROM store_sales, date_dim, item
+        WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+          AND ss_quantity > 10
+        GROUP BY d_year
+    """)
+    assert star_mv.try_rewrite(q1) is None
+    # non-derivable aggregate (no avg partials stored for this input)
+    q2 = spark.sql("""
+        SELECT d_year, MAX(ss_net_profit) AS m
+        FROM store_sales, date_dim, item
+        WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        GROUP BY d_year
+    """)
+    assert star_mv.try_rewrite(q2) is None
+    # missing one of the MV's joins (query over fact x date only): the
+    # MV's item join could DROP fact rows -> must not answer
+    q3 = spark.sql("""
+        SELECT d_year, SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS s
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk
+        GROUP BY d_year
+    """)
+    assert star_mv.try_rewrite(q3) is None
+
+
+def test_star_mv_registry_query(spark, sf_dir):
+    """The registry entry transparently hits the MV (plan check) and its
+    result survives the rewrite (oracle parity is the driver's check)."""
+    from hive_spark.operators.misc import mv_star_join
+
+    out = mv_star_join(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "q3_family_" in plan and "lineitem" not in plan
+    assert out.columns == ["d_year", "brand_id", "brand", "sum_agg"]
+    out.collect()
