@@ -9,6 +9,7 @@ scripts/qtest_triage.py so all three run the same catalog.
 """
 
 import os
+import re
 import shutil
 
 from pyspark.sql import functions as F
@@ -179,8 +180,10 @@ def run_and_cleanup(
 ):
     """Run one verbatim script; afterwards drop whatever tables/views/
     databases it created (QTestUtil.clearTablesCreatedDuringTests /
-    clearKeysCreatedInTests analog) and restore the current database.
-    Returns the ScriptResult."""
+    clearKeysCreatedInTests analog), restore every conf key the script
+    SET (QTestUtil resets HiveConf between tests —
+    itests/util/.../ql/QTestUtil.java), reset the per-session authz
+    state, and restore the current database. Returns the ScriptResult."""
     from hive_spark.hqlscript import run_script
 
     path = os.path.join(QDIR, fname)
@@ -188,9 +191,33 @@ def run_and_cleanup(
 
     sched = ScheduledQueryRegistry(spark)
     pre_sched = {q.name for q in sched.list()}
+    text = open(path).read()
+    # snapshot every conf key this script SETs so a leaked knob
+    # (authorization.enabled, shuffle partitions, overwrite mode, ...)
+    # can't poison later tests in the shared session
+    conf_keys = re.findall(r"(?im)^\s*set\s+([\w.]+)\s*=", text)
+    conf_prev = {}
+    for k in conf_keys:
+        try:
+            conf_prev[k] = spark.conf.get(k)
+        except Exception:
+            conf_prev[k] = None
     try:
-        return run_script(spark, open(path).read())
+        return run_script(spark, text)
     finally:
+        for k, v in conf_prev.items():
+            try:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:
+                pass
+        # roles/grants a script creates are session-scoped in Hive's
+        # qtests too (QTestUtil tears the session down); drop ours
+        from hive_spark import authz as _authz
+
+        _authz._STATES.pop(id(spark), None)
         from hive_spark.sources.jdbc_handler import drop_memory_databases
 
         drop_memory_databases(spark)
