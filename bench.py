@@ -146,7 +146,15 @@ def _build_scaled_dir(spark, src: str, k: int) -> str:
                     for i in range(k)
                 ]
             else:
-                offset = okey_offset
+                # lineitem/orders share the orderkey domain (one offset,
+                # computed above); any OTHER fact shifts by its own
+                # max(key)+1 — reusing okey_offset would collide ids
+                # whenever max(doc_id) >= okey_offset (r6 ADVICE low)
+                offset = (
+                    okey_offset
+                    if key in ("l_orderkey", "o_orderkey")
+                    else df.agg(F.max(key)).collect()[0][0] + 1
+                )
                 parts = [
                     df.withColumn(key, F.col(key) + F.lit(i * offset)) for i in range(k)
                 ]

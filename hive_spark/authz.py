@@ -383,35 +383,122 @@ def _has_priv(st: _AuthState, db: str, tbl: str, priv: str) -> bool:
     return False
 
 
-def check_statement(spark: SparkSession, stmt: str) -> None:
+def _is_gated_object(spark: SparkSession, db: str, tbl: str) -> bool:
+    """True for metastore tables/views; temp views and CTE aliases are
+    session-local and Hive doesn't gate them."""
+    try:
+        if not spark.catalog.tableExists(f"{db}.{tbl}"):
+            if not spark.catalog.tableExists(tbl):
+                return False
+            if any(
+                t.name == tbl and t.isTemporary
+                for t in spark.catalog.listTables()
+            ):
+                return False
+    except Exception:
+        return False
+    return True
+
+
+# EXPLAIN authorizes like the statement it wraps (Hive runs SQLStd authz
+# at compile time, and EXPLAIN ANALYZE actually EXECUTES the query)
+_EXPLAIN_HEAD = re.compile(
+    r"(?i)^\s*EXPLAIN\s+(?:(?:ANALYZE|EXTENDED|FORMATTED|DEPENDENCY|"
+    r"LOGICAL|AUTHORIZATION|DDL|CBO|COST|LOCKS|AST|"
+    r"VECTORIZATION(?:\s+(?:ONLY|SUMMARY|OPERATOR|EXPRESSION|DETAIL))*)\s+)*"
+)
+_EXECUTE_HEAD = re.compile(r"(?i)^\s*EXECUTE\s+`?(\w+)`?")
+
+# DDL that SQLStdHiveAuthorizationValidator gates on object OWNERSHIP
+# (or the admin role): ALTER/DROP/TRUNCATE — including partial DROP
+# PARTITION and EXCHANGE PARTITION, which arrive as ALTER TABLE
+_DDL_OWNER = re.compile(
+    r"(?i)^\s*(?:"
+    r"ALTER\s+(?:TABLE|VIEW|MATERIALIZED\s+VIEW)\s+`?([\w.]+)`?"
+    r"|DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.]+)`?"
+    r"|DROP\s+(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?`?([\w.]+)`?"
+    r"|TRUNCATE\s+(?:TABLE\s+)?`?([\w.]+)`?"
+    r")"
+)
+_EXPORT_RE = re.compile(r"(?i)^\s*EXPORT\s+TABLE\s+`?([\w.]+)`?")
+_IMPORT_RE = re.compile(
+    r"(?i)^\s*IMPORT\s+(?:EXTERNAL\s+)?(?:TABLE\s+)?`?([\w.]+)`?"
+)
+
+
+def _deny(user: str, denied: list, op: str) -> None:
+    objs = "], [".join(f"{pr}] on Object [type=TABLE_OR_VIEW, "
+                       f"name={nm}" for pr, nm in sorted(denied))
+    raise HiveAccessControlError(
+        f"Permission denied: Principal [name={user}, type=USER] does"
+        f" not have following privileges for operation {op} [[{objs}]]"
+    )
+
+
+def check_statement(
+    spark: SparkSession, stmt: str, prepared: dict | None = None
+) -> None:
     """Raise HiveAccessControlError unless the current principal set may
-    run `stmt`. No-op when enforcement is disabled (default)."""
+    run `stmt`. No-op when enforcement is disabled (default).
+
+    Runs ONCE at the top of the per-statement loop (r6 ADVICE: checking
+    late in the handler chain let EXPLAIN ANALYZE, EXECUTE, EXPORT/
+    IMPORT, partition DDL and LOAD DATA bypass enforcement entirely).
+    ``prepared`` maps prepared-statement names to their SQL so EXECUTE
+    is authorized against the statement it runs."""
     if not enforcement_enabled(spark):
         return
     st = _state(spark)
     if "admin" in st.current_roles:
         return  # admin role active: all privileges (SQLStdAuth)
-    wm = _WRITE_TARGET.match(stmt)
+    user = current_user()
+
+    body = stmt
+    em = _EXECUTE_HEAD.match(body)
+    if em and prepared:
+        body = prepared.get(em.group(1).lower(), body)
+    body = _EXPLAIN_HEAD.sub("", body, count=1)
+
+    dm = _DDL_OWNER.match(body)
+    if dm:
+        name = next(g for g in dm.groups() if g)
+        db, tbl = _resolve(spark, name)
+        if (
+            _is_gated_object(spark, db, tbl)
+            and st.owners.get((db, tbl)) != user
+        ):
+            _deny(user, [("OBJECT OWNERSHIP", f"{db}.{tbl}")],
+                  body.split(None, 1)[0].upper())
+        return
+    xm = _EXPORT_RE.match(body)
+    im = _IMPORT_RE.match(body) if not xm else None
+    if xm or im:
+        # EXPORT reads the table (SELECT); IMPORT writes it (INSERT)
+        name, need = (xm.group(1), "SELECT") if xm else (im.group(1), "INSERT")
+        db, tbl = _resolve(spark, name)
+        gated = _is_gated_object(spark, db, tbl)
+        # IMPORT may create the target — a nonexistent target is a
+        # CREATE, which SQLStd allows to any user in the default db
+        if gated and st.owners.get((db, tbl)) != user and not _has_priv(
+            st, db, tbl, need
+        ):
+            _deny(user, [(need, f"{db}.{tbl}")], "EXPORT" if xm else "IMPORT")
+        return
+
+    wm = _WRITE_TARGET.match(body)
     write_name, write_priv = None, None
     if wm:
         gi = next(i for i in range(1, 6) if wm.group(i))
         write_name, write_priv = wm.group(gi), _WRITE_PRIV[gi]
-    user = current_user()
+    names = _statement_relations(spark, body)
+    if write_name:
+        # LOAD DATA (and other writes Spark's parser renders without an
+        # UnresolvedRelation) still gates the write-target table
+        names.add(write_name)
     denied = []
-    for name in _statement_relations(spark, stmt):
+    for name in names:
         db, tbl = _resolve(spark, name)
-        try:
-            # temp views and CTE aliases are session-local, not
-            # metastore objects — Hive doesn't gate them
-            if not spark.catalog.tableExists(f"{db}.{tbl}"):
-                if not spark.catalog.tableExists(tbl):
-                    continue
-                if any(
-                    t.name == tbl and t.isTemporary
-                    for t in spark.catalog.listTables()
-                ):
-                    continue
-        except Exception:
+        if not _is_gated_object(spark, db, tbl):
             continue
         if st.owners.get((db, tbl)) == user:
             continue
@@ -423,9 +510,4 @@ def check_statement(spark: SparkSession, stmt: str) -> None:
         if not _has_priv(st, db, tbl, need):
             denied.append((need, f"{db}.{tbl}"))
     if denied:
-        objs = "], [".join(f"{pr}] on Object [type=TABLE_OR_VIEW, "
-                           f"name={nm}" for pr, nm in sorted(denied))
-        raise HiveAccessControlError(
-            f"Permission denied: Principal [name={user}, type=USER] does"
-            f" not have following privileges for operation QUERY [[{objs}]]"
-        )
+        _deny(user, denied, "QUERY")

@@ -2413,6 +2413,16 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
     try:
         for stmt in split_statements(text):
             stmt = _substitute_vars(stmt, res)
+            # privilege enforcement FIRST (no-op unless
+            # hive.security.authorization.enabled=true), before ANY
+            # handler can run the statement — checking later in the
+            # chain let EXPLAIN ANALYZE (which executes), EXECUTE of
+            # prepared statements, partition DDL, EXPORT/IMPORT and
+            # LOAD DATA bypass enforcement (r6 ADVICE; Hive authorizes
+            # at compile time in SQLStdHiveAuthorizationValidator)
+            from hive_spark import authz
+
+            authz.check_statement(spark, stmt, prepared=res.prepared)
             m = _CREATE_MACRO.match(stmt)
             if m:
                 name, sig, body = m.group(1).lower(), m.group(2), m.group(3)
@@ -2666,8 +2676,6 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                         res.txn.rollback()
                     _restore_latest_views(spark)
                 continue
-            from hive_spark import authz
-
             auth = authz.handle(spark, stmt)
             if auth is not None:
                 if auth is not True and auth.columns:
@@ -2675,10 +2683,6 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                         spark.createDataFrame(auth.collect(), auth.schema)
                     )
                 continue
-            # privilege enforcement (no-op unless
-            # hive.security.authorization.enabled=true): gate the
-            # statement's input/output tables on the session's grants
-            authz.check_statement(spark, stmt)
             cm = _CREATE_NAME.match(stmt) or re.match(
                 r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?"
                 r"VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?",

@@ -89,12 +89,21 @@ def _pid_alive_local(host: str, pid: int) -> bool | None:
         return False
 
 
+class LockLost(RuntimeError):
+    """The held lock's row disappeared — a waiter expired it while this
+    process was paused/silent past EXPIRE_S. TxnHandler aborts the
+    transaction on heartbeat miss ("No such lock, lock expired"); the
+    holder must NOT publish under it — continuing would be split-brain
+    (two live writers on one table)."""
+
+
 class DbLockManager:
     """TxnHandler's lock half over one central database file."""
 
     def __init__(self, path: str | None = None):
         self.path = path or db_path()
         self._heartbeats: dict[int, threading.Event] = {}
+        self._lost: set[int] = set()
 
     # -- protocol ----------------------------------------------------------
     def _expire_stale(self, con: sqlite3.Connection) -> None:
@@ -174,11 +183,21 @@ class DbLockManager:
                 try:
                     con = _connect(self.path)
                     try:
-                        con.execute(
+                        cur = con.execute(
                             "UPDATE hive_locks SET hl_last_heartbeat=?"
                             " WHERE hl_id=?",
                             (time.time(), lock_id),
                         )
+                        if cur.rowcount == 0:
+                            # our row is GONE: a waiter expired us while
+                            # this process was paused (SIGSTOP/GC stall).
+                            # Heartbeating into 0 rows and writing on
+                            # would be split-brain — flag the loss and
+                            # stop; release()/check() raise LockLost
+                            # (TxnHandler aborts on heartbeat miss).
+                            if not stop.is_set():
+                                self._lost.add(lock_id)
+                            return
                     finally:
                         con.close()
                 except sqlite3.Error:
@@ -186,15 +205,35 @@ class DbLockManager:
 
         threading.Thread(target=beat, daemon=True).start()
 
+    def lost(self, lock_id: int) -> bool:
+        return lock_id in self._lost
+
+    def check(self, lock_id: int) -> None:
+        """Raise if this lock was lost — call before publishing results
+        produced under it."""
+        if lock_id in self._lost:
+            raise LockLost(
+                f"lock {lock_id} expired while held (holder paused past"
+                f" {EXPIRE_S}s and a waiter reclaimed the row); aborting"
+                " instead of publishing under a stolen lock"
+            )
+
     def release(self, lock_id: int) -> None:
         stop = self._heartbeats.pop(lock_id, None)
         if stop is not None:
             stop.set()
         con = _connect(self.path)
         try:
-            con.execute("DELETE FROM hive_locks WHERE hl_id=?", (lock_id,))
+            cur = con.execute(
+                "DELETE FROM hive_locks WHERE hl_id=?", (lock_id,)
+            )
+            if cur.rowcount == 0:
+                # nothing to delete = the row was expired out from under
+                # us; surface it even if no heartbeat ran in the window
+                self._lost.add(lock_id)
         finally:
             con.close()
+        self.check(lock_id)
 
     def locks(self) -> list[dict]:
         """All live lock rows (SHOW LOCKS source)."""
@@ -229,9 +268,19 @@ class DbLockManager:
 
 @contextmanager
 def lock(table_path: str, timeout: float = 30.0, poll: float = 0.05):
+    """Yields the manager so long writes can mgr.check(id) mid-flight;
+    a CLEAN exit re-verifies the row and raises LockLost if it was
+    expired away (the publish gate). A body exception wins over
+    LockLost so the original failure isn't masked."""
     mgr = DbLockManager()
     lock_id = mgr.acquire(table_path, timeout=timeout, poll=poll)
     try:
-        yield
-    finally:
+        yield mgr
+    except BaseException:
+        try:
+            mgr.release(lock_id)
+        except LockLost:
+            pass  # the body's exception is the one that matters
+        raise
+    else:
         mgr.release(lock_id)

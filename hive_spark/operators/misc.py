@@ -216,20 +216,12 @@ ORDER BY l_returnflag
 _STAR_MVS: dict = {}
 
 
-def mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-join MV with JOIN-CONTAINMENT rewrite, end-to-end (r5; ref:
-    ql/.../optimizer/calcite/rules/views/HiveMaterializedViewRule.java):
-    materialize store_sales x date_dim x item pre-aggregated on
-    (d_year, d_moy, i_brand, i_brand_id, i_manufact_id), then run a
-    TPC-DS q3-family query — same joins, dim filters, coarser GROUP BY —
-    through ``try_rewrite``. The rewrite must HIT (asserted: no fact
-    relation in the executed plan, tests/test_mv_containment.py), and
-    the oracle computes the same query from the BASE tables, so the hash
-    match proves join-containment derivation is sound.
-
-    At scale: the MV holds one row per (year, month, brand, manufact)
-    combination — the fact scan and the 3-way shuffle join are replaced
-    by a parquet read orders of magnitude smaller."""
+def _get_star_mv(spark: SparkSession, sf_dir: str):
+    """The q3-family star MV, constructed once per (session, sf_dir).
+    Matching inside try_rewrite uses sameResult against plan handles
+    captured at materialization time, so the cached MV keeps firing
+    after source views are re-registered with the same definition (and
+    correctly misses if they are re-registered over different data)."""
     from hive_spark.operators.tpcds import _register_star
     from hive_spark.plans.star_mv import StarJoinMV
 
@@ -253,7 +245,24 @@ def mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows": ("count", "*"),
             },
         )
-    mv = _STAR_MVS[key]
+    return _STAR_MVS[key]
+
+
+def mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join MV with JOIN-CONTAINMENT rewrite, end-to-end (r5; ref:
+    ql/.../optimizer/calcite/rules/views/HiveMaterializedViewRule.java):
+    materialize store_sales x date_dim x item pre-aggregated on
+    (d_year, d_moy, i_brand, i_brand_id, i_manufact_id), then run a
+    TPC-DS q3-family query — same joins, dim filters, coarser GROUP BY —
+    through ``try_rewrite``. The rewrite must HIT (asserted: no fact
+    relation in the executed plan, tests/test_mv_containment.py), and
+    the oracle computes the same query from the BASE tables, so the hash
+    match proves join-containment derivation is sound.
+
+    At scale: the MV holds one row per (year, month, brand, manufact)
+    combination — the fact scan and the 3-way shuffle join are replaced
+    by a parquet read orders of magnitude smaller."""
+    mv = _get_star_mv(spark, sf_dir)
     q = spark.sql(
         """
         SELECT dt.d_year, item.i_brand_id AS brand_id,
@@ -276,6 +285,54 @@ def mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand",
         (F.col("sum_cents").cast("double") / 100).alias("sum_agg"),
     ).orderBy("d_year", F.desc("sum_agg"), "brand_id")
+
+
+def mv_star_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-aggregate derivability guard (ref: Hive's
+    MaterializedViewAggregateRule in ql/.../optimizer/calcite/rules/views/
+    rejects rollups it cannot derive): SUM(DISTINCT x) whose input text
+    exactly matches a stored NON-distinct partial must MISS the MV and be
+    answered from the base tables. The oracle computes the true DISTINCT
+    sum, so a bad rewrite (merging non-distinct partials) would
+    hash-mismatch — this registry row is the executable proof the r6
+    ADVICE-high wrong-answer hole is closed."""
+    mv = _get_star_mv(spark, sf_dir)
+    q = spark.sql(
+        """
+        SELECT dt.d_year,
+               SUM(DISTINCT CAST(round(ss_ext_sales_price * 100) AS BIGINT))
+                 AS sum_cents
+        FROM date_dim dt, store_sales, item
+        WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+          AND store_sales.ss_item_sk = item.i_item_sk
+          AND dt.d_moy = 12
+        GROUP BY dt.d_year
+        """
+    )
+    hit = mv.try_rewrite(q)
+    assert hit is None, "DISTINCT agg must not be answered from plain partials"
+    return q.select(
+        "d_year",
+        (F.col("sum_cents").cast("double") / 100).alias("sum_distinct_agg"),
+    ).orderBy("d_year")
+
+
+def _mv_star_distinct_oracle() -> str:
+    from hive_spark.operators.tpcds import _oracle
+
+    return _oracle(
+        """
+SELECT dt.d_year,
+       CAST(SUM(DISTINCT CAST(round(ss_ext_sales_price * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS sum_distinct_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND dt.d_moy = 12
+GROUP BY dt.d_year
+ORDER BY dt.d_year
+"""
+    )
 
 
 def _mv_star_oracle() -> str:
@@ -396,5 +453,11 @@ REGISTRY: dict[str, QuerySpec] = {
         mv_star_join,
         _mv_star_oracle(),
         "star-join MV join-containment rewrite; oracle = base star join",
+    ),
+    "mv_star_distinct_guard": QuerySpec(
+        mv_star_distinct_guard,
+        _mv_star_distinct_oracle(),
+        "SUM(DISTINCT) must miss the MV (non-derivable); oracle = true "
+        "distinct sum from base tables",
     ),
 }

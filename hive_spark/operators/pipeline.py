@@ -132,6 +132,55 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# Fair-comparison twin for bench_compare (NOT the correctness oracle):
+# the Spark side's cost includes a lang-partitioned parquet sink of the
+# full deduped rows plus the readback summary; timing DuckDB on the
+# summary SELECT alone overstated the ratio ~12x (r4-r6 "harness
+# asymmetry"). These two statements give DuckDB the same work: COPY the
+# same columns partitioned by lang, then summarize from the readback.
+_PIPELINE_DUCK_WRITE = """
+COPY (
+    WITH toks AS (
+        SELECT doc_id, lang, text, source, n_chars,
+               list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, lang, text, source, n_chars, len(t) AS n_tokens
+        FROM toks
+        WHERE length(text) >= 50
+          AND len(t) >= 10
+          AND CAST(len(list_filter(t, x -> lower(x) IN
+                   ('the','a','of','and','to'))) AS DOUBLE) / len(t) <= 0.5
+          AND lang IN ('en', 'de', 'fr')
+    )
+    SELECT md5(text) AS digest, doc_id, text, lang, source, n_chars,
+           n_tokens
+    FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM gated
+    ) WHERE doc_id = keep_id
+) TO '{dir}' (FORMAT PARQUET, PARTITION_BY (lang), OVERWRITE_OR_IGNORE)
+"""
+
+_PIPELINE_DUCK_SUMMARY = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM read_parquet('{dir}/*/*.parquet', hive_partitioning = true)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def duck_pipeline_equivalent(con, scratch_dir: str):
+    """Run the oracle with the SAME side effects as the Spark operator
+    (partitioned parquet write + summary from readback); returns the
+    summary rows. Used by bench_compare for an apples-to-apples ratio."""
+    shutil.rmtree(scratch_dir, ignore_errors=True)
+    con.execute(_PIPELINE_DUCK_WRITE.format(dir=scratch_dir))
+    return con.sql(_PIPELINE_DUCK_SUMMARY.format(dir=scratch_dir)).fetchall()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "training_data_pipeline": QuerySpec(training_data_pipeline, _PIPELINE_SQL),
 }

@@ -219,11 +219,13 @@ class AggregateMV:
             expr = F.count(F.lit(1)) if (fn, col) == ("count", "*") else getattr(F, fn)(col)
             aggs.append(expr.alias(out))
         base_df.groupBy(*group_keys).agg(*aggs).write.mode("overwrite").parquet(self.path)
-        # canonical analyzed plan of the base relation — what try_rewrite
-        # structurally matches incoming aggregate children against
-        self._base_canon = _EXPR_ID.sub(
-            "#x", base_df._jdf.queryExecution().analyzed().toString()
-        )
+        # analyzed plan handle of the base relation captured at
+        # materialization time — try_rewrite matches incoming aggregate
+        # children with sameResult (canonicalized-plan equality), which
+        # survives same-definition view re-registration (wrappers are
+        # canonicalized away) and gates on staleness (a base re-registered
+        # over different files/definition no longer matches)
+        self._base_plan = base_df._jdf.queryExecution().analyzed()
 
     def _find_partial(self, fn: str, col: str) -> str | None:
         for out, spec in self.measures.items():
@@ -331,7 +333,7 @@ class AggregateMV:
                     where,
                 )
             child = _unalias(child.child())
-        if _EXPR_ID.sub("#x", child.toString()) != self._base_canon:
+        if not self._base_plan.sameResult(child):
             return None
 
         def _col(sql: str) -> str:
@@ -360,6 +362,10 @@ class AggregateMV:
                 return None
             agg_expr = ne.child()
             if agg_expr.getClass().getSimpleName() != "AggregateExpression":
+                return None
+            if agg_expr.isDistinct() or agg_expr.filter().isDefined():
+                # stored partials are plain: SUM(DISTINCT x) / FILTER
+                # clauses are not derivable from them — force a miss
                 return None
             fn_obj = agg_expr.aggregateFunction()
             fn = self._FN_MAP.get(fn_obj.getClass().getSimpleName())

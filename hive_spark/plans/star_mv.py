@@ -12,10 +12,22 @@ containment for this engine's plans:
   expressions);
 - ``try_rewrite`` structurally matches an incoming Aggregate plan whose
   join set CONTAINS the MV's joins on the same keys: every MV relation
-  and MV join edge must appear in the query (relations compared by
-  canonical analyzed-plan text, edges by (relation, column) pairs, so a
-  comma-join with WHERE conditions and an explicit JOIN ... ON match
-  identically);
+  and MV join edge must appear in the query. Relations are compared
+  with Spark's ``LogicalPlan.sameResult`` (canonicalized-plan equality)
+  against the plan handles captured when the MV was MATERIALIZED. That
+  is simultaneously the re-resolution Hive performs per match
+  (HiveMaterializedViewsRegistry re-resolves MV definitions against
+  current metastore state — a temp view re-registered with the same
+  definition gains View/SubqueryAlias wrappers that canonicalization
+  strips, so the rewrite still hits) and the STALENESS gate Hive
+  applies before rewriting (canonicalized file relations carry their
+  data location, so a source re-registered over different files or with
+  a different definition no longer matches and the rewrite MISSES
+  rather than answering from stale MV rows);
+- each MV relation must match a DISTINCT query relation (multiset
+  containment): a query referencing an MV dimension twice is rejected,
+  never collapsed onto one leaf with the duplicate's filters misapplied
+  to MV rows;
 - residual relations (query joins the MV lacks) are RE-JOINED onto the
   rolled-up MV, provided they attach through an MV group key — the
   residual-dimension case of Hive's rule;
@@ -24,6 +36,9 @@ containment for this engine's plans:
   relations (applied after the re-join);
 - aggregates must be derivable from stored partials (sum<-sum,
   count<-sum of count, min/max re-merge, avg <- sum/count pair).
+  DISTINCT aggregates and FILTER clauses are NOT derivable from plain
+  partials — ``isDistinct()`` / ``filter().isDefined()`` force a miss
+  (MaterializedViewAggregateRule's distinct-agg derivability guard).
 
 At 100 TB the rewrite replaces a fact scan + N-way shuffle join with a
 scan of an MV that is orders of magnitude smaller; the residual dims
@@ -38,15 +53,9 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_spark.plans import _EXPR_ID
-
 _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 _FN_MAP = {"Sum": "sum", "Count": "count", "Min": "min", "Max": "max",
            "Average": "avg"}
-
-
-def _canon(jnode) -> str:
-    return _EXPR_ID.sub("#x", jnode.toString())
 
 
 def _norm_sql(sql: str) -> str:
@@ -72,14 +81,6 @@ def _split_conjuncts(cond) -> list:
     if cond.getClass().getSimpleName() == "And":
         return _split_conjuncts(cond.left()) + _split_conjuncts(cond.right())
     return [cond]
-
-
-def _refs(expr) -> set:
-    out = set()
-    it = expr.references().iterator()
-    while it.hasNext():
-        out.add(it.next().name())
-    return out
 
 
 def _ref_ids(expr) -> set:
@@ -108,7 +109,6 @@ class StarJoinMV:
         group_keys: list,
         measures: dict,
         root: str = "/tmp/hive_spark_starmv",
-        source_tables: tuple | None = None,
     ):
         for out, (fn, _inp) in measures.items():
             if fn not in _MERGE:
@@ -117,6 +117,9 @@ class StarJoinMV:
         self.group_keys = list(group_keys)
         self.measures = dict(measures)
         self.path = os.path.join(root, name)
+        self._dim_cols = [
+            (fc.split(".")[-1], dc.split(".")[-1]) for _d, fc, dc in dims
+        ]
 
         joined = fact
         for dim_df, fact_col, dim_col in dims:
@@ -154,43 +157,21 @@ class StarJoinMV:
                 norm = "*"
             self._norm_measures[ne.name()] = (fn, norm)
 
-        # canonical leaves + join edges of the DEFINITION. When
-        # ``source_tables`` names the fact/dim TABLES (fact_name,
-        # [(dim_name, fact_col, dim_col), ...]), the canons are refreshed
-        # from live spark.table() handles on every try_rewrite — a
-        # re-registered temp view (new analyzed text for the same name)
-        # must not silently turn every rewrite into a miss (r5 judge
-        # What's-wrong #2; Hive re-resolves the MV definition against
-        # the current metastore state on every Calcite match).
-        self._source_tables = source_tables
-        self._dim_cols = [
-            (fc.split(".")[-1], dc.split(".")[-1]) for _d, fc, dc in dims
-        ]
-        self._set_canons(fact, [d for d, _f, _c in dims])
-
-    def _set_canons(self, fact_df: DataFrame, dim_dfs: list) -> None:
-        self.leaf_canons = [
-            _canon(_unalias(fact_df._jdf.queryExecution().analyzed()))
+        # analyzed plan handles of the DEFINITION's relations, captured at
+        # materialization time: ``sameResult`` against these is both the
+        # match test and the staleness gate (see module docstring). The
+        # handles never go semantically stale — they denote exactly the
+        # data the MV parquet was built from.
+        self._mv_leaves = [
+            _unalias(fact._jdf.queryExecution().analyzed())
+        ] + [
+            _unalias(d._jdf.queryExecution().analyzed()) for d, _f, _c in dims
         ]
         self.edges: set = set()
-        fact_canon = self.leaf_canons[0]
-        for dim_df, (fact_col, dim_col) in zip(dim_dfs, self._dim_cols):
-            dc = _canon(_unalias(dim_df._jdf.queryExecution().analyzed()))
-            self.leaf_canons.append(dc)
+        for j, (fact_col, dim_col) in enumerate(self._dim_cols):
             self.edges.add(
-                frozenset({(fact_canon, fact_col), (dc, dim_col)})
+                frozenset({(("mv", 0), fact_col), (("mv", j + 1), dim_col)})
             )
-
-    def _refresh_canons(self) -> None:
-        if self._source_tables is None:
-            return
-        fact_name, dim_specs = self._source_tables
-        try:
-            fact_df = self.spark.table(fact_name)
-            dim_dfs = [self.spark.table(d) for d, _f, _c in dim_specs]
-        except Exception:
-            return  # views gone; keep the stored canons (rewrite misses)
-        self._set_canons(fact_df, dim_dfs)
 
     # -- matching ----------------------------------------------------------
     def _gather(self, node, conjuncts, leaves) -> bool:
@@ -213,6 +194,31 @@ class StarJoinMV:
         leaves.append(node)
         return True
 
+    def _match_leaves(self, leaves) -> list | None:
+        """Identity key per query leaf: ("mv", j) when it is the j-th MV
+        relation (sameResult vs the materialization-time handle), else
+        ("res", i). None when containment fails — an MV relation missing
+        from the query, or referenced more than once (multiset check)."""
+        keys: list = []
+        used: set = set()
+        for i, lf in enumerate(leaves):
+            hit = None
+            for j, mv_lf in enumerate(self._mv_leaves):
+                if mv_lf.sameResult(lf):
+                    hit = j
+                    break
+            if hit is None:
+                keys.append(("res", i))
+            elif hit in used:
+                return None  # same MV relation twice: duplicate's filters
+                # cannot be told apart from the MV occurrence's — reject
+            else:
+                used.add(hit)
+                keys.append(("mv", hit))
+        if len(used) != len(self._mv_leaves):
+            return None  # an MV join is missing: it could drop fact rows
+        return keys
+
     def try_rewrite(self, df: DataFrame) -> DataFrame | None:
         """Containment rewrite; None when the plan is not covered."""
         jplan = df._jdf.queryExecution().analyzed()
@@ -223,26 +229,23 @@ class StarJoinMV:
         if not self._gather(jplan.child(), conjuncts, leaves):
             return None
 
-        leaf_canon = [_canon(lf) for lf in leaves]
-        if not set(self.leaf_canons) <= set(leaf_canon):
+        keys = self._match_leaves(leaves)
+        if keys is None:
             return None
-        # exprId -> (leaf canon, attr name)
+        # exprId -> (leaf key, attr name)
         attr_of: dict[int, tuple] = {}
-        leaf_attrs: dict[str, set] = {}
-        for lf, lc in zip(leaves, leaf_canon):
+        for lf, key in zip(leaves, keys):
             out_seq = lf.output()
             for i in range(out_seq.size()):
                 a = out_seq.apply(i)
-                attr_of[a.exprId().id()] = (lc, a.name())
-                leaf_attrs.setdefault(lc, set()).add(a.name())
+                attr_of[a.exprId().id()] = (key, a.name())
 
-        residual_canons = set(leaf_canon) - set(self.leaf_canons)
-        mv_canons = set(self.leaf_canons)
+        residual_keys = {k for k in keys if k[0] == "res"}
 
         # classify conjuncts: equi-join edges vs filters
         edges: set = set()
         mv_filters: list = []
-        residual_filters: dict[str, list] = {}
+        residual_filters: dict[tuple, list] = {}
         def _uncast(e):
             # implicit type-widening casts around join keys don't change
             # which attribute joins (analyzer inserts them for int=bigint)
@@ -267,7 +270,7 @@ class StarJoinMV:
             names = {attr_of[i][1] for i in ids if i in attr_of}
             if len(ids) != len([i for i in ids if i in attr_of]):
                 return None
-            if owners <= mv_canons:
+            if all(k[0] == "mv" for k in owners):
                 # must commute with the rollup: group keys only
                 if not names <= set(self.group_keys):
                     return None
@@ -282,11 +285,11 @@ class StarJoinMV:
         # residual edges must attach a residual relation through an MV
         # group key (or connect two residual relations - chains allowed
         # as ordinary joins among residuals)
-        residual_edges: dict[str, list] = {}
+        residual_edges: dict[tuple, list] = {}
         for e in edges - self.edges:
             sides = list(e)
-            r_sides = [s for s in sides if s[0] in residual_canons]
-            m_sides = [s for s in sides if s[0] in mv_canons]
+            r_sides = [s for s in sides if s[0][0] == "res"]
+            m_sides = [s for s in sides if s[0][0] == "mv"]
             if len(r_sides) == 1 and len(m_sides) == 1:
                 if m_sides[0][1] not in self.group_keys:
                     return None
@@ -299,7 +302,7 @@ class StarJoinMV:
                 return None  # extra mv-mv join the MV didn't declare
 
         # every residual relation must be reachable
-        if set(residual_edges) != residual_canons:
+        if set(residual_edges) != residual_keys:
             return None
 
         # grouping keys: MV group keys or residual attrs
@@ -309,10 +312,10 @@ class StarJoinMV:
             expr = g.apply(i)
             if expr.getClass().getSimpleName() != "AttributeReference":
                 return None
-            lc, nm = attr_of.get(expr.exprId().id(), (None, None))
+            key, nm = attr_of.get(expr.exprId().id(), (None, None))
             if nm is None:
                 return None
-            if lc in mv_canons and nm not in self.group_keys:
+            if key[0] == "mv" and nm not in self.group_keys:
                 return None
             group_by.append(nm)
 
@@ -340,12 +343,17 @@ class StarJoinMV:
             icls = inner.getClass().getSimpleName()
             if icls == "AttributeReference":
                 # a group key echoed under a new name (SELECT k AS a)
-                _lc, nm = attr_of.get(inner.exprId().id(), (None, None))
+                _key, nm = attr_of.get(inner.exprId().id(), (None, None))
                 if nm is None or nm not in group_by:
                     return None
                 out_cols.append(F.col(nm).alias(ne.name()))
                 continue
             if icls != "AggregateExpression":
+                return None
+            if inner.isDistinct() or inner.filter().isDefined():
+                # stored partials are plain (non-distinct, unfiltered):
+                # SUM(DISTINCT x) / agg FILTER (WHERE ...) are NOT
+                # derivable from them — answering would be silently wrong
                 return None
             fn = _FN_MAP.get(
                 inner.aggregateFunction().getClass().getSimpleName()
@@ -380,19 +388,17 @@ class StarJoinMV:
             out = out.filter(F.expr(_strip_qualifiers(c.sql())))
         from pyspark.sql import DataFrame as PyDF
 
-        for lc, lf in {
-            _canon(lf): lf for lf in leaves
-        }.items():
-            if lc not in residual_canons:
+        for key, lf in zip(keys, leaves):
+            if key[0] != "res":
                 continue
             jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                 self.spark._jsparkSession, lf
             )
             dim = PyDF(jdf, self.spark)
-            for c in residual_filters.get(lc, []):
+            for c in residual_filters.get(key, []):
                 dim = dim.filter(F.expr(_strip_qualifiers(c.sql())))
             cond = None
-            for mv_col, dim_col in residual_edges[lc]:
+            for mv_col, dim_col in residual_edges[key]:
                 eq = out[mv_col] == dim[dim_col]
                 cond = eq if cond is None else (cond & eq)
             out = out.join(F.broadcast(dim), cond, "inner")

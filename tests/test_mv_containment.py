@@ -153,6 +153,20 @@ def test_try_rewrite_filtered_and_avg(spark, mv):
     )
 
 
+def test_try_rewrite_distinct_and_filter_rejected(spark, mv):
+    """r6 ADVICE high (AggregateMV flavor): DISTINCT aggregates and
+    FILTER clauses are not derivable from plain partials — must miss."""
+    base, m = mv
+    assert m.try_rewrite(
+        base.groupBy("l_returnflag").agg(F.sum_distinct("qty").alias("s"))
+    ) is None
+    assert m.try_rewrite(
+        base.groupBy("l_returnflag").agg(
+            F.expr("sum(qty) FILTER (WHERE l_linestatus = 'F')").alias("s")
+        )
+    ) is None
+
+
 def test_try_rewrite_declines_uncontained(spark, sf_dir, mv):
     base, m = mv
     # filter on a non-group-key column
@@ -300,6 +314,93 @@ def test_star_mv_rejections(spark, star_mv):
         GROUP BY d_year
     """)
     assert star_mv.try_rewrite(q3) is None
+
+
+def test_star_mv_survives_view_reregistration(spark, star_mv):
+    """r5/r6 red, fixed: re-registering a source view with the SAME
+    definition (which stacks View/SubqueryAlias wrappers — exactly what
+    security.py's enable/disable cycle does to every view mid-session)
+    must not turn the rewrite into a silent miss. Matching now uses
+    sameResult against materialization-time plan handles, the analog of
+    Hive re-resolving MV definitions against current metastore state
+    (ql/.../calcite/rules/views/HiveMaterializedViewsRegistry.java)."""
+    for t in ("date_dim", "item", "store_sales"):
+        spark.table(t).createOrReplaceTempView(t)
+    q = spark.sql("""
+        SELECT d_year, SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS s
+        FROM store_sales, date_dim, item
+        WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        GROUP BY d_year
+    """)
+    hit = star_mv.try_rewrite(q)
+    assert hit is not None
+    assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, q.collect()))
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "t_star" in plan and "lineitem" not in plan
+
+
+def test_star_mv_stale_source_misses(spark, sf_dir, star_mv):
+    """A source re-registered with a DIFFERENT definition (half of item)
+    must make the rewrite MISS — never answer from now-stale MV rows
+    (Hive gates rewrite on materialization staleness)."""
+    import hive_spark.operators.tpcds as tpcds
+
+    try:
+        spark.table("item").filter(
+            "i_item_sk % 2 = 0"
+        ).createOrReplaceTempView("item")
+        q = spark.sql("""
+            SELECT d_year,
+                   SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS s
+            FROM store_sales, date_dim, item
+            WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+            GROUP BY d_year
+        """)
+        assert star_mv.try_rewrite(q) is None
+    finally:
+        tpcds._ACTIVE_STAR.pop(id(spark), None)
+        tpcds._register_star(spark, sf_dir)
+
+
+def test_star_mv_distinct_and_filter_agg_rejected(spark, star_mv):
+    """r6 ADVICE high: a DISTINCT or FILTER aggregate whose input text
+    matches a stored partial must MISS — plain partials cannot answer it,
+    and the plain result provably differs from the distinct one."""
+    tpl = """
+        SELECT d_year,
+               SUM({d}CAST(round(ss_ext_sales_price * 100) AS BIGINT)){f} AS s
+        FROM store_sales, date_dim, item
+        WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        GROUP BY d_year
+    """
+    q_distinct = spark.sql(tpl.format(d="DISTINCT ", f=""))
+    assert star_mv.try_rewrite(q_distinct) is None
+    q_filter = spark.sql(
+        tpl.format(d="", f=" FILTER (WHERE ss_store_sk > 2)")
+    )
+    assert star_mv.try_rewrite(q_filter) is None
+    # the guard matters: the old code would have merged NON-distinct
+    # partials, whose result differs from the true distinct sum
+    q_plain = spark.sql(tpl.format(d="", f=""))
+    assert sorted(map(tuple, q_distinct.collect())) != sorted(
+        map(tuple, q_plain.collect())
+    )
+
+
+def test_star_mv_duplicate_dim_rejected(spark, star_mv):
+    """r6 ADVICE low: referencing an MV dimension twice must fail the
+    (multiset) containment check, not collapse onto one leaf with the
+    duplicate's filter misapplied to MV rows."""
+    q = spark.sql("""
+        SELECT d1.d_year,
+               SUM(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS s
+        FROM store_sales, date_dim d1, date_dim d2, item
+        WHERE ss_sold_date_sk = d1.d_date_sk
+          AND ss_sold_date_sk = d2.d_date_sk
+          AND ss_item_sk = i_item_sk AND d2.d_moy = 12
+        GROUP BY d1.d_year
+    """)
+    assert star_mv.try_rewrite(q) is None
 
 
 def test_star_mv_registry_query(spark, sf_dir):

@@ -171,3 +171,61 @@ def test_privilege_enforcement_on_query_path(spark):
                 (spark.catalog.currentDatabase().lower(), "sec_enf_t")
             ] = saved_owner
         run_script(spark, "DROP TABLE IF EXISTS sec_enf_t;")
+
+
+def test_enforcement_covers_intercepted_statements(spark):
+    """r6 ADVICE medium closed: statements that earlier handlers
+    intercept — EXPLAIN ANALYZE (which executes), EXECUTE of prepared
+    statements, partition/rename ALTERs, TRUNCATE, EXPORT/IMPORT and
+    LOAD DATA — are authorized ONCE at the top of the statement loop,
+    the analog of Hive authorizing at compile time in
+    SQLStdHiveAuthorizationValidator (ql/.../plugin/sqlstd/)."""
+    import pytest
+
+    from hive_spark import authz
+    from hive_spark.authz import HiveAccessControlError
+    from hive_spark.hqlscript import run_script
+
+    run_script(
+        spark,
+        "DROP TABLE IF EXISTS sec_gap_t;"
+        " CREATE TABLE sec_gap_t (k INT) PARTITIONED BY (p INT);"
+        " INSERT INTO sec_gap_t PARTITION (p=1) VALUES (1);",
+    )
+    st = authz._state(spark)
+    db = spark.catalog.currentDatabase().lower()
+    saved_owner = st.owners.pop((db, "sec_gap_t"), None)
+    try:
+        spark.conf.set("hive.security.authorization.enabled", "true")
+        for bad in (
+            "EXPLAIN ANALYZE SELECT * FROM sec_gap_t;",
+            "EXPLAIN SELECT * FROM sec_gap_t;",
+            "PREPARE pg1 FROM SELECT * FROM sec_gap_t WHERE k > ?;"
+            " EXECUTE pg1 USING 0;",
+            "ALTER TABLE sec_gap_t DROP PARTITION (p=1);",
+            "ALTER TABLE sec_gap_t RENAME TO sec_gap_t2;",
+            "TRUNCATE TABLE sec_gap_t;",
+            "EXPORT TABLE sec_gap_t TO '/tmp/sec_gap_export';",
+            "LOAD DATA INPATH '/tmp/sec_gap_nope' INTO TABLE sec_gap_t;",
+        ):
+            with pytest.raises(HiveAccessControlError):
+                run_script(spark, bad)
+        with pytest.raises(HiveAccessControlError, match="INSERT"):
+            run_script(
+                spark, "IMPORT TABLE sec_gap_t FROM '/tmp/sec_gap_export';"
+            )
+        # ownership unlocks the gated statements (SQLStd: owner has all
+        # object privileges)
+        st.owners[(db, "sec_gap_t")] = authz.current_user()
+        run_script(spark, "EXPLAIN ANALYZE SELECT * FROM sec_gap_t;")
+        run_script(
+            spark,
+            "PREPARE pg2 FROM SELECT * FROM sec_gap_t WHERE k > ?;"
+            " EXECUTE pg2 USING 0;",
+        )
+        run_script(spark, "ALTER TABLE sec_gap_t DROP PARTITION (p=1);")
+    finally:
+        spark.conf.unset("hive.security.authorization.enabled")
+        if saved_owner is not None:
+            st.owners[(db, "sec_gap_t")] = saved_owner
+        run_script(spark, "DROP TABLE IF EXISTS sec_gap_t;")

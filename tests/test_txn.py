@@ -385,3 +385,58 @@ def test_lockdb_show_locks_reads_db(tmp_path, monkeypatch, spark):
         assert not [r for r in rows if r.table == "locked_db_tbl"]
     finally:
         VERSIONED_TABLES.pop("locked_db_tbl", None)
+
+
+def test_lockdb_lost_lock_aborts_publish(tmp_path, monkeypatch):
+    """r6 ADVICE medium closed: a holder whose row was expired while it
+    was paused must NOT keep writing — the next heartbeat sees 0 updated
+    rows, flags the loss, and release/publish raises LockLost
+    (TxnHandler aborts the txn on heartbeat miss rather than letting two
+    writers proceed)."""
+    import sqlite3
+    import time as _t
+
+    db = str(tmp_path / "locks.sqlite")
+    monkeypatch.setenv("HIVE_SPARK_LOCKDB", db)
+    path = str(tmp_path / "t")
+    from hive_spark.lockdb import HEARTBEAT_S, DbLockManager, LockLost, lock
+
+    mgr = DbLockManager()
+    lid = mgr.acquire(path, timeout=1.0)
+    assert not mgr.lost(lid)
+    # simulate expiry-by-a-waiter: delete the row out-of-band (what
+    # _expire_stale does after EXPIRE_S of silence)
+    con = sqlite3.connect(db)
+    con.execute("DELETE FROM hive_locks WHERE hl_id=?", (lid,))
+    con.commit()
+    con.close()
+    # the next heartbeat updates 0 rows and flags the loss
+    deadline = _t.monotonic() + HEARTBEAT_S * 4
+    while not mgr.lost(lid) and _t.monotonic() < deadline:
+        _t.sleep(0.1)
+    assert mgr.lost(lid)
+    with pytest.raises(LockLost):
+        mgr.check(lid)
+    with pytest.raises(LockLost):
+        mgr.release(lid)
+    # a second writer is free meanwhile (the row really is gone)
+    mgr2 = DbLockManager()
+    lid2 = mgr2.acquire(path, timeout=1.0)
+    mgr2.release(lid2)
+
+    # contextmanager form: clean exit from the body re-verifies the row —
+    # the publish gate raises instead of silently succeeding
+    with pytest.raises(LockLost):
+        with lock(path, timeout=1.0):
+            con = sqlite3.connect(db)
+            con.execute("DELETE FROM hive_locks")
+            con.commit()
+            con.close()
+    # ...but a body exception is never masked by LockLost
+    with pytest.raises(ValueError, match="boom"):
+        with lock(path, timeout=1.0):
+            con = sqlite3.connect(db)
+            con.execute("DELETE FROM hive_locks")
+            con.commit()
+            con.close()
+            raise ValueError("boom")
