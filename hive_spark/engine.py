@@ -32,7 +32,7 @@ class Engine:
         self,
         spark: SparkSession,
         sf_dir: str | None = None,
-        cache_root: str = "/tmp/hive_spark_qcache",
+        cache_root: str | None = None,
         cte_materialize_threshold: int = 3,
     ):
         # hive.optimize.cte.materialize.threshold analog (HiveConf.java:2686);

@@ -103,6 +103,16 @@ _CREATE_PROC = re.compile(
 )
 _DROP_PROC = re.compile(r"^\s*DROP\s+PROCEDURE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
 _CALL = re.compile(r"^\s*(?:CALL|EXEC)\s+(\w+)\s*(?:\((.*)\))?\s*$", re.I | re.S)
+_CREATE_FUNC = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*"
+    r"(?:\(([^)]*)\))?\s*"
+    r"(?:RETURNS?\s+\w+(?:\(\d+(?:\s*,\s*\d+)?\))?\s*)?"
+    r"(?:AS|IS)?\s*BEGIN\b(.*)\bEND\s*$",
+    re.I | re.S,
+)
+_DROP_FUNC = re.compile(r"^\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
+_RETURN = re.compile(r"^\s*RETURN\b\s*(.*)$", re.I | re.S)
+_FN_CALL = re.compile(r"\b(\w+)(?:\s*\.\s*(\w+))?\s*\(")
 _CREATE_PKG = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PACKAGE\s+(BODY\s+)?(\w+)\s*"
     r"(?:AS|IS)\b(.*)\bEND\s*$",
@@ -113,7 +123,9 @@ _PKG_CALL = re.compile(
     r"^\s*(?:CALL|EXEC)\s+(\w+)\.(\w+)\s*(?:\((.*)\))?\s*$", re.I | re.S
 )
 _PKG_PROC = re.compile(
-    r"^\s*PROCEDURE\s+(\w+)\s*(?:\(([^)]*)\))?\s*(?:AS|IS)?\s*BEGIN\b(.*)$",
+    r"^\s*(PROCEDURE|FUNCTION)\s+(\w+)\s*(?:\(([^)]*)\))?"
+    r"\s*(?:RETURNS?\s+\w+(?:\(\d+(?:\s*,\s*\d+)?\))?\s*)?"
+    r"(?:AS|IS)?\s*BEGIN\b(.*)$",
     re.I | re.S,
 )
 _PKG_VAR = re.compile(
@@ -135,6 +147,14 @@ class HplSignal(Exception):
 
 class _ExitScript(Exception):
     """Internal: an EXIT handler ran — unwind the whole script."""
+
+
+class _HplReturn(Exception):
+    """Internal: RETURN executed — carries the function's value up."""
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
 
 
 @dataclass
@@ -225,6 +245,105 @@ class HplInterpreter:
         finally:
             self.res.variables = saved
 
+    # -- functions (CREATE FUNCTION, calls inside expressions) --------------
+    # ref: hplsql/.../Exec.java:96 visitCreate_function_stmt + Function.java
+    # execUser — Hive resolves user function calls inside any expression
+    # against its function map; this mirrors that for _eval-ed expressions
+    # (SET/PRINT/IF/WHILE/DECLARE/RETURN and call arguments).
+
+    def _func_dir(self) -> str:
+        wh = self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        d = os.path.join(wh, "_hpl_functions")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _create_func(self, name: str, params_str: str | None, body: str) -> None:
+        params = [
+            t.strip().split()[0]
+            for t in (params_str or "").split(",")
+            if t.strip()
+        ]
+        path = os.path.join(self._func_dir(), f"{name.lower()}.json")
+        with open(path, "w") as f:
+            json.dump({"name": name.lower(), "params": params, "body": body}, f)
+
+    def _find_function(self, pkg_name: str | None, name: str) -> dict | None:
+        if pkg_name is not None:
+            pkg = self._find_pkg(pkg_name)
+            return (pkg or {}).get("funcs", {}).get(name.lower())
+        path = os.path.join(self._func_dir(), f"{name.lower()}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _call_function(self, pkg_name: str | None, name: str, fn: dict,
+                       vals: list):
+        """Run the function body in a child scope; RETURN carries the
+        value out. Package functions see package variables as bare names
+        and their mutations persist (same contract as package procs)."""
+        if len(vals) != len(fn["params"]):
+            raise HplSignal(
+                "sqlexception",
+                f"function {name} expects {len(fn['params'])} args,"
+                f" got {len(vals)}",
+            )
+        state = self._ensure_pkg_state(pkg_name) if pkg_name else None
+        saved = dict(self.res.variables)
+        if state:
+            self.res.variables.update(state)
+        self.res.variables.update(
+            {p.lower(): v for p, v in zip(fn["params"], vals)}
+        )
+        try:
+            for s in self._group_blocks(split_statements(fn["body"])):
+                if s.strip():
+                    self._exec_guarded(s)
+            return None  # fell off the end without RETURN
+        except _HplReturn as r:
+            return r.value
+        finally:
+            if state is not None:
+                for var in state:
+                    state[var] = self.res.variables.get(var, state[var])
+            self.res.variables = saved
+
+    def _resolve_fn_calls(self, text: str) -> str:
+        """Replace HPL/SQL function calls — f(args) and pkg.f(args) — in
+        an expression with their evaluated literal results, innermost-
+        first (argument expressions go back through _eval, which resolves
+        nested calls). Only KNOWN function names resolve; SQL built-ins
+        and table.column references pass through untouched."""
+        from hive_spark.hqlscript import _split_args
+
+        pos = 0
+        while True:
+            m = _FN_CALL.search(text, pos)
+            if not m:
+                return text
+            pkg_name, fn_name = (
+                (m.group(1), m.group(2)) if m.group(2) else (None, m.group(1))
+            )
+            fn = self._find_function(pkg_name, fn_name)
+            if fn is None:
+                pos = m.end()
+                continue
+            depth, j = 1, m.end()
+            while j < len(text) and depth:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError(f"unbalanced call of {fn_name} in {text!r}")
+            argstr = text[m.end():j - 1]
+            args = _split_args(argstr) if argstr.strip() else []
+            vals = [self._eval(a) for a in args]
+            val = self._call_function(pkg_name, fn_name, fn, vals)
+            text = text[:m.start()] + self._lit(val) + text[j:]
+            pos = m.start() + len(self._lit(val))
+
     # -- packages (CREATE PACKAGE [BODY], pkg.proc calls, pkg.var refs) -----
 
     def _pkg_dir(self) -> str:
@@ -248,6 +367,7 @@ class HplInterpreter:
             "name": name.lower(),
             "vars": [],
             "procs": {},
+            "funcs": {},
         }
         stmts = split_statements(body)
         i = 0
@@ -273,19 +393,23 @@ class HplInterpreter:
                     depth += self._delta_proc(stmts[i])
                 text = ";\n".join(block)
                 m2 = re.match(
-                    r"^\s*PROCEDURE\s+(\w+)\s*(?:\(([^)]*)\))?"
-                    r"\s*(?:AS|IS)?\s*BEGIN\b(.*)\bEND\s*$",
+                    r"^\s*(PROCEDURE|FUNCTION)\s+(\w+)\s*(?:\(([^)]*)\))?"
+                    r"\s*(?:RETURNS?\s+\w+(?:\(\d+(?:\s*,\s*\d+)?\))?\s*)?"
+                    r"(?:AS|IS)?\s*BEGIN\b(.*)\bEND\s*$",
                     text,
                     re.I | re.S,
                 )
                 params = [
                     t.strip().split()[0]
-                    for t in (m2.group(2) or "").split(",")
+                    for t in (m2.group(3) or "").split(",")
                     if t.strip()
                 ]
-                pkg["procs"][m2.group(1).lower()] = {
+                bucket = (
+                    "funcs" if m2.group(1).upper() == "FUNCTION" else "procs"
+                )
+                pkg.setdefault(bucket, {})[m2.group(2).lower()] = {
                     "params": params,
-                    "body": m2.group(3),
+                    "body": m2.group(4),
                 }
                 i += 1
                 continue
@@ -377,10 +501,12 @@ class HplInterpreter:
         return text
 
     def _eval(self, expr: str):
+        expr = self._resolve_fn_calls(expr)
         row = self.spark.sql(f"SELECT ({self._substitute(expr)}) AS v").collect()[0]
         return row.v
 
     def _eval_bool(self, cond: str) -> bool:
+        cond = self._resolve_fn_calls(cond)
         return bool(
             self.spark.sql(
                 f"SELECT CAST(({self._substitute(cond)}) AS BOOLEAN) AS v"
@@ -427,7 +553,8 @@ class HplInterpreter:
         while i < len(stmts):
             s = stmts[i]
             is_proc = re.match(
-                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\b", s, re.I
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:PROCEDURE|FUNCTION)\b",
+                s, re.I,
             )
             is_pkg = re.match(
                 r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PACKAGE\b", s, re.I
@@ -477,6 +604,8 @@ class HplInterpreter:
                 self._exec_guarded(stmt)
         except _ExitScript:
             pass
+        except _HplReturn:
+            pass  # script-level RETURN ends the script (Exec.java)
         return self.res
 
     # -- exception-handler machinery (Exec.java/Signal.java analog) ---------
@@ -486,7 +615,7 @@ class HplInterpreter:
         to SQLEXCEPTION, SIGNAL/RAISE carry their condition name."""
         try:
             self._exec_stmt(stmt)
-        except (_ExitScript, KeyboardInterrupt):
+        except (_ExitScript, _HplReturn, KeyboardInterrupt):
             raise
         except HplSignal as e:
             self._dispatch(e.condition, e.message or e.condition, e)
@@ -657,6 +786,20 @@ class HplInterpreter:
             if os.path.exists(path):
                 os.remove(path)
             return
+        m = _CREATE_FUNC.match(stmt)
+        if m:
+            self._create_func(m.group(1), m.group(2), m.group(3))
+            return
+        m = _DROP_FUNC.match(stmt)
+        if m:
+            path = os.path.join(self._func_dir(), f"{m.group(1).lower()}.json")
+            if os.path.exists(path):
+                os.remove(path)
+            return
+        m = _RETURN.match(stmt)
+        if m:
+            raise _HplReturn(self._eval(m.group(1)) if m.group(1).strip()
+                             else None)
         m = _CREATE_PKG.match(stmt)
         if m:
             self._create_pkg(m.group(2), m.group(3), bool(m.group(1)))

@@ -220,7 +220,63 @@ FROM merged GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def hplsql_function_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HPL/SQL user FUNCTION driving a query (r7; ref: hplsql/src/main/
+    java/org/apache/hive/hplsql/Exec.java visitCreate_function_stmt +
+    Function.execUser): the script declares bucket_width(lo,hi,n),
+    evaluates it inside expressions over scalar-subquery inputs, and the
+    derived width parameterizes an equal-width histogram. The oracle
+    recomputes the identical arithmetic in pure SQL, so the hash match
+    proves the interpreter's function-call -> literal substitution is
+    value-exact (double ops are bit-identical across engines)."""
+    from hive_spark.hplsql import HplInterpreter
+
+    views(spark, sf_dir)
+    interp = HplInterpreter(spark)
+    interp.run(
+        """
+        CREATE OR REPLACE FUNCTION bucket_width(lo, hi, n) RETURNS DOUBLE
+        BEGIN
+            RETURN (hi - lo) / n;
+        END;
+        SET lo := (SELECT MIN(o_totalprice) FROM orders);
+        SET w := bucket_width(lo, (SELECT MAX(o_totalprice) FROM orders), 4);
+        """
+    )
+    lo = interp.res.variables["lo"]
+    w = interp.res.variables["w"]
+    return spark.sql(
+        f"""
+        SELECT LEAST(CAST(FLOOR((o_totalprice - {lo!r}) / {w!r}) AS BIGINT), 3)
+                 AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                 AS total
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+_HPL_FN_ORACLE = """
+WITH b AS (SELECT MIN(o_totalprice) AS lo,
+                  (MAX(o_totalprice) - MIN(o_totalprice)) / 4 AS w
+           FROM orders)
+SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / w) AS BIGINT), 3) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS total
+FROM orders, b GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "hplsql_function_pipeline": QuerySpec(
+        fn=hplsql_function_pipeline,
+        oracle=_HPL_FN_ORACLE,
+        doc="HPL/SQL CREATE FUNCTION + call-in-expression derives a "
+        "histogram parameter; oracle recomputes in pure SQL "
+        "(Exec.java Function.execUser)",
+    ),
     "hql_etl_multi_insert": QuerySpec(
         fn=etl_multi_insert_transform,
         oracle=_ORACLE,

@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 
 from hive_spark.operators import QuerySpec, views
 
-_SCRATCH = f"/tmp/hive_spark_pipeline_{os.getpid()}"  # pid-unique: concurrent sessions must not collide
+from hive_spark.scratch import scratch_dir
+
+_SCRATCH = scratch_dir(f"pipeline_{os.getpid()}")  # pid-unique: concurrent sessions must not collide
 
 _STOPWORDS = ("the", "a", "of", "and", "to")
 # " stopword " bounded by start/space and lookahead space/end == the
@@ -172,13 +174,13 @@ GROUP BY lang ORDER BY lang
 """
 
 
-def duck_pipeline_equivalent(con, scratch_dir: str):
+def duck_pipeline_equivalent(con, out_dir: str):
     """Run the oracle with the SAME side effects as the Spark operator
     (partitioned parquet write + summary from readback); returns the
     summary rows. Used by bench_compare for an apples-to-apples ratio."""
-    shutil.rmtree(scratch_dir, ignore_errors=True)
-    con.execute(_PIPELINE_DUCK_WRITE.format(dir=scratch_dir))
-    return con.sql(_PIPELINE_DUCK_SUMMARY.format(dir=scratch_dir)).fetchall()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    con.execute(_PIPELINE_DUCK_WRITE.format(dir=out_dir))
+    return con.sql(_PIPELINE_DUCK_SUMMARY.format(dir=out_dir)).fetchall()
 
 
 REGISTRY: dict[str, QuerySpec] = {

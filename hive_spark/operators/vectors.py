@@ -232,14 +232,17 @@ _COUNT_MEMO: dict[tuple[int, str], int] = {}
 
 
 def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
-    """Embedding row count for lsh_cfg, memoized per (session, dir) —
-    parquet count() is metadata-cheap but not free per query call.
-    (A session that swaps the `embeddings` view in place may see a
-    stale count; cfg only drifts by one bit and exact duplicates share
-    every band signature at ANY width, so dedup merges are unaffected.)"""
-    key = (id(spark), sf_dir)
+    """Embedding row count for lsh_cfg, memoized on the view's SEMANTIC
+    identity (semanticHash of the analyzed plan) — parquet count() is
+    metadata-cheap but not free per query call. Keying on the plan
+    rather than (session, dir) means a session that swaps the
+    `embeddings` view in place gets a FRESH count instead of a stale
+    memo (r6 carry-over; same root cause as the star-MV canon staleness,
+    same cure: plan identity, not registration-time identity)."""
+    df = spark.table("embeddings")
+    key = (id(spark), df.semanticHash())
     if key not in _COUNT_MEMO:
-        _COUNT_MEMO[key] = spark.table("embeddings").count()
+        _COUNT_MEMO[key] = df.count()
     return _COUNT_MEMO[key]
 
 

@@ -66,9 +66,11 @@ class ResultsCache:
     out-of-band file mutations still need an explicit `clear()`.
     """
 
-    def __init__(self, spark: SparkSession, root: str = "/tmp/hive_spark_qcache"):
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        from hive_spark.scratch import scratch_dir
+
         self.spark = spark
-        self.root = root
+        self.root = root = root or scratch_dir("qcache")
         os.makedirs(root, exist_ok=True)
         _LIVE_CACHES.add(self)
 
@@ -106,9 +108,11 @@ class MaterializedViews:
     are a non-goal (SURVEY §7.8).
     """
 
-    def __init__(self, spark: SparkSession, root: str = "/tmp/hive_spark_mv"):
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        from hive_spark.scratch import scratch_dir
+
         self.spark = spark
-        self.root = root
+        self.root = root = root or scratch_dir("mv")
         self._by_fp: dict[str, str] = {}
         os.makedirs(root, exist_ok=True)
 
@@ -203,8 +207,11 @@ class AggregateMV:
         base_df: DataFrame,
         group_keys: list[str],
         measures: dict[str, tuple[str, str]],
-        root: str = "/tmp/hive_spark_aggmv",
+        root: str | None = None,
     ):
+        from hive_spark.scratch import scratch_dir
+
+        root = root or scratch_dir("aggmv")
         for out, (fn, col) in measures.items():
             if fn not in self._MERGE:
                 raise ValueError(f"{out}: non-derivable aggregate {fn!r}")

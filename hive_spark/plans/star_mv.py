@@ -108,8 +108,11 @@ class StarJoinMV:
         dims: list,
         group_keys: list,
         measures: dict,
-        root: str = "/tmp/hive_spark_starmv",
+        root: str | None = None,
     ):
+        from hive_spark.scratch import scratch_dir
+
+        root = root or scratch_dir("starmv")
         for out, (fn, _inp) in measures.items():
             if fn not in _MERGE:
                 raise ValueError(f"{out}: non-derivable aggregate {fn!r}")

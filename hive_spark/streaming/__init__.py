@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 
 # pid-suffixed: concurrent sessions (pytest + replica sweep + the driver)
 # must not rmtree each other's live sources/sinks/checkpoints
-_SCRATCH = f"/tmp/hive_spark_stream_{os.getpid()}"
+from hive_spark.scratch import scratch_dir
+
+_SCRATCH = scratch_dir(f"stream_{os.getpid()}")
 
 # ts is TIMESTAMP (ltz): watermarks reject TIMESTAMP_NTZ; under the UTC
 # session the cast from the tables' NTZ values is epoch-preserving.

@@ -27,10 +27,17 @@ spec.loader.exec_module(mod)
 
 from pyspark.sql import SparkSession
 
+# plain session (the driver's is foreign — ensure_engine must adapt it),
+# but scratch goes somewhere durable: /tmp is tmpfiles-purged on this
+# host mid-run, which kills every shuffle read after the purge (observed
+# r7: 220 spurious BADs from one purge event)
+_scratch = os.path.expanduser("~/.spark_local")
+os.makedirs(_scratch, exist_ok=True)
 spark = (
     SparkSession.builder.master("local[8]")
     .appName("driver_replica")
     .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.local.dir", _scratch)
     .getOrCreate()
 )
 

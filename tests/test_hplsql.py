@@ -413,3 +413,89 @@ def test_resignal_and_get_diagnostics(spark):
             SIGNAL oops, 'minor';
             """,
         )
+
+
+def test_create_function_in_expressions(spark):
+    """HPL/SQL user FUNCTIONs (ref: hplsql Exec.java visitCreate_function
+    + Function.execUser): callable inside ANY evaluated expression —
+    SET/PRINT/IF conditions — including nested and recursive calls;
+    persisted like procedures so a fresh interpreter resolves them."""
+    from hive_spark.hplsql import run_hplsql
+
+    out = run_hplsql(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION add2(a, b) RETURNS INT
+        BEGIN
+            RETURN a + b;
+        END;
+        CREATE OR REPLACE FUNCTION fact(n) RETURNS INT
+        BEGIN
+            IF n <= 1 THEN
+                RETURN 1;
+            END IF;
+            RETURN n * fact(n - 1);
+        END;
+        SET x := add2(2, 3);
+        PRINT add2(x, fact(4)) + 100;
+        IF add2(1, 1) = 2 THEN
+            PRINT 'fn-in-cond';
+        END IF;
+        """,
+    )
+    assert out.variables["x"] == 5
+    assert out.printed == ["129", "fn-in-cond"]
+    # persisted: a NEW interpreter instance resolves the function
+    out2 = run_hplsql(spark, "PRINT add2(40, 2); DROP FUNCTION add2;"
+                             " DROP FUNCTION fact;")
+    assert out2.printed == ["42"]
+
+
+def test_package_function_in_expressions(spark):
+    """Package FUNCTIONs resolve as pkg.fn(args) inside expressions and
+    see package variables as bare names (Exec.java packCallStack)."""
+    from hive_spark.hplsql import run_hplsql
+
+    out = run_hplsql(
+        spark,
+        """
+        CREATE OR REPLACE PACKAGE counters AS
+            hits INT := 0;
+            FUNCTION bump(by) RETURNS INT
+            BEGIN
+                SET hits := hits + by;
+                RETURN hits;
+            END;
+        END;
+        SET a := counters.bump(3);
+        SET b := counters.bump(4) + counters.hits;
+        PRINT counters.hits;
+        DROP PACKAGE counters;
+        """,
+    )
+    assert out.variables["a"] == 3
+    # bump(4) -> state 7, returns 7; + counters.hits (now 7) = 14
+    assert out.variables["b"] == 14
+    assert out.printed == ["7"]
+
+
+def test_function_without_return_and_script_return(spark):
+    """Falling off a function body yields NULL; a script-level RETURN
+    ends the script (Exec.java leave semantics)."""
+    from hive_spark.hplsql import run_hplsql
+
+    out = run_hplsql(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION noret(a) RETURNS INT
+        BEGIN
+            SET d := a;
+        END;
+        PRINT coalesce(noret(9), -1);
+        DROP FUNCTION noret;
+        PRINT 'before';
+        RETURN;
+        PRINT 'after';
+        """,
+    )
+    assert out.printed == ["-1", "before"]
