@@ -98,7 +98,14 @@ def _build_scaled_dir(spark, src: str, k: int) -> str:
 
     from hive_spark.session import TESTDATA_TABLES, load_tables
 
-    dst = f"/tmp/hive_spark_benchscale_{os.path.basename(src.rstrip('/'))}_x{k}"
+    # durable root: /tmp is tmpfiles-purged on this host mid-run, which
+    # deletes the scaled parquet out from under the sf1 tier (r7)
+    from hive_spark.scratch import scratch_dir
+
+    dst = os.path.join(
+        scratch_dir("benchscale"),
+        f"{os.path.basename(src.rstrip('/'))}_x{k}",
+    )
     marker = os.path.join(dst, "_BUILT")
     if os.path.exists(marker):
         return dst

@@ -384,17 +384,20 @@ def _has_priv(st: _AuthState, db: str, tbl: str, priv: str) -> bool:
 
 
 def _is_gated_object(spark: SparkSession, db: str, tbl: str) -> bool:
-    """True for metastore tables/views; temp views and CTE aliases are
-    session-local and Hive doesn't gate them."""
+    """True for metastore tables/views; temp views/tables and CTE
+    aliases are session-local and Hive doesn't gate them — including
+    when referenced with a db qualifier (Hive qtests DROP temp tables
+    as `auth_db.auth_temp_table_1`)."""
     try:
-        if not spark.catalog.tableExists(f"{db}.{tbl}"):
-            if not spark.catalog.tableExists(tbl):
-                return False
-            if any(
-                t.name == tbl and t.isTemporary
-                for t in spark.catalog.listTables()
-            ):
-                return False
+        if any(
+            t.name == tbl and t.isTemporary
+            for t in spark.catalog.listTables()
+        ):
+            return False
+        if not spark.catalog.tableExists(f"{db}.{tbl}") and not (
+            spark.catalog.tableExists(tbl)
+        ):
+            return False
     except Exception:
         return False
     return True
@@ -424,6 +427,23 @@ _EXPORT_RE = re.compile(r"(?i)^\s*EXPORT\s+TABLE\s+`?([\w.]+)`?")
 _IMPORT_RE = re.compile(
     r"(?i)^\s*IMPORT\s+(?:EXTERNAL\s+)?(?:TABLE\s+)?`?([\w.]+)`?"
 )
+
+
+def _resolve_existing(spark: SparkSession, name: str) -> tuple:
+    """Like _resolve, but when the qualified name doesn't exist while
+    the bare name does (Hive temp-table shadowing — qtests DROP temp
+    tables as `db.temp_name`; this engine maps temp tables to managed
+    tables in the CURRENT db), gate the object that will actually be
+    acted on."""
+    db, tbl = _resolve(spark, name)
+    try:
+        if not spark.catalog.tableExists(f"{db}.{tbl}") and (
+            spark.catalog.tableExists(tbl)
+        ):
+            db = spark.catalog.currentDatabase().lower()
+    except Exception:
+        pass
+    return db, tbl
 
 
 def _deny(user: str, denied: list, op: str) -> None:
@@ -462,7 +482,7 @@ def check_statement(
     dm = _DDL_OWNER.match(body)
     if dm:
         name = next(g for g in dm.groups() if g)
-        db, tbl = _resolve(spark, name)
+        db, tbl = _resolve_existing(spark, name)
         if (
             _is_gated_object(spark, db, tbl)
             and st.owners.get((db, tbl)) != user
@@ -475,7 +495,7 @@ def check_statement(
     if xm or im:
         # EXPORT reads the table (SELECT); IMPORT writes it (INSERT)
         name, need = (xm.group(1), "SELECT") if xm else (im.group(1), "INSERT")
-        db, tbl = _resolve(spark, name)
+        db, tbl = _resolve_existing(spark, name)
         gated = _is_gated_object(spark, db, tbl)
         # IMPORT may create the target — a nonexistent target is a
         # CREATE, which SQLStd allows to any user in the default db
@@ -497,7 +517,7 @@ def check_statement(
         names.add(write_name)
     denied = []
     for name in names:
-        db, tbl = _resolve(spark, name)
+        db, tbl = _resolve_existing(spark, name)
         if not _is_gated_object(spark, db, tbl):
             continue
         if st.owners.get((db, tbl)) == user:

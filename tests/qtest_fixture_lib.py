@@ -162,6 +162,18 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
     if REF_ROOT not in LOAD_DATA_BASES:
         LOAD_DATA_BASES.append(REF_ROOT)
 
+    # QTestUtil creates the datasets under the SAME user that runs the
+    # scripts, so in Hive that user OWNS src/srcpart/... and SQLStd
+    # authorization lets it through (owner has all object privileges).
+    # Scripts that SET hive.security.authorization.enabled=true (the
+    # masking_*/authorization_* preamble) depend on exactly that — the
+    # fixture build must record ownership the way a scripted CREATE
+    # would.
+    from hive_spark import authz
+
+    for t in FIXTURE_TABLES:
+        authz.record_owner(spark, f"default.{t}")
+
 
 def final_rowcount(res) -> int:
     """Manifest row count for a script result. EXPLAIN output is plan
@@ -173,6 +185,17 @@ def final_rowcount(res) -> int:
     if df.columns == ["plan"]:
         return 1
     return df.count()
+
+
+def _conf_overlay(spark) -> dict:
+    """The session's full mutable conf map (SQLConf.getAllConfs) — the
+    exact state QTestUtil resets between tests."""
+    out = {}
+    it = spark._jsparkSession.sessionState().conf().getAllConfs().iterator()
+    while it.hasNext():
+        e = it.next()
+        out[e._1()] = e._2()
+    return out
 
 
 def run_and_cleanup(
@@ -192,32 +215,42 @@ def run_and_cleanup(
     sched = ScheduledQueryRegistry(spark)
     pre_sched = {q.name for q in sched.list()}
     text = open(path).read()
-    # snapshot every conf key this script SETs so a leaked knob
-    # (authorization.enabled, shuffle partitions, overwrite mode, ...)
-    # can't poison later tests in the shared session
-    conf_keys = re.findall(r"(?im)^\s*set\s+([\w.]+)\s*=", text)
-    conf_prev = {}
-    for k in conf_keys:
-        try:
-            conf_prev[k] = spark.conf.get(k)
-        except Exception:
-            conf_prev[k] = None
+    # snapshot the SESSION CONF OVERLAY itself (not a regex over SET
+    # lines — r6 ADVICE: keys changed via RESET, hiveconf substitution,
+    # or engine code acting on the script's behalf were invisible to
+    # text parsing); after the script, every added key is unset and
+    # every changed key restored, so no leaked knob (authorization
+    # .enabled, shuffle partitions, overwrite mode, ...) can poison
+    # later tests in the shared session
+    conf_prev = _conf_overlay(spark)
     try:
         return run_script(spark, text)
     finally:
-        for k, v in conf_prev.items():
+        conf_now = _conf_overlay(spark)
+        for k in conf_now.keys() - conf_prev.keys():
             try:
-                if v is None:
-                    spark.conf.unset(k)
-                else:
-                    spark.conf.set(k, v)
+                spark.conf.unset(k)
             except Exception:
                 pass
+        for k, v in conf_prev.items():
+            if conf_now.get(k) != v:
+                try:
+                    spark.conf.set(k, v)
+                except Exception:
+                    pass
         # roles/grants a script creates are session-scoped in Hive's
-        # qtests too (QTestUtil tears the session down); drop ours
+        # qtests too (QTestUtil tears the session down); drop ours —
+        # but table OWNERSHIP is metastore state in Hive (the setup
+        # user owns src/srcpart across every test), so carry owners
+        # over: wiping them made any later script that SETs
+        # authorization.enabled=true (the masking_* family's
+        # SQLStdHiveAuthorizerFactoryForTest preamble) deny the owner
+        # its own fixture tables (r7 corpus burst)
         from hive_spark import authz as _authz
 
+        _owners_prev = dict(_authz._state(spark).owners)
         _authz._STATES.pop(id(spark), None)
+        _authz._state(spark).owners.update(_owners_prev)
         from hive_spark.sources.jdbc_handler import drop_memory_databases
 
         drop_memory_databases(spark)

@@ -49,7 +49,22 @@ def _load_manifest():
     return rows
 
 
-CORPUS = _load_manifest()
+def _ci_slice(rows):
+    """The r7 sweep grew the manifest 640 -> 2,791 scripts (~2.8 s each
+    end-to-end), which would put ~2 h of corpus into every suite run.
+    Default: a DETERMINISTIC stratified sample (crc32(name) — stable
+    across runs/machines, no ordering bias) of ~40% ≈ 1,100 scripts.
+    QTEST_CORPUS_FULL=1 asserts all of them (the full corpus was
+    validated script-by-script by the r7 triage sweep that produced the
+    manifest; tests/qtest_sweep_r7.txt is the committed evidence)."""
+    if os.environ.get("QTEST_CORPUS_FULL"):
+        return rows
+    from zlib import crc32
+
+    return [r for r in rows if crc32(r[0].encode()) % 10 < 4]
+
+
+CORPUS = _ci_slice(_load_manifest())
 
 
 @pytest.fixture(scope="module")
