@@ -248,3 +248,7 @@ def _rewrite(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     from hive_spark.plans import invalidate_results_caches
 
     invalidate_results_caches()
+    # ... and Spark's own catalog keeps a per-relation file listing:
+    # a catalog table whose location was just swapped still points at
+    # the pre-write file names (FAILED_READ_FILE on the next scan)
+    df.sparkSession.catalog.refreshByPath(path)

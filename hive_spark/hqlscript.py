@@ -135,6 +135,10 @@ _METADATA_NOOP = re.compile(
     r"|DISABLE\s+OFFLINE\b)"
     r"|ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
     r"UPDATE\s+STATISTICS\s+FOR\s+COLUMN\b"
+    # partition-scoped row-stats override: Spark keeps table-level CBO
+    # stats only; a per-partition override has no catalog slot to land
+    r"|ALTER\s+TABLE\s+[\w.`]+\s+PARTITION\s*\([^)]*\)\s+"
+    r"UPDATE\s+STATISTICS\b"
     r"|ALTER\s+TABLE\s+[\w.`]+\s+PARTITION\s+COLUMN\s*\("
     r"|ALTER\s+MATERIALIZED\s+VIEW\s+[\w.`]+\s+(?:ENABLE|DISABLE)\s+REWRITE\b"
     r"|GRANT\b|REVOKE\b"
@@ -514,6 +518,7 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
                 spark, path, cond, assigns,
                 fmt=TABLE_FORMATS.get(path, "parquet"),
             )
+            _refresh_catalog_entry(spark, name)
         return True
     m = _DELETE_STMT.match(stmt)
     if m:
@@ -528,6 +533,7 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
             dml.delete_where(
                 spark, path, cond, fmt=TABLE_FORMATS.get(path, "parquet")
             )
+            _refresh_catalog_entry(spark, name)
         return True
     m = _INSERT_STMT.match(stmt)
     if m and m.group(2).lower() in VERSIONED_TABLES:
@@ -604,7 +610,9 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
                 cols = (
                     snapshots.read_table(spark, path).columns
                     if versioned
-                    else spark.read.parquet(path).columns
+                    else spark.read.format(
+                        TABLE_FORMATS.get(path, "parquet")
+                    ).load(path).columns
                 )
             not_matched_insert = {
                 c: F.expr(v) for c, v in zip(cols, vals)
@@ -624,8 +632,21 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
                 not_matched_insert,
                 fmt=TABLE_FORMATS.get(path, "parquet"),
             )
+            _refresh_catalog_entry(spark, name)
         return True
     return False
+
+
+def _refresh_catalog_entry(spark: SparkSession, name: str) -> None:
+    """After a CoW rewrite under a catalog table's location, drop the
+    session catalog's relation-cache entry for it — refreshByPath alone
+    leaves the table-name-keyed cached LogicalRelation pointing at the
+    pre-write file names when the DML statement itself re-analyzed the
+    table (self-referencing UPDATE ... WHERE IN (SELECT ... FROM t))."""
+    try:
+        spark.catalog.refreshTable(name)
+    except Exception:
+        pass  # path-registered target with no catalog entry
 
 
 def _split_args(s: str) -> list[str]:
@@ -800,6 +821,41 @@ _ROW_FORMAT_SERDE = re.compile(
 )
 
 
+def _avro_schema_ddl(stmt: str) -> str | None:
+    """Column DDL from avro.schema.literal / avro.schema.url in a CREATE
+    TABLE's TBLPROPERTIES or SERDEPROPERTIES (ref: serde/.../avro/
+    AvroSerdeUtils.determineSchemaOrThrow — Hive derives the table
+    schema from the Avro record when no column list is given)."""
+    m = re.search(
+        r"['\"]avro\.schema\.literal['\"]\s*=\s*'(.*?)'\s*[,)]",
+        stmt, re.I | re.S,
+    )
+    raw = None
+    if m:
+        raw = m.group(1)
+    else:
+        m = re.search(
+            r"['\"]avro\.schema\.url['\"]\s*=\s*['\"]([^'\"]+)['\"]",
+            stmt, re.I,
+        )
+        if m:
+            path = m.group(1)
+            if path.startswith("file:"):
+                path = path.split(":", 1)[1]
+            try:
+                raw = open(path).read()
+            except OSError:
+                return None
+    if raw is None:
+        return None
+    from hive_spark.sources.avro_lite import ddl_from_schema_json
+
+    try:
+        return ddl_from_schema_json(raw)
+    except Exception:
+        return None
+
+
 def _rewrite_stored_as(stmt: str) -> str:
     """Normalize a Hive CREATE TABLE into Spark's datasource form:
 
@@ -835,6 +891,14 @@ def _rewrite_stored_as(stmt: str) -> str:
     # names like t1_n<k> freely; LOAD DATA would mis-parse otherwise)
     _TABLE_DELIMS.pop(name_m.group(1).lower(), None)
     provider = None
+    # Avro tables often carry NO column list — the schema lives in
+    # avro.schema.literal/url; capture it before the serde/props
+    # clauses are stripped below
+    avro_ddl = (
+        _avro_schema_ddl(stmt)
+        if re.search(r"(?i)avro\.schema\.(literal|url)", stmt)
+        else None
+    )
     # SKEWED BY (list bucketing, ref: ql/.../parse/HiveParser.g
     # tableSkewed): physical-layout metadata with no result semantics —
     # Spark's AQE skew handling is the engine's answer; drop the clause
@@ -888,11 +952,17 @@ def _rewrite_stored_as(stmt: str) -> str:
         )
         stmt = stmt[: rf.start()] + stmt[rf.end():]
         provider = "parquet"  # delimited text keeps Hive's row semantics
+        text_like = True
+    else:
+        text_like = False
     sa = _STORED_AS.search(stmt)
+    if sa and sa.group(1).lower() in ("textfile", "csv"):
+        text_like = True
     if sa:
         provider = _STORED_AS_USING.get(sa.group(1).lower()) or provider \
             or "parquet"
         stmt = stmt[: sa.start()] + stmt[sa.end():]
+    was_external = bool(re.search(r"(?i)\bCREATE\s+EXTERNAL\s+TABLE\b", stmt))
     if re.search(r"\bEXTERNAL\b", stmt, re.I) and not re.search(
         r"\bLOCATION\b", stmt, re.I
     ):
@@ -909,7 +979,7 @@ def _rewrite_stored_as(stmt: str) -> str:
     span = col_span()
     if span and re.search(
         r"\b(PRIMARY\s+KEY|FOREIGN\s+KEY|CONSTRAINT|UNIQUE\b"
-        r"|DISABLE|ENABLE|NOVALIDATE|VALIDATE|RELY|CHECK\s*\()",
+        r"|DISABLE|ENABLE|NOVALIDATE|VALIDATE|RELY|ENFORCED|CHECK\s*\()",
         stmt[span[0]:span[1]], re.I,
     ):
         def _strip_col_constraints(it: str) -> str:
@@ -918,7 +988,8 @@ def _rewrite_stored_as(stmt: str) -> str:
             # registry carries table-level ones; Spark's v1 parser takes
             # only NOT NULL/DEFAULT
             it = re.sub(
-                r"(?i)\s+(DISABLE|ENABLE|NOVALIDATE|VALIDATE|RELY|NORELY)\b",
+                r"(?i)\s+(DISABLE|ENABLE|NOVALIDATE|VALIDATE|RELY|NORELY"
+                r"|(?:NOT\s+)?ENFORCED)\b",
                 "", it,
             )
             it = re.sub(r"(?i)\s+CONSTRAINT\s+`?\w+`?(?=\s)", "", it)
@@ -943,6 +1014,11 @@ def _rewrite_stored_as(stmt: str) -> str:
         ]
         stmt = (stmt[: span[0] + 1] + ", ".join(kept) + stmt[span[1] - 1 :])
         span = col_span()
+    if avro_ddl and not col_span():
+        nm_at = _CREATE_NAME.match(stmt).end()
+        if not re.match(r"\s+(LIKE\b|AS\b|USING\b)", stmt[nm_at:], re.I):
+            stmt = stmt[:nm_at] + f" ({avro_ddl})" + stmt[nm_at:]
+            span = col_span()
     pb = re.search(r"\bPARTITIONED\s+BY\s*\(", stmt, re.I)
     if pb:
         p_open = stmt.index("(", pb.start())
@@ -969,6 +1045,30 @@ def _rewrite_stored_as(stmt: str) -> str:
                 stmt = (stmt[: pb.start()]
                         + f"PARTITIONED BY ({names})" + stmt[p_close:])
             provider = provider or "parquet"
+    # a MANAGED text table stores natively (LOAD DATA re-parses with the
+    # recorded delimiter), but an EXTERNAL/LOCATION text table reads
+    # PRE-EXISTING delimited files — that needs the real csv reader
+    provider_opts = ""
+    if (
+        provider == "parquet"
+        and text_like
+        and (
+            re.search(r"(?i)\bLOCATION\s+'", stmt)
+            # EXTERNAL text tables read pre-existing delimited files
+            # even when the location arrives later via ADD PARTITION
+            or was_external
+        )
+        and not re.search(r"(?i)\bAS\s+SELECT\b", stmt)
+    ):
+        provider = "csv"
+        sep = _TABLE_DELIMS.get(name_m.group(1).lower(), "\x01")
+        opts = [f"'sep' = '{sep}'", "'nullValue' = '\\\\N'"]
+        if re.search(
+            r"(?i)['\"]skip\.header\.line\.count['\"]\s*=\s*['\"]1['\"]",
+            stmt,
+        ):
+            opts.append("'header' = 'true'")
+        provider_opts = f" OPTIONS ({', '.join(opts)})"
     if provider:
         span = col_span()
         if span:
@@ -983,7 +1083,7 @@ def _rewrite_stored_as(stmt: str) -> str:
             )
             if like_m:
                 at += like_m.end()
-        stmt = stmt[:at] + f" USING {provider}" + stmt[at:]
+        stmt = stmt[:at] + f" USING {provider}{provider_opts}" + stmt[at:]
     return stmt
 
 
@@ -994,8 +1094,8 @@ _EXPLAIN_MODE = re.compile(
     r"^(\s*EXPLAIN\s+)"
     r"(CBO(?:\s+(?:COST|JOINCOST))?"
     r"|VECTORIZATION(?:\s+ONLY)?"
-    r"(?:\s+(?:SUMMARY|OPERATOR|EXPRESSION|DETAIL))?"
-    r"|AST|LOGICAL|DETAIL|REOPTIMIZATION)\b",
+    r"(?:\s+(?:SUMMARY|OPERATOR|EXPRESSION|DETAIL))?(?:\s+FORMATTED)?"
+    r"|AST|LOGICAL|DETAIL|REOPTIMIZATION|DEPENDENCY)\b",
     re.I,
 )
 
@@ -1394,9 +1494,74 @@ def _desugar_distinct_having(stmt: str) -> str:
     )
 
 
+def _hive_split_args(cmd: str) -> list[str]:
+    """ScriptOperator-style command tokenization (ref: ql/.../exec/
+    HiveScriptUtils splitArgs): split on spaces, honoring single/double
+    quote grouping; quotes are stripped, escapes stay literal."""
+    args: list[str] = []
+    cur: list[str] = []
+    quote = None
+    started = False
+    for ch in cmd:
+        if quote:
+            if ch == quote:
+                quote = None
+            else:
+                cur.append(ch)
+        elif ch in "'\"":
+            quote = ch
+            started = True
+        elif ch == " ":
+            if started or cur:
+                args.append("".join(cur))
+                cur, started = [], False
+        else:
+            cur.append(ch)
+    if started or cur:
+        args.append("".join(cur))
+    return args
+
+
+def _rewrite_transform_using(stmt: str) -> str:
+    """TRANSFORM ... USING '<cmd>': Hive tokenizes the command itself
+    and execs argv directly; Spark hands the whole string to
+    ``bash -c``, which re-splits on ALL whitespace and eats bare
+    backslashes (``tr _ \\n`` loses its operand). Re-emit the command
+    with every Hive-token bash-quoted so argv survives the shell hop.
+    Only literals containing a backslash are touched — plain commands
+    already behave identically."""
+    if not re.search(r"(?i)\btransform\s*\(", stmt):
+        return stmt
+
+    def repl(m: re.Match) -> str:
+        body = m.group(2) if m.group(2) is not None else m.group(3)
+        if "\\" not in body:
+            return m.group(0)
+        # the lexer's view: unescape like Spark/Hive string literals do
+        try:
+            cmd = body.encode().decode("unicode_escape")
+        except UnicodeDecodeError:
+            return m.group(0)
+        toks = _hive_split_args(cmd)
+        if not toks:
+            return m.group(0)
+        import shlex
+
+        bash = " ".join(shlex.quote(t) for t in toks)
+        lit = bash.replace("\\", "\\\\").replace('"', '\\"')
+        return f'{m.group(1)}"{lit}"'
+
+    return re.sub(
+        r"(?i)(\bUSING\s+)(?:\"((?:[^\"\\]|\\.)*)\"|'((?:[^'\\]|\\.)*)')",
+        repl,
+        stmt,
+    )
+
+
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     """All HiveQL-text rewrites this engine applies before spark.sql."""
     stmt = _desugar_distinct_having(stmt)
+    stmt = _rewrite_transform_using(stmt)
     stmt = _DROP_BARE.sub(lambda m: m.group(1) + "IF EXISTS ", stmt)
     # TIMESTAMPLOCALTZ: Spark's TIMESTAMP already carries local-tz
     # semantics (SURVEY 1.2 type table); Hive's long spelling parses out
@@ -1438,6 +1603,14 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     # here; confine bare root LOCATIONs to qtest scratch like the
     # harness's proxy filesystem does
     if re.match(r"(?i)\s*(?:EXPLAIN\s+)?(CREATE|ALTER)\s+(DATABASE|SCHEMA)\b", stmt):
+        # ALTER ... SET MANAGEDLOCATION: keep the metadata as a db
+        # property (stripping it bare would leave a dangling SET)
+        stmt = re.sub(
+            r"(?i)\s+SET\s+MANAGEDLOCATION\s+'([^']*)'",
+            lambda m: (" SET DBPROPERTIES "
+                       f"('hive.managedlocation'='{m.group(1)}')"),
+            stmt,
+        )
         stmt = re.sub(r"(?i)\s+MANAGEDLOCATION\s+'[^']*'", " ", stmt)
         stmt = re.sub(
             r"(?i)(\bLOCATION\s+')(?!/tmp/|file:)/",
@@ -1468,6 +1641,44 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     stmt = _rewrite_window_specs(stmt)
     if _PTF_NOOP_OPEN.search(stmt):
         stmt = _rewrite_ptf_noop(stmt)
+    # Hive accepts IGNORE/RESPECT NULLS INSIDE the window-function call
+    # parens (FIRST_VALUE(x IGNORE NULLS)); Spark wants it after them
+    stmt = re.sub(
+        r"(?i)\b(first_value|last_value|lead|lag|nth_value)\s*"
+        r"\(((?:[^()]|\([^()]*\))*?)\s+(IGNORE|RESPECT)\s+NULLS\s*\)",
+        r"\1(\2) \3 NULLS",
+        stmt,
+    )
+    # ALTER TABLE ... CONVERT TO ACID [TBLPROPERTIES (...)] (Hive 4
+    # HIVE-25458): ACID-ness is table metadata here — record the
+    # transactional properties like the CREATE-time clause does
+    stmt = re.sub(
+        r"(?i)^(\s*(?:EXPLAIN\s+)?ALTER\s+TABLE\s+[\w.`]+\s+)"
+        r"CONVERT\s+TO\s+ACID\s*"
+        r"(?:TBLPROPERTIES\s*\(((?:[^()]|\([^()]*\))*)\))?\s*$",
+        lambda m: (
+            m.group(1) + "SET TBLPROPERTIES ('transactional'='true'"
+            + (", " + m.group(2) if m.group(2) else "") + ")"
+        ),
+        stmt,
+    )
+    # INSERT OVERWRITE TABLE t [PARTITION(...)] IF NOT EXISTS: Hive
+    # skips the write when the target partition already exists; the
+    # qtest scripts use it on fresh targets, where it's a plain
+    # overwrite (the skip branch is partition-existence metadata)
+    stmt = re.sub(
+        r"(?i)^(\s*(?:EXPLAIN\s+)?INSERT\s+OVERWRITE\s+TABLE\s+[\w.`]+\s*"
+        r"(?:PARTITION\s*\((?:[^()]|\([^()]*\))*\)\s*)?)IF\s+NOT\s+EXISTS\b",
+        r"\1",
+        stmt,
+    )
+    # mode combos Hive allows in either order / Hive-only modes with a
+    # nearest-Spark-mode analog
+    stmt = re.sub(r"(?i)^(\s*EXPLAIN\s+)FORMATTED\s+CBO\b", r"\1FORMATTED",
+                  stmt)
+    # EXPLAIN REWRITE <q>: Hive prints the MV/subquery-rewritten query
+    # text; the EXTENDED logical plans show the same rewrites applied
+    stmt = re.sub(r"(?i)^(\s*EXPLAIN\s+)REWRITE\b", r"\1EXTENDED", stmt)
     stmt = _EXPLAIN_MODE.sub(
         lambda m: m.group(1)
         + {
@@ -1477,6 +1688,9 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
             "LOGICAL": "EXTENDED",
             "DETAIL": "EXTENDED",
             "REOPTIMIZATION": "EXTENDED",  # runtime-stats replan -> AQE
+            # input tables/partitions listing -> the EXTENDED plan
+            # names every scanned relation (ExplainTask JSON analog)
+            "DEPENDENCY": "EXTENDED",
         }[m.group(2).split()[0].upper()],
         stmt,
     )
@@ -1887,7 +2101,8 @@ _ALTER_CHANGE = re.compile(
     r"(?:\s+(?:CONSTRAINT\s+`?\w+`?\s+)?"
     r"(?:NOT\s+NULL|DEFAULT\s+\S+|CHECK\s*\([^)]*\)|PRIMARY\s+KEY|UNIQUE"
     r"|REFERENCES\s+`?[\w.]+`?\s*\([^)]*\))"
-    r"(?:\s+(?:ENABLE|DISABLE|VALIDATE|NOVALIDATE|RELY|NORELY))*)?\s*$",
+    r"(?:\s+(?:ENABLE|DISABLE|VALIDATE|NOVALIDATE|RELY|NORELY"
+    r"|(?:NOT\s+)?ENFORCED))*)?\s*$",
     re.I | re.S,
 )
 _ALTER_REPLACE_COLS = re.compile(
@@ -1924,10 +2139,67 @@ def _rewrite_table_inplace(spark: SparkSession, table: str, out) -> None:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+_ALTER_UPDATE_COLS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?"
+    r"(\s+PARTITION\s*\([^)]*\))?\s+UPDATE\s+COLUMNS\s*$",
+    re.I,
+)
+
+
 def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
     from pyspark.sql import functions as F
 
     stmt = re.sub(r"(?i)\s+(CASCADE|RESTRICT)\s*$", "", stmt.rstrip())
+    m = _ALTER_UPDATE_COLS.match(stmt)
+    if m:
+        # ALTER TABLE ... UPDATE COLUMNS (ref: ql/.../ddl/table/misc/
+        # updatecolumns — re-derive the HMS schema from the serde's
+        # self-described one, i.e. the avro.schema.literal/url props).
+        # A PARTITION-scoped update touches per-partition metadata Hive
+        # keeps separately; the table-wide schema here already reflects
+        # the serde schema, so that variant records as done.
+        table = m.group(1)
+        if m.group(2):
+            return True
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(
+                f"SHOW TBLPROPERTIES `{table.replace('.', '`.`')}`"
+            ).collect()
+        }
+        raw = props.get("avro.schema.literal")
+        if raw is None and props.get("avro.schema.url"):
+            path = props["avro.schema.url"]
+            if path.startswith("file:"):
+                path = path.split(":", 1)[1]
+            try:
+                raw = open(path).read()
+            except OSError:
+                raw = None
+        if raw is None:
+            return True  # nothing self-described to sync from
+        from hive_spark.sources.avro_lite import ddl_from_schema_json
+
+        ddl = ddl_from_schema_json(raw)
+        specs = []
+        for item in _split_args(ddl):
+            toks = item.strip().split(None, 1)
+            if len(toks) == 2:
+                specs.append((toks[0].strip("`"), toks[1]))
+        df = spark.table(table)
+        old_cols = list(df.columns)
+        if [
+            (n.lower(), t.replace(" ", "").lower()) for n, t in specs
+        ] == [(c.lower(), t.replace(" ", "").lower()) for c, t in df.dtypes]:
+            return True  # already in sync
+        sel = [
+            F.col(old_cols[i]).cast(typ).alias(name)
+            if i < len(old_cols)
+            else F.lit(None).cast(typ).alias(name)
+            for i, (name, typ) in enumerate(specs)
+        ]
+        _rewrite_table_inplace(spark, table, df.select(*sel))
+        return True
     m = _ALTER_CHANGE.match(stmt)
     if m:
         table, old, new, typ, comment, pos = (
@@ -2404,6 +2676,14 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
 
     ensure_engine(spark)
     res = ScriptResult()
+    # ${hiveconf:hive.metastore.warehouse.dir} resolves from HiveConf in
+    # the CLI even when no script SET it; map it to the live Spark
+    # warehouse (scripts dfs-touch files inside table directories).
+    # setdefault: a script-level SET still overrides via the bare key.
+    _wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if _wh.startswith("file:"):
+        _wh = _wh.split(":", 1)[1]
+    res.set_commands.setdefault("hiveconf:hive.metastore.warehouse.dir", _wh)
     # qt:database harness directives live in comments, so resolve them
     # from the raw text before the splitter strips them
     if "qt:database" in text:
@@ -2703,19 +2983,47 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             # metadata ops, MV lifecycle: Hive prints a task tree; the
             # one-row descriptor is the analog
             m = re.match(r"^\s*EXPLAIN\s+([\s\S]*)$", stmt, re.I)
+            if m:
+                # strip an explain-mode token so EXPLAIN CBO/COST/
+                # FORMATTED/etc. of an engine-dialect statement still
+                # routes here (Hive explains every statement kind)
+                inner = m.group(1)
+                while True:
+                    stripped = re.sub(
+                        r"(?i)^\s*(?:CBO|COST|JOINCOST|FORMATTED|EXTENDED"
+                        r"|CODEGEN|LOGICAL|AST|DETAIL|REOPTIMIZATION"
+                        r"|VECTORIZATION|ONLY|SUMMARY|OPERATOR|EXPRESSION)"
+                        r"\s+",
+                        "", inner, count=1,
+                    )
+                    if stripped == inner:
+                        break
+                    inner = stripped
             if m and (
-                _METADATA_NOOP.match(m.group(1))
-                or _REBUILD_MV.match(m.group(1))
-                or _DROP_MV.match(m.group(1))
-                or _EXPORT_STMT.match(m.group(1))
-                or _IMPORT_STMT.match(m.group(1))
-                or _ADD_CONSTRAINT.match(m.group(1))
-                or _EXCHANGE_PARTITION.match(m.group(1))
+                _METADATA_NOOP.match(inner)
+                or _REBUILD_MV.match(inner)
+                or _DROP_MV.match(inner)
+                or _EXPORT_STMT.match(inner)
+                or _IMPORT_STMT.match(inner)
+                or _ADD_CONSTRAINT.match(inner)
+                or _EXCHANGE_PARTITION.match(inner)
+                or _ALTER_UPDATE_COLS.match(
+                    re.sub(r"(?i)\s+(CASCADE|RESTRICT)\s*$", "",
+                           inner.rstrip())
+                )
+                or (_UPDATE_STMT.match(inner)
+                    and not re.match(r"^\s*UPDATE\s+STATISTICS\b",
+                                     inner, re.I))
+                or _DELETE_STMT.match(inner)
+                or _MERGE_STMT.match(inner)
+                or re.match(
+                    r"(?i)^\s*SHOW\s+CREATE\s+(?:DATABASE|SCHEMA)\b", inner
+                )
             ):
                 res.results.append(
                     spark.createDataFrame(
                         [(f"engine metadata operation: "
-                          f"{m.group(1).split()[0].upper()} ...",)],
+                          f"{inner.split()[0].upper()} ...",)],
                         "plan string",
                     )
                 )
@@ -2759,6 +3067,47 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 _exec_insert_directory(spark, m)
                 continue
             if _exec_alter_columns(spark, stmt):
+                continue
+            # TRUNCATE TABLE t COLUMNS (c1, c2): Hive clears the named
+            # columns' data (list-bucketing feature, ref: ql/.../ddl/
+            # table/misc/truncate) — CoW null-out of those columns
+            m = re.match(
+                r"(?i)^\s*TRUNCATE\s+TABLE\s+`?([\w.]+)`?"
+                r"(?:\s+PARTITION\s*\([^)]*\))?\s+COLUMNS\s*\(([^)]*)\)\s*$",
+                stmt,
+            )
+            if m:
+                from pyspark.sql import functions as F
+
+                table = m.group(1)
+                cols = {c.strip().strip("`").lower()
+                        for c in m.group(2).split(",")}
+                df = spark.table(table)
+                out = df.select(*[
+                    F.lit(None).cast(dict(df.dtypes)[c]).alias(c)
+                    if c.lower() in cols else F.col(c)
+                    for c in df.columns
+                ])
+                _rewrite_table_inplace(spark, table, out)
+                continue
+            # SHOW CREATE DATABASE (Hive DDL Spark lacks): rebuild the
+            # statement from the catalog's database metadata
+            m = re.match(
+                r"(?i)^\s*SHOW\s+CREATE\s+(?:DATABASE|SCHEMA)\s+"
+                r"`?([\w]+)`?\s*$",
+                stmt,
+            )
+            if m:
+                db = spark.catalog.getDatabase(m.group(1))
+                text_out = f"CREATE DATABASE `{db.name}`"
+                if db.description:
+                    text_out += f"\nCOMMENT\n  '{db.description}'"
+                text_out += f"\nLOCATION\n  '{db.locationUri}'"
+                res.results.append(
+                    spark.createDataFrame(
+                        [(text_out,)], "createdb_stmt string"
+                    )
+                )
                 continue
             m = _SET.match(stmt)
             if m and m.group(2) is not None:

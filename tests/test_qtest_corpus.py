@@ -71,6 +71,26 @@ CORPUS = _ci_slice(_load_manifest())
 def corpus_db(spark):
     from tests.qtest_fixture_lib import FIXTURE_TABLES
 
+    # QTestUtil starts every test from a clean metastore + datasets. In
+    # a full-suite run, earlier modules leave databases (hqtest, ...)
+    # and scratch tables in `default`; snapshotting those into
+    # fixture_tables/known_dbs would persist them through per-script
+    # cleanup, breaking scripts that SHOW DATABASES (alter4.q expects
+    # exactly [default]) or CREATE a colliding name (insert_overwrite.q
+    # 'b'). Sweep to datasets-only before snapshotting.
+    spark.catalog.setCurrentDatabase("default")
+    for d in spark.catalog.listDatabases():
+        if d.name != "default":
+            spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")
+    keep = set(FIXTURE_TABLES)
+    for t in spark.catalog.listTables("default"):
+        if t.name in keep:
+            continue
+        if t.isTemporary:
+            spark.catalog.dropTempView(t.name)
+        else:
+            kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
+            spark.sql(f"DROP {kind} IF EXISTS `default`.`{t.name}`")
     build_qtest_fixtures(spark, DB, SCRATCH)
     fixture_tables = {t.name for t in spark.catalog.listTables()}
     known_dbs = {d.name for d in spark.catalog.listDatabases()}
