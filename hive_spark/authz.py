@@ -64,7 +64,9 @@ _SHOW_PRINCIPALS = re.compile(r"^\s*SHOW\s+PRINCIPALS\s+`?(\w+)`?\s*$", re.I)
 _SHOW_GRANT = re.compile(
     r"^\s*SHOW\s+GRANT"
     r"(?:\s+(USER|GROUP|ROLE)\s+`?([\w@.-]+)`?)?"
-    r"(?:\s+ON\s+(?:(ALL)|(?:TABLE\s+)?`?([\w.]+)`?(?:\s*\(([^)]*)\))?))?"
+    r"(?:\s+ON\s+(?:(ALL)"
+    r"|(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?(?:\s*\(([^)]*)\))?"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?))?"
     r"\s*$",
     re.I,
 )
@@ -80,18 +82,23 @@ _REVOKE_ROLE = re.compile(
     re.I | re.S,
 )
 # GRANT priv[, priv] ON [TABLE|DATABASE] obj TO principal [WITH GRANT OPTION]
-_PRIVS = r"(?:SELECT|INSERT|UPDATE|DELETE|ALL(?:\s+PRIVILEGES)?)"
+_PRIVS = (
+    r"(?:SELECT|INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|INDEX|LOCK"
+    r"|SHOW_DATABASE|ALL(?:\s+PRIVILEGES)?)"
+)
 _GRANT_PRIV = re.compile(
     rf"^\s*GRANT\s+({_PRIVS}(?:\s*\([^)]*\))?"
     rf"(?:\s*,\s*{_PRIVS}(?:\s*\([^)]*\))?)*)\s+"
-    r"ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+TO\s+(.+?)"
+    r"ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s+TO\s+(.+?)"
     r"(\s+WITH\s+GRANT\s+OPTION)?\s*$",
     re.I | re.S,
 )
 _REVOKE_PRIV = re.compile(
     rf"^\s*REVOKE\s+(?:GRANT\s+OPTION\s+FOR\s+)?({_PRIVS}(?:\s*\([^)]*\))?"
     rf"(?:\s*,\s*{_PRIVS}(?:\s*\([^)]*\))?)*)\s+"
-    r"ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+FROM\s+(.+?)\s*$",
+    r"ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s+FROM\s+(.+?)\s*$",
     re.I | re.S,
 )
 
@@ -110,15 +117,33 @@ def _principals(text: str) -> list[tuple[str, str]]:
     return out
 
 
+def _norm_part(spec: str | None) -> str:
+    """Normalize a PARTITION (k='v', ...) spec to Hive's k=v/k=v form."""
+    if not spec:
+        return ""
+    parts = []
+    for kv in spec.split(","):
+        if "=" not in kv:
+            continue
+        k, v = kv.split("=", 1)
+        parts.append(f"{k.strip().strip('`').lower()}={v.strip().strip(chr(39))}")
+    return "/".join(parts)
+
+
 def _obj_key(spark: SparkSession, kind: str | None, name: str,
-             cols: str | None) -> tuple:
+             cols: str | None, part: str | None = None) -> tuple:
     if kind and kind.upper() == "DATABASE":
-        return (name.lower(), "", (cols or "").lower())
+        return (name.lower(), "", (cols or "").lower(), "")
     if "." in name:
         db, tbl = name.rsplit(".", 1)
     else:
         db, tbl = spark.catalog.currentDatabase(), name
-    return (db.lower(), tbl.lower(), (cols or "").replace(" ", "").lower())
+    return (
+        db.lower(),
+        tbl.lower(),
+        (cols or "").replace(" ", "").lower(),
+        _norm_part(part),
+    )
 
 
 def handle(spark: SparkSession, stmt: str):
@@ -209,18 +234,24 @@ def handle(spark: SparkSession, stmt: str):
     if m and re.match(r"^\s*SHOW\s+GRANT\b", stmt, re.I):
         ptype = (m.group(1) or "").upper()
         pname = m.group(2)
-        on_all, obj, cols = m.group(3), m.group(4), m.group(5)
+        on_all, okind, obj, cols, pspec = (
+            m.group(3), m.group(4), m.group(5), m.group(6), m.group(7),
+        )
         rows = []
-        for (db, tbl, col), grants in sorted(st.priv_grants.items()):
+        for (db, tbl, col, part), grants in sorted(st.priv_grants.items()):
             if obj and not on_all:
-                want = _obj_key(spark, None, obj, cols)
+                want = _obj_key(spark, okind, obj, cols, pspec)
                 if (db, tbl) != want[:2]:
+                    continue
+                if cols is not None and col != want[2]:
+                    continue
+                if pspec and part != want[3]:
                     continue
             for p, t, priv, gopt, grantor in grants:
                 if pname and (p != pname or (ptype and t != ptype)):
                     continue
                 rows.append(
-                    (db, tbl, "", col, p, t, priv.upper(), gopt,
+                    (db, tbl, part, col, p, t, priv.upper(), gopt,
                      _FIXED_TIME, grantor)
                 )
         return spark.createDataFrame(
@@ -232,14 +263,16 @@ def handle(spark: SparkSession, stmt: str):
         )
     m = _GRANT_PRIV.match(stmt)
     if m:
-        privs, kind, obj, to, gopt = m.groups()
-        key = _obj_key(spark, kind, obj, None)
+        privs, kind, obj, pspec, to, gopt = m.groups()
+        key = _obj_key(spark, kind, obj, None, pspec)
         for priv in privs.split(","):
             pr = re.sub(r"\s*\(.*\)", "", priv).strip().upper()
             pr = "ALL" if pr.startswith("ALL") else pr
             colm = re.search(r"\(([^)]*)\)", priv)
-            k = key[:2] + ((colm.group(1).replace(" ", "").lower(),)
-                           if colm else (key[2],))
+            k = key[:2] + (
+                (colm.group(1).replace(" ", "").lower(),)
+                if colm else (key[2],)
+            ) + (key[3],)
             for p, t in _principals(to):
                 st.priv_grants.setdefault(k, []).append(
                     (p, t, pr, bool(gopt), current_user())
@@ -247,14 +280,19 @@ def handle(spark: SparkSession, stmt: str):
         return True
     m = _REVOKE_PRIV.match(stmt)
     if m:
-        privs, kind, obj, frm = m.groups()
-        key = _obj_key(spark, kind, obj, None)[:2]
+        privs, kind, obj, pspec, frm = m.groups()
+        key = _obj_key(spark, kind, obj, None, pspec)
         wanted = {
             re.sub(r"\s*\(.*\)", "", p).strip().upper() for p in privs.split(",")
         }
         wanted = {"ALL" if w.startswith("ALL") else w for w in wanted}
         who = dict(_principals(frm))
-        for k in [k for k in st.priv_grants if k[:2] == key]:
+        for k in [k for k in st.priv_grants if k[:2] == key[:2]]:
+            # a partition-scoped REVOKE touches only that partition's
+            # grants; a table-level REVOKE clears every scope (Hive's
+            # revokePrivileges drops the whole privilege subtree)
+            if pspec and k[3] != key[3]:
+                continue
             st.priv_grants[k] = [
                 g for g in st.priv_grants[k]
                 if not (g[0] in who and (g[2] in wanted or "ALL" in wanted))
@@ -373,7 +411,7 @@ def _has_priv(st: _AuthState, db: str, tbl: str, priv: str) -> bool:
     principals = {(user, "USER"), ("public", "ROLE")} | {
         (r, "ROLE") for r in st.current_roles
     }
-    for key in ((db, tbl, ""), (db, "", "")):
+    for key in ((db, tbl, "", ""), (db, "", "", "")):
         for p, t, pr, _gopt, _grantor in st.priv_grants.get(key, []):
             if (p, t if t != "GROUP" else "USER") in principals or (
                 (p, t) in principals

@@ -141,10 +141,64 @@ _METADATA_NOOP = re.compile(
     r"UPDATE\s+STATISTICS\b"
     r"|ALTER\s+TABLE\s+[\w.`]+\s+PARTITION\s+COLUMN\s*\("
     r"|ALTER\s+MATERIALIZED\s+VIEW\s+[\w.`]+\s+(?:ENABLE|DISABLE)\s+REWRITE\b"
+    # HAR archiving moves partition files into an archive but keeps them
+    # readable (ql/.../ddl/table/partition/archive) — a layout-only op
+    r"|ALTER\s+TABLE\s+[\w.`]+\s+(?:UN)?ARCHIVE\s+PARTITION\b"
     r"|GRANT\b|REVOKE\b"
     r")",
     re.I,
 )
+
+# explicit LOCK TABLE/DATABASE statements (ref: ql/.../ddl/table/lock/
+# LockTableDesc; DbTxnManager treats them as advisory session locks) —
+# recorded per-session and surfaced through SHOW LOCKS. Real writer
+# serialization is the lockdb central database's job (hive_spark.lockdb).
+_EXPLICIT_LOCKS: dict[int, dict[str, str]] = {}
+_LOCK_STMT = re.compile(
+    r"^\s*LOCK\s+(TABLE|DATABASE)\s+`?([\w.]+)`?"
+    r"(?:\s+PARTITION\s*\([^)]*\))?\s+(SHARED|EXCLUSIVE)\s*$",
+    re.I,
+)
+_UNLOCK_STMT = re.compile(
+    r"^\s*UNLOCK\s+(TABLE|DATABASE)\s+`?([\w.]+)`?"
+    r"(?:\s+PARTITION\s*\([^)]*\))?\s*$",
+    re.I,
+)
+# compaction queue emulation (ref: ql/.../txn/compactor/Initiator.java;
+# SHOW COMPACTIONS reads COMPACTION_QUEUE): ALTER TABLE ... COMPACT
+# enqueues; our CoW tables have no delta files so requests complete
+# immediately ("succeeded")
+_COMPACTIONS: dict[int, list[tuple]] = {}
+_COMPACT_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s*"
+    r"(?:PARTITION\s*\(([^)]*)\)\s*)?COMPACT\s+'(\w+)'"
+    r"(?:\s+AND\s+WAIT)?(?:\s+WITH\s+OVERWRITE\s+TBLPROPERTIES\s*\(.*\))?"
+    r"\s*$",
+    re.I | re.S,
+)
+
+# view partitions: pure metastore metadata, no files (ref: ql/.../ddl/
+# view/AlterViewAddPartitionAnalyzer — Hive records the spec and SHOW
+# PARTITIONS / DESCRIBE surface it)
+_VIEW_PARTS: dict[int, dict[str, list[str]]] = {}
+_ALTER_VIEW_PART = re.compile(
+    r"^\s*ALTER\s+VIEW\s+`?([\w.]+)`?\s+(ADD|DROP)\s+"
+    r"(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
+    r"((?:PARTITION\s*\([^)]*\)\s*,?\s*)+)\s*$",
+    re.I,
+)
+
+
+def _part_spec_to_name(spec: str) -> str:
+    parts = []
+    for kv in spec.split(","):
+        if "=" not in kv:
+            continue
+        k, v = kv.split("=", 1)
+        parts.append(
+            f"{k.strip().strip('`')}={v.strip().strip(chr(39))}"
+        )
+    return "/".join(parts)
 _SHELL = re.compile(r"^\s*(!|dfs\b)", re.I)
 _DFS = re.compile(r"^\s*dfs\s+(.*)$", re.I | re.S)
 
@@ -157,6 +211,10 @@ _VAR_DEFAULTS = {
     "system:hive.root": "/root/reference/",
     # QTestUtil: conf.set("test.data.dir", <the data/files dataset dir>)
     "system:test.data.dir": "/root/reference/data/files",
+    # QTestUtil points this at the test warehouse; relative INSERT
+    # OVERWRITE DIRECTORY targets resolve under the same scratch root,
+    # so LOAD DATA INPATH '${system:test.warehouse.dir}/x' round-trips
+    "system:test.warehouse.dir": "/tmp/hive_spark_qtest_tmp/target/warehouse",
 }
 
 
@@ -815,7 +873,7 @@ _STORED_AS_IO = re.compile(
     r"STORED\s+AS\s+INPUTFORMAT\s+'[^']*'\s+OUTPUTFORMAT\s+'[^']*'", re.I
 )
 _ROW_FORMAT_SERDE = re.compile(
-    r"ROW\s+FORMAT\s+SERDE\s+'[^']+'"
+    r"ROW\s+FORMAT\s+SERDE\s+(?:'[^']+'|\"[^\"]+\")"
     r"(?:\s+WITH\s+SERDEPROPERTIES\s*\((?:[^()]|\([^)]*\))*\))?",
     re.I,
 )
@@ -903,7 +961,8 @@ def _rewrite_stored_as(stmt: str) -> str:
     # tableSkewed): physical-layout metadata with no result semantics —
     # Spark's AQE skew handling is the engine's answer; drop the clause
     stmt = re.sub(
-        r"(?i)\bSKEWED\s+BY\s*\([^)]*\)\s*ON\s*\((?:[^()]|\([^)]*\))*\)"
+        r"(?i)\bSKEWED\s+BY\s*\((?:[^()`]|`[^`]*`)*\)\s*"
+        r"ON\s*\((?:[^()]|\([^)]*\))*\)"
         r"(\s+STORED\s+AS\s+DIRECTORIES)?",
         " ",
         stmt,
@@ -1414,6 +1473,7 @@ def _exec_load_data(spark: SparkSession, m: re.Match) -> None:
         if f.name in parts:
             df = df.withColumn(f.name, F.lit(parts[f.name]).cast(f.dataType))
     df = df.select(*[f.name for f in schema.fields])
+    df = _truncate_to_declared(spark, table, df)
     if overwrite and parts:
         # OVERWRITE into a STATIC partition replaces only that partition
         # (Hive LoadSemanticAnalyzer); Spark's static overwrite would
@@ -1721,7 +1781,11 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         )
 
     stmt = re.sub(
-        r"(?i)([\w.`]+)(?:\s+(?!TABLESAMPLE\b)(?:AS\s+)?(\w+))?\s+"
+        # the table-name group must not swallow the FROM/JOIN keyword
+        # itself (select-list text before it would then become the
+        # "table"): exclude clause keywords from the name position
+        r"(?i)\b(?!(?:FROM|JOIN|WHERE|SELECT|LATERAL|ON|AND|OR)\b)"
+        r"([\w.`]+)(?:\s+(?!TABLESAMPLE\b)(?:AS\s+)?(\w+))?\s+"
         r"TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+"
         r"`?([\w.]+)`?\s*\)",
         _sub_bucket_sample,
@@ -1774,7 +1838,53 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = m.group(1) + m.group(3).lstrip()
     # Hive virtual column INPUT__FILE__NAME -> Spark's function form
     stmt = re.sub(
-        r"(?i)\bINPUT__FILE__NAME\b", "input_file_name()", stmt
+        r"(?i)(?:`?\w+`?\.)?`?\bINPUT__FILE__NAME\b`?",
+        "input_file_name()", stmt,
+    )
+    # Hive virtual columns BLOCK__OFFSET__INSIDE__FILE (the row's byte
+    # offset — ref: ql/.../metadata/VirtualColumn.java), ROW__ID (the
+    # ACID struct<writeid,bucketid,rowid> from AcidInputFormat) and
+    # ROW__IS__DELETED. Spark exposes none of them; the analogs keep the
+    # per-row-unique / monotonic-within-a-file contract queries rely on,
+    # via monotonically_increasing_id (partition-ordered like file
+    # offsets). A table qualifier (t1.ROW__ID) is dropped — the virtual
+    # column is scan-scoped in Hive too.
+    if re.search(r"(?i)\bBLOCK__OFFSET__INSIDE__FILE\b", stmt):
+        stmt = re.sub(
+            r"(?i)(?:`?\w+`?\.)?`?\bBLOCK__OFFSET__INSIDE__FILE\b`?",
+            "monotonically_increasing_id()",
+            stmt,
+        )
+    if re.search(r"(?i)\bROW__OFFSET__INSIDE__BLOCK\b", stmt):
+        stmt = re.sub(  # Hive returns 0 unless row-offsets are enabled
+            r"(?i)(?:`?\w+`?\.)?`?\bROW__OFFSET__INSIDE__BLOCK\b`?",
+            "CAST(0 AS BIGINT)",
+            stmt,
+        )
+    if re.search(r"(?i)\bROW__IS__DELETED\b", stmt):
+        # visible rows are by definition not deleted (the ACID reader
+        # surfaces true only under 'fetch deleted rows' mode)
+        stmt = re.sub(
+            r"(?i)(?:`?\w+`?\.)?`?\bROW__IS__DELETED\b`?",
+            "CAST(false AS BOOLEAN)",
+            stmt,
+        )
+    if re.search(r"(?i)\bROW__ID\b", stmt):
+        stmt = re.sub(
+            r"(?i)(?:`?\w+`?\.)?`?\bROW__ID\b`?",
+            "named_struct('writeid', CAST(1 AS BIGINT), 'bucketid', 536870912,"
+            " 'rowid', monotonically_increasing_id())",
+            stmt,
+        )
+    # FROM t('k'='v', ...): Hive's per-scan table property overrides
+    # (ql/.../parse/ — tableName LPAREN tableProperties RPAREN); Spark
+    # would resolve it as a table-valued function. The properties tune
+    # the reader; the scan itself is the same table.
+    stmt = re.sub(
+        r"(?i)\b(FROM\s+`?[\w.]+`?)\s*\(\s*'[^']*'\s*=\s*'[^']*'"
+        r"(?:\s*,\s*'[^']*'\s*=\s*'[^']*')*\s*\)",
+        r"\1",
+        stmt,
     )
     # Hive's bare `... FOR COLUMNS` means every column; Spark requires
     # an explicit list or the ALL COLUMNS spelling
@@ -2069,6 +2179,209 @@ def _retry_insert_overwrite_selfread(spark, stmt: str, err: Exception):
         shutil.rmtree(stage, ignore_errors=True)
 
 
+_BINOP_ERR = re.compile(
+    r'Cannot resolve "\((.+)\)" due to data type mismatch[\s\S]*?'
+    r'incompatible types\s*\("(\w+)" and "([\w(),]+)"\)'
+)
+_BINOP_SPLIT = re.compile(
+    r"^(.*?)\s+(=|==|!=|<>|<=|>=|<|>)\s+(.*)$"
+)
+_NUMERIC_TYPENAMES = (
+    "TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE", "DECIMAL",
+)
+
+
+def _retry_binop_coercion(spark, stmt: str, err: Exception):
+    """Hive implicitly compares TIMESTAMP and BOOLEAN with numerics
+    (FunctionRegistry.getCommonClassForComparison coerces through
+    double — a timestamp becomes seconds.nanos since epoch, a boolean
+    becomes 0/1); Spark refuses with BINARY_OP_DIFF_TYPES. Patch the
+    offending comparison (reported verbatim in the error) with the
+    Hive cast and re-run, one comparison per iteration."""
+    cur = stmt
+    last = err
+    for _ in range(64):
+        m = _BINOP_ERR.search(str(last))
+        if not m:
+            raise last
+        expr, lt, rt = m.groups()
+        sm = _BINOP_SPLIT.match(expr)
+        if not sm:
+            raise last
+        lhs, op, rhs = sm.groups()
+        lt, rt = lt.upper(), rt.upper()
+
+        def _coerce(side: str, typ: str, other: str) -> str | None:
+            if typ == "TIMESTAMP" and other.startswith(_NUMERIC_TYPENAMES):
+                return f"CAST({side} AS DOUBLE)"
+            if typ == "BOOLEAN" and other.startswith(_NUMERIC_TYPENAMES):
+                return f"CAST({side} AS INT)"
+            return None
+
+        new_l = _coerce(lhs, lt, rt)
+        new_r = _coerce(rhs, rt, lt)
+        if new_l is None and new_r is None:
+            raise last
+        # match the operand pair with WHATEVER comparison operator the
+        # source used (Spark reports `a != b` as NOT (a = b), so the
+        # error's operator may differ) and keep the source operator
+        pat = re.compile(
+            re.escape(lhs) + r"\s*(<=|>=|<>|!=|==?|<|>)\s*"
+            + re.escape(rhs),
+            re.I,
+        )
+        patched = pat.sub(
+            lambda sm2: f"{new_l or lhs} {sm2.group(1)} {new_r or rhs}",
+            cur, count=1,
+        )
+        if patched == cur:
+            raise last
+        cur = patched
+        try:
+            return spark.sql(cur)
+        except Exception as e2:
+            if "BINARY_OP_DIFF_TYPES" not in str(e2):
+                raise
+            last = e2
+    raise last
+
+
+def _truncate_to_declared(spark, table: str, df):
+    """Substring-truncate any df column (matched by name) whose declared
+    table type is char(n)/varchar(n) — Hive's serdes truncate on
+    read/write (HiveBaseCharWritable enforces maxLength); Spark raises
+    EXCEED_LIMIT_LENGTH instead."""
+    from pyspark.sql import functions as F
+
+    limits: dict[str, int] = {}
+    try:
+        for r in spark.sql(
+            f"DESCRIBE `{table.replace('.', '`.`')}`"
+        ).collect():
+            if not r[0] or r[0].startswith("#"):
+                break
+            mm = re.match(r"(?:char|varchar)\s*\((\d+)\)", (r[1] or "").lower())
+            if mm:
+                limits[r[0].lower()] = int(mm.group(1))
+    except Exception:
+        return df
+    if not limits:
+        return df
+    return df.select(*[
+        F.substring(F.col(c).cast("string"), 1, limits[c.lower()]).alias(c)
+        if c.lower() in limits
+        else F.col(c)
+        for c in df.columns
+    ])
+
+
+_INSERT_HEAD_ANY = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?\s*"
+    r"(?:PARTITION\s*\(([^)]*)\))?\s*"
+    r"((?:SELECT|VALUES|WITH|\()[\s\S]*)$",
+    re.I,
+)
+
+
+def _retry_insert_truncate_charvarchar(spark, stmt: str, err: Exception):
+    """Hive silently TRUNCATES strings written into char(n)/varchar(n)
+    columns (HiveCharWritable/HiveVarcharWritable enforce maxLength on
+    write — serde2/io/HiveBaseCharWritable.java); Spark raises
+    EXCEED_LIMIT_LENGTH. On that failure, re-run the insert with each
+    over-length source expression wrapped in substring(., 1, n)."""
+    from pyspark.sql import functions as F
+
+    if "EXCEED_LIMIT_LENGTH" not in str(err):
+        raise err
+    m = _INSERT_HEAD_ANY.match(stmt)
+    if m is None:
+        raise err
+    verb, table, spec, src = m.groups()
+    try:
+        cat_cols = spark.catalog.listColumns(table)
+        # catalog dataType collapses char(n)/varchar(n) to 'string';
+        # DESCRIBE keeps the declared type, which carries the limit
+        described = []
+        for r in spark.sql(
+            f"DESCRIBE `{table.replace('.', '`.`')}`"
+        ).collect():
+            if not r[0] or r[0].startswith("#"):
+                break
+            described.append((r[0], (r[1] or "").lower()))
+    except Exception:
+        raise err
+    part_names = {c.name for c in cat_cols if c.isPartition}
+
+    class _Col:
+        def __init__(self, name, dt):
+            self.name, self.dataType = name, dt
+
+    cols = [_Col(n, t) for n, t in described]
+    part_cols = [c.name for c in cols if c.name in part_names]
+    data_cols = [c for c in cols if c.name not in part_names]
+    static: dict[str, str] = {}
+    dyn_parts: list[str] = []
+    if spec:
+        for kv in _split_args(spec):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                static[k.strip().strip("`")] = v.strip().strip("'\"")
+            else:
+                dyn_parts.append(kv.strip().strip("`"))
+    elif part_cols:
+        # no PARTITION clause on a partitioned table: all partition
+        # columns are dynamic, fed by the trailing select columns
+        dyn_parts = list(part_cols)
+    df = spark.sql(src)
+    # positional mapping: select output covers data columns then any
+    # dynamic partition columns (Hive FileSinkOperator order)
+    expected = [(c.name, (c.dataType or "").lower()) for c in data_cols]
+    expected += [
+        (p, next(
+            ((c.dataType or "").lower() for c in cols if c.name == p), ""
+        ))
+        for p in dyn_parts
+    ]
+    if len(df.columns) != len(expected):
+        raise err
+    sel = []
+    for i, (name, typ) in enumerate(expected):
+        mm = re.match(r"(?:char|varchar)\s*\((\d+)\)", typ)
+        src_col = F.col(df.columns[i])
+        if mm:
+            sel.append(
+                F.substring(src_col.cast("string"), 1, int(mm.group(1)))
+                .alias(name)
+            )
+        else:
+            sel.append(src_col.alias(name))
+    out = df.select(*sel)
+    for p in part_cols:
+        if p in static:
+            ptyp = next(
+                (c.dataType for c in cols if c.name == p), "string"
+            )
+            out = out.withColumn(p, F.lit(static[p]).cast(ptyp))
+    out = out.select(*[c.name for c in cols])
+    overwrite = verb.upper() == "OVERWRITE"
+    prev = None
+    if overwrite and (dyn_parts or static):
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+    try:
+        out.write.insertInto(table, overwrite=overwrite)
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+    return spark.createDataFrame([], "x string").limit(0).drop("x")
+
+
 def _retry_view_autoalias(spark, stmt: str, err: Exception):
     """Hive names unaliased view expression columns `_c<i>`
     (SemanticAnalyzer's autogenerated column aliases); Spark refuses the
@@ -2187,17 +2500,29 @@ def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
             if len(toks) == 2:
                 specs.append((toks[0].strip("`"), toks[1]))
         df = spark.table(table)
-        old_cols = list(df.columns)
+        try:
+            parts = [
+                c.name
+                for c in spark.catalog.listColumns(table)
+                if c.isPartition
+            ]
+        except Exception:
+            parts = []
+        old_cols = [c for c in df.columns if c not in parts]
         if [
             (n.lower(), t.replace(" ", "").lower()) for n, t in specs
-        ] == [(c.lower(), t.replace(" ", "").lower()) for c, t in df.dtypes]:
+        ] == [
+            (c.lower(), t.replace(" ", "").lower())
+            for c, t in df.dtypes
+            if c not in parts
+        ]:
             return True  # already in sync
         sel = [
             F.col(old_cols[i]).cast(typ).alias(name)
             if i < len(old_cols)
             else F.lit(None).cast(typ).alias(name)
             for i, (name, typ) in enumerate(specs)
-        ]
+        ] + [F.col(c) for c in parts]
         _rewrite_table_inplace(spark, table, df.select(*sel))
         return True
     m = _ALTER_CHANGE.match(stmt)
@@ -2247,15 +2572,28 @@ def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
             toks = item.strip().split(None, 2)
             if len(toks) >= 2:
                 specs.append((toks[0].strip("`"), toks[1]))
+        # REPLACE COLUMNS only replaces DATA columns — Hive never lets it
+        # touch partition keys (AlterTableReplaceColsDesc operates on the
+        # storage descriptor's cols); keep partition columns out of the
+        # positional map and re-append them so the CoW swap preserves them
+        try:
+            part_cols = [
+                c.name
+                for c in spark.catalog.listColumns(table)
+                if c.isPartition
+            ]
+        except Exception:
+            part_cols = []
         # positional reinterpretation (text-serde semantics): i-th old
         # column becomes the i-th new (name, type); extras drop/appear
-        old_cols = [c for c in df.columns]
+        old_cols = [c for c in df.columns if c not in part_cols]
         sel = []
         for i, (name, typ) in enumerate(specs):
             if i < len(old_cols):
                 sel.append(F.col(old_cols[i]).cast(typ).alias(name))
             else:
                 sel.append(F.lit(None).cast(typ).alias(name))
+        sel.extend(F.col(c) for c in part_cols)
         _rewrite_table_inplace(spark, table, df.select(*sel))
         return True
     return False
@@ -2297,28 +2635,73 @@ _EXPLAIN_SPECIAL = re.compile(
     r"^\s*EXPLAIN\s+(LOCKS|DDL|AUTHORIZATION)\s+(.*)$", re.I | re.S
 )
 
+_PART_FILTER_ITEM = re.compile(
+    r"^\s*`?(\w+)`?\s*(<=|>=|<>|!=|<|>|=|\bLIKE\b)\s*(.+?)\s*$", re.I
+)
+
+
+def _part_filter_match(op: str, actual: str, want: str,
+                       numeric: bool) -> bool:
+    """One comparator from a DROP PARTITION filter spec. Hive compares
+    with the partition column's type (ExprNodeGenericFuncDesc over the
+    partition name list — ql/.../metastore/PartitionPruner); numeric
+    columns compare numerically, everything else lexically."""
+    if op.upper() == "LIKE":
+        pat = re.escape(want).replace("%", ".*").replace("_", ".")
+        return re.fullmatch(pat, actual) is not None
+    a: object = actual
+    w: object = want
+    if numeric:
+        try:
+            a, w = float(actual), float(want)
+        except (TypeError, ValueError):
+            a, w = actual, want
+    if op == "=":
+        return a == w
+    if op in ("!=", "<>"):
+        return a != w
+    if op == "<":
+        return a < w
+    if op == "<=":
+        return a <= w
+    if op == ">":
+        return a > w
+    return a >= w
+
+
 def _drop_partial_partitions(spark: SparkSession, table: str,
                              spec: str, if_exists: bool = True) -> bool:
     """Hive's DROP PARTITION with a PARTIAL spec drops every matching
-    partition (ref: ql/.../ddl/table/partition/drop/
-    AlterTableDropPartitionAnalyzer.java); Spark requires the full spec.
-    Returns True when the partial form was expanded and handled."""
+    partition, and the spec items may be comparators, not just equality
+    (ref: ql/.../ddl/table/partition/drop/
+    AlterTableDropPartitionAnalyzer.java); Spark requires a full
+    equality spec. Returns True when the Hive form was expanded and
+    handled here."""
     from urllib.parse import unquote
 
-    wanted: dict[str, str] = {}
+    wanted: list[tuple[str, str, str]] = []  # (col, op, value)
     for kv in _split_args(spec):
-        if "=" not in kv:
-            return False  # comparator forms fall through
-        k, v = kv.split("=", 1)
-        wanted[k.strip().strip("`").lower()] = v.strip().strip("'\"")
+        m = _PART_FILTER_ITEM.match(kv)
+        if not m:
+            return False
+        col, op, val = m.groups()
+        wanted.append((col.strip("`").lower(), op, val.strip().strip("'\"")))
     try:
-        part_cols = [
-            c.name for c in spark.catalog.listColumns(table) if c.isPartition
-        ]
+        part_info = {
+            c.name.lower(): (c.dataType or "").lower()
+            for c in spark.catalog.listColumns(table)
+            if c.isPartition
+        }
     except Exception:
         return False
-    if not part_cols or set(wanted) >= {c.lower() for c in part_cols}:
-        return False  # full spec: Spark handles it natively
+    all_eq = all(op == "=" for _, op, _ in wanted)
+    if not part_info or (
+        all_eq and {c for c, _, _ in wanted} >= set(part_info)
+    ):
+        return False  # full equality spec: Spark handles it natively
+    numeric_types = (
+        "int", "bigint", "smallint", "tinyint", "float", "double", "decimal"
+    )
     rows = spark.sql(f"SHOW PARTITIONS `{table.replace('.', '`.`')}`")
     dropped = False
     for r in rows.collect():
@@ -2326,7 +2709,15 @@ def _drop_partial_partitions(spark: SparkSession, table: str,
             (kv.split("=", 1)[0], unquote(kv.split("=", 1)[1]))
             for kv in r[0].split("/")
         )
-        if all(pairs.get(k) == v for k, v in wanted.items()):
+        pairs = {k.lower(): v for k, v in pairs.items()}
+        if all(
+            k in pairs
+            and _part_filter_match(
+                op, pairs[k], v,
+                part_info.get(k, "").startswith(numeric_types),
+            )
+            for k, op, v in wanted
+        ):
             full = ", ".join(
                 "`{}`='{}'".format(
                     k, v.replace("\\", "\\\\").replace("'", "\\'")
@@ -2584,6 +2975,8 @@ def _exec_insert_directory(spark: SparkSession, m: re.Match):
         sep = rf.group("sep").encode().decode("unicode_escape")
     from pyspark.sql import functions as F
 
+    # positional names: a select list may repeat a name (`null, null`)
+    df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
     cols = [
         F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in df.columns
     ]
@@ -2763,17 +3156,26 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     if wanted
                     else VERSIONED_TABLES
                 )
+                lock_rows = [
+                    (
+                        r["table"],
+                        r["path"],
+                        r["holder_pid"],
+                        r["holder_alive"],
+                    )
+                    for r in rows
+                ]
+                # explicit LOCK TABLE/DATABASE session locks
+                for key, mode in sorted(
+                    _EXPLICIT_LOCKS.get(id(spark), {}).items()
+                ):
+                    _kind, name = key.split(":", 1)
+                    if wanted and name.split(".")[-1] != wanted:
+                        continue
+                    lock_rows.append((name, mode, os.getpid(), True))
                 res.results.append(
                     spark.createDataFrame(
-                        [
-                            (
-                                r["table"],
-                                r["path"],
-                                r["holder_pid"],
-                                r["holder_alive"],
-                            )
-                            for r in rows
-                        ],
+                        lock_rows,
                         "table string, path string, holder_pid int, holder_alive boolean",
                     )
                 )
@@ -2858,15 +3260,40 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     continue
             m = re.match(
                 r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+"
-                r"(IF\s+EXISTS\s+)?PARTITION\s*"
-                r"\(((?:[^()]|\([^()]*\))*)\)\s*(?:PURGE\s*)?$",
+                r"(IF\s+EXISTS\s+)?"
+                r"((?:PARTITION\s*\((?:[^()]|\([^()]*\))*\)\s*,?\s*)+)"
+                r"(?:PURGE\s*)?$",
                 stmt,
                 re.I,
             )
-            if m and _drop_partial_partitions(
-                spark, m.group(1), m.group(3), if_exists=bool(m.group(2))
-            ):
-                continue
+            if m:
+                specs = re.findall(
+                    r"PARTITION\s*\(((?:[^()]|\([^()]*\))*)\)",
+                    m.group(3), re.I,
+                )
+                if len(specs) == 1:
+                    # single spec: helper expands Hive partial/comparator
+                    # forms; a full equality spec falls through to Spark
+                    if _drop_partial_partitions(
+                        spark, m.group(1), specs[0],
+                        if_exists=bool(m.group(2)),
+                    ):
+                        continue
+                else:
+                    # Hive allows DROP PARTITION (...), PARTITION (...)
+                    # (AlterTableDropPartitionAnalyzer: one desc per
+                    # spec); Spark parses only one clause — expand each
+                    tbl_q = m.group(1).replace(".", "`.`")
+                    for sp in specs:
+                        if not _drop_partial_partitions(
+                            spark, m.group(1), sp,
+                            if_exists=bool(m.group(2)),
+                        ):
+                            spark.sql(
+                                f"ALTER TABLE `{tbl_q}` DROP "
+                                f"{m.group(2) or ''}PARTITION ({sp})"
+                            )
+                    continue
             m = _EXCHANGE_PARTITION.match(stmt)
             if m:
                 # EXCHANGE PARTITION (ref: ql/.../ddl/table/partition/
@@ -2970,6 +3397,118 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             )
             if cm:
                 authz.record_owner(spark, cm.group(1))
+            m = _LOCK_STMT.match(stmt)
+            if m:
+                kind, name, mode = m.groups()
+                key = f"{kind.upper()}:{name.lower()}"
+                _EXPLICIT_LOCKS.setdefault(id(spark), {})[key] = mode.upper()
+                continue
+            m = _UNLOCK_STMT.match(stmt)
+            if m:
+                kind, name = m.groups()
+                _EXPLICIT_LOCKS.get(id(spark), {}).pop(
+                    f"{kind.upper()}:{name.lower()}", None
+                )
+                continue
+            m = _COMPACT_STMT.match(stmt)
+            if m:
+                tbl, pspec, ctype = m.groups()
+                _COMPACTIONS.setdefault(id(spark), []).append(
+                    (tbl.lower(), (pspec or "").strip(), ctype.lower(),
+                     "succeeded")
+                )
+                continue
+            m = _ALTER_VIEW_PART.match(stmt)
+            if m:
+                view, verb, specs_text = m.groups()
+                vparts = _VIEW_PARTS.setdefault(id(spark), {}).setdefault(
+                    view.lower(), []
+                )
+                for sp in re.findall(
+                    r"PARTITION\s*\(([^)]*)\)", specs_text, re.I
+                ):
+                    pname = _part_spec_to_name(sp)
+                    if verb.upper() == "ADD" and pname not in vparts:
+                        vparts.append(pname)
+                    elif verb.upper() == "DROP" and pname in vparts:
+                        vparts.remove(pname)
+                continue
+            m = re.match(
+                r"^\s*SHOW\s+PARTITIONS\s+`?([\w.]+)`?"
+                r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*$",
+                stmt, re.I,
+            )
+            if m:
+                vname = m.group(1).lower()
+                known = vname in _VIEW_PARTS.get(id(spark), {})
+                if not known:
+                    try:
+                        t = spark.catalog.getTable(m.group(1))
+                        known = t.tableType == "VIEW"
+                    except Exception:
+                        known = False
+                if known:
+                    names = _VIEW_PARTS.get(id(spark), {}).get(vname, [])
+                    if m.group(2):
+                        want = _part_spec_to_name(m.group(2))
+                        names = [
+                            p for p in names
+                            if want in p.split("/") or p == want
+                        ]
+                    res.results.append(spark.createDataFrame(
+                        [(p,) for p in names], "partition string",
+                    ))
+                    continue
+            m = re.match(
+                r"^\s*(SHOW\s+TABLE\s+EXTENDED\s+LIKE\s+`?[\w.]+`?)\s+"
+                r"PARTITION\s*\(([^)]*)\)\s*$",
+                stmt, re.I,
+            )
+            if m and re.search(
+                r"`?([\w.]+)`?$", m.group(1)
+            ).group(1).lower() in _VIEW_PARTS.get(id(spark), {}):
+                # metadata-only view partition: the table-level lines
+                res.results.append(
+                    spark.sql(rewrite_statement(spark, m.group(1)))
+                )
+                continue
+            m = re.match(
+                r"^\s*(DESCRIBE|DESC)\s+(FORMATTED\s+|EXTENDED\s+)?"
+                r"`?([\w.]+)`?\s+PARTITION\s*\([^)]*\)\s*$",
+                stmt, re.I,
+            )
+            if m and m.group(3).lower() in _VIEW_PARTS.get(id(spark), {}):
+                # DESCRIBE view PARTITION(...): the view's columns (the
+                # partition is metadata-only)
+                res.results.append(spark.sql(
+                    f"DESCRIBE {m.group(2) or ''}`{m.group(3)}`"
+                ))
+                continue
+            if re.match(r"^\s*SHOW\s+COMPACTIONS\b", stmt, re.I):
+                res.results.append(spark.createDataFrame(
+                    [
+                        (str(i + 1), "default", t, p, c, s, "")
+                        for i, (t, p, c, s) in enumerate(
+                            _COMPACTIONS.get(id(spark), [])
+                        )
+                    ],
+                    "compactionid string, dbname string, tabname string,"
+                    " partname string, type string, state string,"
+                    " workerid string",
+                ))
+                continue
+            if re.match(r"^\s*SHOW\s+TRANSACTIONS\s*$", stmt, re.I):
+                open_txns = []
+                if res.txn is not None and getattr(res.txn, "active", False):
+                    open_txns.append(
+                        (str(getattr(res.txn, "txn_id", 1)), "OPEN",
+                         authz.current_user(), "localhost")
+                    )
+                res.results.append(spark.createDataFrame(
+                    open_txns,
+                    "txnid string, state string, user string, host string",
+                ))
+                continue
             if _ADD.match(stmt) or _METADATA_NOOP.match(stmt):
                 res.skipped.append(stmt)
                 continue
@@ -3019,6 +3558,20 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 or re.match(
                     r"(?i)^\s*SHOW\s+CREATE\s+(?:DATABASE|SCHEMA)\b", inner
                 )
+                # comparator / multi-clause DROP PARTITION and SHOW
+                # PARTITIONS are engine-dialect (Spark can't parse them)
+                or re.match(
+                    r"(?i)^\s*ALTER\s+TABLE\s+[\w.`]+\s+DROP\s+"
+                    r"(?:IF\s+EXISTS\s+)?PARTITION\s*\(", inner
+                )
+                or re.match(r"(?i)^\s*SHOW\s+PARTITIONS\b", inner)
+                or re.match(
+                    r"(?i)^\s*SHOW\s+(?:TRANSACTIONS|COMPACTIONS|LOCKS)\b",
+                    inner,
+                )
+                or _LOCK_STMT.match(inner)
+                or _UNLOCK_STMT.match(inner)
+                or _COMPACT_STMT.match(inner)
             ):
                 res.results.append(
                     spark.createDataFrame(
@@ -3065,6 +3618,40 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             m = _INSERT_DIR.match(stmt)
             if m:
                 _exec_insert_directory(spark, m)
+                continue
+            # FROM <src> INSERT ... with DIRECTORY sinks mixed in: Spark
+            # runs the TABLE multi-insert natively but refuses Hive-format
+            # DIRECTORY sinks — peel those off and run each through the
+            # directory writer (FROM-first SELECT keeps the shared source)
+            fm = re.match(r"(?is)^\s*FROM\s+([\s\S]*?)(\bINSERT\b[\s\S]*)$",
+                          stmt)
+            if fm and re.search(
+                r"(?i)INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY", fm.group(2)
+            ):
+                head, tail = fm.groups()
+                starts = [s for s, _ in
+                          _top_level_spans(tail, r"\bINSERT\b")]
+                clauses = [
+                    tail[s:e].strip()
+                    for s, e in zip(starts, starts[1:] + [len(tail)])
+                ]
+                kept = []
+                for cl in clauses:
+                    dm = _INSERT_DIR.match(cl)
+                    if dm:
+                        q = f"FROM {head} {dm.group(5)}"
+                        _exec_insert_directory(
+                            spark,
+                            _INSERT_DIR.match(
+                                cl[: dm.start(5)] + q
+                            ) or dm,
+                        )
+                    else:
+                        kept.append(cl)
+                if kept:
+                    spark.sql(rewrite_statement(
+                        spark, f"FROM {head} " + " ".join(kept)
+                    ))
                 continue
             if _exec_alter_columns(spark, stmt):
                 continue
@@ -3199,6 +3786,28 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 from hive_spark.plans.cte_spool import spool_ctes
 
                 rewritten = spool_ctes(spark, rewritten, _cte_thresh)
+            # Hive: dynamic-partition INSERT OVERWRITE replaces only the
+            # partitions the query produces (FileSinkOperator with
+            # hive.exec.dynamic.partition); Spark's STATIC mode would
+            # truncate the whole table first — scope dynamic mode to the
+            # statement
+            _m_dyn = re.match(
+                r"(?i)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?[\w.`]+\s*"
+                r"PARTITION\s*\(([^)]*)\)",
+                rewritten,
+            )
+            _prev_mode = None
+            if _m_dyn and any(
+                "=" not in kv
+                for kv in _m_dyn.group(1).split(",")
+                if kv.strip()
+            ):
+                _prev_mode = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "STATIC"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
             try:
                 df = spark.sql(rewritten)
             except Exception as e:
@@ -3223,8 +3832,32 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     and _rewrite_tuple_in(rewritten) != rewritten
                 ):
                     df = spark.sql(_rewrite_tuple_in(rewritten))
+                elif "EXCEED_LIMIT_LENGTH" in str(e):
+                    df = _retry_insert_truncate_charvarchar(
+                        spark, rewritten, e
+                    )
+                elif "BINARY_OP_DIFF_TYPES" in str(e):
+                    df = _retry_binop_coercion(spark, rewritten, e)
+                elif "COLUMN_ALREADY_EXISTS" in str(e) and re.match(
+                    r"(?i)\s*CREATE\s+(?:TEMPORARY\s+)?(?:EXTERNAL\s+)?"
+                    r"TABLE\b", rewritten
+                ):
+                    # CTAS whose select list repeats an unaliased
+                    # expression: Hive names them _c<i> (SemanticAnalyzer
+                    # autogen aliases); Spark reuses the expression text
+                    # and collides
+                    fixed = _autoalias_select_lists(rewritten)
+                    if fixed == rewritten:
+                        raise
+                    df = spark.sql(fixed)
                 else:
                     df = _retry_insert_overwrite_selfread(spark, rewritten, e)
+            finally:
+                if _prev_mode is not None:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode",
+                        _prev_mode,
+                    )
             if df.columns:  # statements with a result shape (SELECT/SHOW/...)
                 # CliDriver semantics: each statement's rows are buffered
                 # to the client BEFORE the next statement runs (ref:
@@ -3232,9 +3865,28 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 # a source table cannot invalidate an earlier result
                 # (qtests routinely SELECT then DROP). Materialize into a
                 # local-relation DataFrame with the same schema.
-                res.results.append(
-                    spark.createDataFrame(df.collect(), df.schema)
-                )
+                try:
+                    res.results.append(
+                        spark.createDataFrame(df.collect(), df.schema)
+                    )
+                except (ValueError, OverflowError) as e:
+                    if "out of range" not in str(e):
+                        raise
+                    # Hive prints timestamps past Python's datetime range
+                    # (year > 9999) verbatim; Python's collect() can't
+                    # hold them — buffer those columns as their string
+                    # rendering instead
+                    from pyspark.sql import functions as F
+
+                    safe = df.select(*[
+                        F.col(c).cast("string").alias(c)
+                        if t.startswith(("timestamp", "date"))
+                        else F.col(c)
+                        for c, t in df.dtypes
+                    ])
+                    res.results.append(
+                        spark.createDataFrame(safe.collect(), safe.schema)
+                    )
     except BaseException:
         # A failing statement inside BEGIN..COMMIT must not strand the
         # transaction: roll back (releasing the write locks) and restore
