@@ -461,6 +461,10 @@ _DDL_OWNER = re.compile(
     r"|TRUNCATE\s+(?:TABLE\s+)?`?([\w.]+)`?"
     r")"
 )
+_DDL_DB_OWNER = re.compile(
+    r"(?i)^\s*(?:ALTER|DROP)\s+(?:DATABASE|SCHEMA)\s+"
+    r"(?:IF\s+EXISTS\s+)?`?([\w]+)`?"
+)
 _EXPORT_RE = re.compile(r"(?i)^\s*EXPORT\s+TABLE\s+`?([\w.]+)`?")
 _IMPORT_RE = re.compile(
     r"(?i)^\s*IMPORT\s+(?:EXTERNAL\s+)?(?:TABLE\s+)?`?([\w.]+)`?"
@@ -517,6 +521,17 @@ def check_statement(
         body = prepared.get(em.group(1).lower(), body)
     body = _EXPLAIN_HEAD.sub("", body, count=1)
 
+    dbm = _DDL_DB_OWNER.match(body)
+    if dbm:
+        # SQLStdHiveAuthorizationValidator: ALTER/DROP DATABASE needs
+        # database ownership (or admin, handled above). A database with
+        # no recorded owner predates enforcement — not gated.
+        db = dbm.group(1).lower()
+        owner = st.owners.get((db, ""))
+        if owner is not None and owner != user:
+            _deny(user, [("OBJECT OWNERSHIP", db)],
+                  body.split(None, 1)[0].upper())
+        return
     dm = _DDL_OWNER.match(body)
     if dm:
         name = next(g for g in dm.groups() if g)

@@ -1519,6 +1519,106 @@ def _top_level_spans(text: str, pattern: str) -> list:
     return spans
 
 
+def _split_generic_args(text: str) -> list[str]:
+    """Split a type-argument list on top-level commas, honoring <> and
+    () nesting (array<struct<a:int,b:string>> stays whole)."""
+    out, cur, depth = [], [], 0
+    for ch in text:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _rewrite_uniontype(stmt: str) -> str:
+    """UNIONTYPE<t0, t1, ...> -> STRUCT<tag:INT, field0:t0, ...> (the
+    tagged-struct emulation, ref: serde/.../objectinspector/
+    UnionObjectInspector — a union IS a (tag, value) pair; Spark has no
+    union type). create_union()/extract_union() map onto the struct:
+    create_union fills only the tagged alternative (the union holds one
+    value), extract_union projects the payload."""
+    while True:
+        m = re.search(r"(?i)\bUNIONTYPE\s*<", stmt)
+        if not m:
+            return stmt
+        i, depth = m.end(), 1
+        start = i
+        while i < len(stmt) and depth:
+            if stmt[i] == "<":
+                depth += 1
+            elif stmt[i] == ">":
+                depth -= 1
+            i += 1
+        alts = _split_generic_args(stmt[start:i - 1])
+        fields = ", ".join(
+            f"field{k}:{t.strip()}" for k, t in enumerate(alts)
+        )
+        stmt = stmt[:m.start()] + f"STRUCT<tag:INT, {fields}>" + stmt[i:]
+
+
+def _rewrite_union_fns(stmt: str) -> str:
+    """create_union(tag, v0, v1, ...) and extract_union(u[, n]) over the
+    tagged-struct emulation (see _rewrite_uniontype)."""
+    def _find_call(name: str):
+        m = re.search(rf"(?i)\b{name}\s*\(", stmt)
+        if not m:
+            return None
+        i, depth = m.end(), 1
+        while i < len(stmt) and depth:
+            c = stmt[i]
+            if c in "'\"":
+                q = c
+                i += 1
+                while i < len(stmt) and stmt[i] != q:
+                    i += 2 if stmt[i] == "\\" else 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        return m.start(), m.end(), i  # call start, args start, past ')'
+
+    while True:
+        span = _find_call("create_union")
+        if span is None:
+            break
+        s, a, e = span
+        args = [x.strip() for x in _split_args(stmt[a:e - 1])]
+        tag, vals = args[0], args[1:]
+        fields = ", ".join(
+            f"'field{k}', CASE WHEN CAST(({tag}) AS INT) = {k}"
+            f" THEN {v} END"
+            for k, v in enumerate(vals)
+        )
+        stmt = (
+            stmt[:s]
+            + f"named_struct('tag', CAST(({tag}) AS INT), {fields})"
+            + stmt[e:]
+        )
+    while True:
+        span = _find_call("extract_union")
+        if span is None:
+            break
+        s, a, e = span
+        args = [x.strip() for x in _split_args(stmt[a:e - 1])]
+        if len(args) == 2 and re.fullmatch(r"\d+", args[1]):
+            repl = f"({args[0]}).field{args[1]}"
+        else:
+            # 1-arg form returns the alternatives struct; the tag rides
+            # along here (schema-free text rewrite) — payload fields match
+            repl = f"({args[0]})"
+        stmt = stmt[:s] + repl + stmt[e:]
+    return stmt
+
+
 def _desugar_distinct_having(stmt: str) -> str:
     """Hive accepts ``SELECT DISTINCT ... HAVING <agg>`` with no GROUP
     BY, grouping by every select column (ref: ql/.../parse/
@@ -1620,6 +1720,10 @@ def _rewrite_transform_using(stmt: str) -> str:
 
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     """All HiveQL-text rewrites this engine applies before spark.sql."""
+    if re.search(r"(?i)\bUNIONTYPE\s*<", stmt):
+        stmt = _rewrite_uniontype(stmt)
+    if re.search(r"(?i)\b(?:create_union|extract_union)\s*\(", stmt):
+        stmt = _rewrite_union_fns(stmt)
     stmt = _desugar_distinct_having(stmt)
     stmt = _rewrite_transform_using(stmt)
     stmt = _DROP_BARE.sub(lambda m: m.group(1) + "IF EXISTS ", stmt)
@@ -1650,6 +1754,15 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     stmt = re.sub(
         r"(?i)^(\s*(?:EXPLAIN\s+)?SHOW\s+)EXTENDED\s+(TABLES\b)",
         r"\1\2", stmt,
+    )
+    # unquoted bare pattern (SHOW TABLES alter1_db): a PATTERN in Hive's
+    # grammar, not a database name — quote it
+    stmt = re.sub(
+        r"(?i)^(\s*(?:EXPLAIN\s+)?SHOW\s+TABLES"
+        r"(?:\s+(?:FROM|IN)\s+[\w.]+)?\s+)(?!LIKE\b|FROM\b|IN\b)"
+        r"([\w|*]+)\s*$",
+        r"\1LIKE '\2'",
+        stmt,
     )
     stmt = re.sub(
         r"(?i)^(\s*(?:EXPLAIN\s+)?SHOW\s+FUNCTIONS\s+)('(?:[^']*)')",
@@ -1774,7 +1887,9 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     # serde2/objectinspector/ObjectInspectorUtils.hashCode)
     def _sub_bucket_sample(m: re.Match) -> str:
         tbl = m.group(1)
-        alias = m.group(2) or tbl.split(".")[-1].strip("`")
+        # Hive's grammar puts the alias AFTER the sample clause
+        # (`t TABLESAMPLE (...) s`); the prefix spot also appears
+        alias = m.group(6) or m.group(2) or tbl.split(".")[-1].strip("`")
         x, y, col = int(m.group(3)), int(m.group(4)), m.group(5)
         return (
             f"(SELECT * FROM {tbl} WHERE pmod({col}, {y}) = {x - 1}) {alias}"
@@ -1787,7 +1902,11 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         r"(?i)\b(?!(?:FROM|JOIN|WHERE|SELECT|LATERAL|ON|AND|OR)\b)"
         r"([\w.`]+)(?:\s+(?!TABLESAMPLE\b)(?:AS\s+)?(\w+))?\s+"
         r"TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+"
-        r"`?([\w.]+)`?\s*\)",
+        r"`?([\w.]+)`?\s*\)"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b|SORT\b|ORDER\b|GROUP\b|JOIN\b|ON\b"
+        r"|LIMIT\b|UNION\b|CLUSTER\b|DISTRIBUTE\b|HAVING\b|LEFT\b|RIGHT\b"
+        r"|FULL\b|INNER\b|CROSS\b|LATERAL\b|INSERT\b|SELECT\b|TABLESAMPLE\b)"
+        r"(\w+))?",
         _sub_bucket_sample,
         stmt,
     )
@@ -2868,6 +2987,83 @@ def _exec_add_constraint(spark: SparkSession, m: re.Match) -> None:
     _CONSTRAINT_NAMES.setdefault(id(spark), {})[cname.lower()] = c
 
 
+_CREATE_EXT_TEXT = re.compile(
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"`?([\w.]+)`?\s*\(([\s\S]*?)\)\s*"
+    r"((?:ROW\s+FORMAT\s+DELIMITED\b[\s\S]*?)?"
+    r"(?:STORED\s+AS\s+TEXTFILE\s*)?)"
+    r"LOCATION\s+['\"]([^'\"]+)['\"]\s*(?:TBLPROPERTIES[\s\S]*)?$",
+    re.I,
+)
+
+
+def _exec_create_external_complex_text(spark: SparkSession,
+                                       m: re.Match) -> bool:
+    """EXTERNAL delimited-text table with complex-typed columns: Spark's
+    csv source can't hold array/map/struct (UNSUPPORTED_DATA_TYPE_FOR_
+    DATASOURCE), but LazySimpleSerDe reads them from nested separators
+    (serde/.../lazy/LazySimpleSerDe.java). Read the files as raw
+    strings and decode through the same separator hierarchy; the result
+    registers as a temp view under the table's name."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    name, col_text, fmt_text, loc = m.groups()
+    specs = []
+    for item in _split_generic_args(col_text):
+        toks = item.strip().split(None, 1)
+        if len(toks) != 2:
+            return False
+        typ = re.sub(r"(?i)\s+COMMENT\s+'[^']*'", "", toks[1]).strip()
+        if re.search(r"(?i)\bUNIONTYPE\s*<", typ):
+            typ = _rewrite_uniontype(typ)  # tagged-struct emulation
+        specs.append((toks[0].strip("`"), typ))
+    if not any(
+        re.match(r"(?i)\s*(array|map|struct|uniontype)\s*<", t)
+        for _, t in specs
+    ):
+        return False  # primitives only: the csv-table path handles it
+    sep = "\x01"
+    coll, mk = "\x02", "\x03"
+    fm = re.search(
+        r"(?i)FIELDS\s+TERMINATED\s+BY\s+'((?:\\.|[^'\\])*)'", fmt_text)
+    if fm:
+        sep = fm.group(1).encode().decode("unicode_escape")
+    cm2 = re.search(
+        r"(?i)COLLECTION\s+ITEMS\s+TERMINATED\s+BY\s+'((?:\\.|[^'\\])*)'",
+        fmt_text)
+    if cm2:
+        coll = cm2.group(1).encode().decode("unicode_escape")
+    km = re.search(
+        r"(?i)MAP\s+KEYS\s+TERMINATED\s+BY\s+'((?:\\.|[^'\\])*)'",
+        fmt_text)
+    if km:
+        mk = km.group(1).encode().decode("unicode_escape")
+    path = re.sub(r"^(?:file|pfile|hdfs):/+", "/", loc)
+    raw = spark.read.csv(
+        path, sep=sep, header=False, inferSchema=False, quote="\x00"
+    )
+    delims = [sep, coll, mk]
+    cols = []
+    for i, (cname, typ) in enumerate(specs):
+        if i >= len(raw.columns):
+            cols.append(
+                F.expr(f"CAST(NULL AS {typ})").alias(cname)
+            )
+            continue
+        dt = _parse_datatype_string(typ)
+        if dt.typeName() in ("array", "map", "struct"):
+            cols.append(
+                F.expr(
+                    _lazy_convert_expr(f"`{raw.columns[i]}`", dt, delims, 1)
+                ).alias(cname)
+            )
+        else:
+            cols.append(F.col(raw.columns[i]).cast(dt).alias(cname))
+    raw.select(*cols).createOrReplaceTempView(name.split(".")[-1])
+    return True
+
+
 _INSERT_DIR = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+['\"]([^'\"]+)['\"]"
     r"\s*((?:ROW\s+FORMAT\s[\s\S]*?)?)((?:STORED\s+AS\s+(\w+)\s*)?)"
@@ -3397,6 +3593,14 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             )
             if cm:
                 authz.record_owner(spark, cm.group(1))
+            dbm = re.match(
+                r"^\s*CREATE\s+(?:REMOTE\s+)?(?:DATABASE|SCHEMA)\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?",
+                stmt, re.I,
+            )
+            if dbm:
+                # database ownership (SQLStd: ALTER/DROP DATABASE need it)
+                authz.record_owner(spark, dbm.group(1) + ".")
             m = _LOCK_STMT.match(stmt)
             if m:
                 kind, name, mode = m.groups()
@@ -3614,6 +3818,9 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                         f"REBUILD of unknown materialized view {m.group(1)!r}"
                     )
                 spark.sql(sql).write.mode("overwrite").saveAsTable(m.group(1))
+                continue
+            m = _CREATE_EXT_TEXT.match(stmt)
+            if m and _exec_create_external_complex_text(spark, m):
                 continue
             m = _INSERT_DIR.match(stmt)
             if m:
@@ -3869,18 +4076,23 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     res.results.append(
                         spark.createDataFrame(df.collect(), df.schema)
                     )
-                except (ValueError, OverflowError) as e:
-                    if "out of range" not in str(e):
+                except Exception as e:
+                    msg = str(e)
+                    retriable = (
+                        isinstance(e, (ValueError, OverflowError))
+                        and "out of range" in msg
+                    ) or "NOT_IMPLEMENTED" in msg
+                    if not retriable:
                         raise
                     # Hive prints timestamps past Python's datetime range
-                    # (year > 9999) verbatim; Python's collect() can't
-                    # hold them — buffer those columns as their string
-                    # rendering instead
+                    # (year > 9999) and year-month intervals verbatim;
+                    # Python's collect() can't hold either — buffer those
+                    # columns as their string rendering instead
                     from pyspark.sql import functions as F
 
                     safe = df.select(*[
                         F.col(c).cast("string").alias(c)
-                        if t.startswith(("timestamp", "date"))
+                        if t.startswith(("timestamp", "date", "interval"))
                         else F.col(c)
                         for c, t in df.dtypes
                     ])

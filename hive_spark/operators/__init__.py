@@ -40,6 +40,8 @@ _RUNTIME_CONFS = {
     # column succeeds, malformed values become NULL) — Spark's ANSI
     # store-assignment policy would reject the qtest INSERT OVERWRITEs
     "spark.sql.storeAssignmentPolicy": "LEGACY",
+    # Hive date functions speak Java SimpleDateFormat patterns
+    "spark.sql.legacy.timeParserPolicy": "LEGACY",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

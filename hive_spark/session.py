@@ -67,6 +67,11 @@ def get_session(
         # behavior divergence for any query over dirty data)
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.storeAssignmentPolicy", "LEGACY")
+        # Hive's date_format/unix_timestamp/from_unixtime speak Java
+        # SimpleDateFormat ('YYYY', 'u', 'MM/dd/yy' two-digit years);
+        # Spark >= 3 errors on those patterns unless the parser runs in
+        # the LEGACY (SimpleDateFormat) mode Hive uses
+        .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
         # -- optimizer: everything Hive's Optimizer.java does, built in --
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

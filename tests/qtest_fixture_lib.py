@@ -19,8 +19,8 @@ QDIR = "/root/reference/ql/src/test/queries/clientpositive"
 
 FIXTURE_TABLES = (
     "src", "srcpart", "src1", "src_cbo", "cbo_t1", "cbo_t2", "cbo_t3",
-    "part", "lineitem", "srcbucket", "alltypesorc", "alltypesparquet",
-    "src_thrift",
+    "part", "lineitem", "srcbucket", "srcbucket2", "alltypesorc",
+    "alltypesparquet", "src_thrift",
 )
 
 
@@ -116,6 +116,13 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
         ],
         schema="key int, value string", sep="\x01",
     ).write.bucketBy(2, "key").sortBy("key").saveAsTable("srcbucket")
+    # srcbucket2: 4-bucket variant (ref: data/files/datasets/srcbucket2/
+    # load.hive.sql — the bmj/00000[0-3]_0 files, CLUSTERED BY key INTO
+    # 4 BUCKETS)
+    spark.read.csv(
+        [f"/root/reference/data/files/bmj/00000{i}_0" for i in range(4)],
+        schema="key int, value string", sep="\x01",
+    ).write.bucketBy(4, "key").sortBy("key").saveAsTable("srcbucket2")
     spark.read.orc(
         "/root/reference/data/files/alltypesorc"
     ).write.saveAsTable("alltypesorc")

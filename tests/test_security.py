@@ -229,3 +229,47 @@ def test_enforcement_covers_intercepted_statements(spark):
         if saved_owner is not None:
             st.owners[(db, "sec_gap_t")] = saved_owner
         run_script(spark, "DROP TABLE IF EXISTS sec_gap_t;")
+
+
+def test_database_ownership_enforcement(spark):
+    """SQLStdHiveAuthorizationValidator gates ALTER/DROP DATABASE on
+    database ownership (or admin). CREATE DATABASE records the creator;
+    another principal's ALTER/DROP is denied, the owner's (and an
+    admin's) succeeds."""
+    import pytest
+
+    from hive_spark import authz
+    from hive_spark.authz import HiveAccessControlError
+    from hive_spark.hqlscript import run_script
+
+    run_script(spark, "DROP DATABASE IF EXISTS sec_db_own CASCADE;"
+                      " CREATE DATABASE sec_db_own;")
+    st = authz._state(spark)
+    try:
+        spark.conf.set("hive.security.authorization.enabled", "true")
+        # owner may alter and drop
+        run_script(
+            spark, "ALTER DATABASE sec_db_own SET DBPROPERTIES ('a'='1');"
+        )
+        # a different recorded owner denies the current user
+        st.owners[("sec_db_own", "")] = "somebody_else"
+        with pytest.raises(HiveAccessControlError):
+            run_script(
+                spark,
+                "ALTER DATABASE sec_db_own SET DBPROPERTIES ('a'='2');",
+            )
+        with pytest.raises(HiveAccessControlError):
+            run_script(spark, "DROP DATABASE sec_db_own;")
+        # admin role bypasses ownership (SQLStd admin has all privileges)
+        st.current_roles.append("admin")
+        try:
+            run_script(
+                spark,
+                "ALTER DATABASE sec_db_own SET DBPROPERTIES ('a'='3');",
+            )
+        finally:
+            st.current_roles.remove("admin")
+    finally:
+        spark.conf.unset("hive.security.authorization.enabled")
+        st.owners.pop(("sec_db_own", ""), None)
+        run_script(spark, "DROP DATABASE IF EXISTS sec_db_own CASCADE;")
