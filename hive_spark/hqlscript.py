@@ -548,6 +548,28 @@ def _publish_dml(spark: SparkSession, res, name: str, path: str, build) -> None:
     snapshots.read_table(spark, path).createOrReplaceTempView(key)
 
 
+def _column_defaults(spark: SparkSession, table: str) -> dict[str, str]:
+    """Declared column DEFAULT expressions from SHOW CREATE TABLE (the
+    DEFAULT keyword in DML resolves to these; absent -> NULL, like
+    Hive's DefaultConstraint handling)."""
+    out: dict[str, str] = {}
+    try:
+        ddl = spark.sql(
+            f"SHOW CREATE TABLE `{table.replace('.', '`.`')}`"
+        ).collect()[0][0]
+        # one column definition per line in Spark's rendering
+        for line in ddl.splitlines():
+            lm = re.match(
+                r"\s*`?(\w+)`?\s+\w+[\w()<>,]*\s+DEFAULT\s+(.+?)\)?,?\s*$",
+                line, re.I,
+            )
+            if lm:
+                out[lm.group(1).lower()] = lm.group(2).strip()
+    except Exception:
+        pass
+    return out
+
+
 def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
     """SQL-text UPDATE / DELETE / MERGE (Hive ACID DML statements, ref:
     ql/.../parse/UpdateDeleteSemanticAnalyzer + MergeSemanticAnalyzer) —
@@ -561,10 +583,19 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
     if m and not re.match(r"^\s*UPDATE\s+STATISTICS\b", stmt, re.I):
         name, set_text, where = m.group(1), m.group(2), m.group(3)
         path, versioned = _resolve_dml_target(spark, name)
+        defaults = (
+            _column_defaults(spark, name)
+            if re.search(r"(?i)=\s*default\b", set_text) else {}
+        )
         assigns = {}
         for pair in _split_args(set_text):
             pm = re.match(r"\s*([\w.]+)\s*=\s*(.+?)\s*$", pair, re.S)
-            assigns[pm.group(1).split(".")[-1]] = F.expr(pm.group(2))
+            col = pm.group(1).split(".")[-1]
+            val = pm.group(2)
+            if val.strip().lower() == "default":
+                # SET col = DEFAULT: the declared default, else NULL
+                val = defaults.get(col.lower(), "NULL")
+            assigns[col] = F.expr(val)
         cond = F.expr(where) if where else F.lit(True)
         if versioned:
             _publish_dml(
@@ -647,6 +678,10 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
             for pair in _split_args(set_text):
                 pm = re.match(r"\s*([\w.]+)\s*=\s*(.+?)\s*$", pair, re.S)
                 col, expr = pm.group(1).split(".")[-1], rw(pm.group(2))
+                if expr.strip().lower() == "default":
+                    expr = _column_defaults(spark, name).get(
+                        col.lower(), "NULL"
+                    )
                 if and_cond:
                     expr = (
                         f"CASE WHEN {rw(and_cond)} THEN ({expr})"
@@ -672,8 +707,17 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
                         TABLE_FORMATS.get(path, "parquet")
                     ).load(path).columns
                 )
+            mdefs = (
+                _column_defaults(spark, name)
+                if any(v.strip().lower() == "default" for v in vals)
+                else {}
+            )
             not_matched_insert = {
-                c: F.expr(v) for c, v in zip(cols, vals)
+                c: F.expr(
+                    mdefs.get(c.lower(), "NULL")
+                    if v.strip().lower() == "default" else v
+                )
+                for c, v in zip(cols, vals)
             }
         on = F.expr(rw(on_text))
         if versioned:
@@ -1564,30 +1608,33 @@ def _rewrite_uniontype(stmt: str) -> str:
         stmt = stmt[:m.start()] + f"STRUCT<tag:INT, {fields}>" + stmt[i:]
 
 
+def _find_call(stmt: str, name: str):
+    """Locate the leftmost `name(...)` call in `stmt` (quote- and
+    paren-aware). Returns (call start, args start, index past ')')."""
+    m = re.search(rf"(?i)\b{name}\s*\(", stmt)
+    if m is None:
+        return None
+    i, depth = m.end(), 1
+    while i < len(stmt) and depth:
+        c = stmt[i]
+        if c in "'\"":
+            q = c
+            i += 1
+            while i < len(stmt) and stmt[i] != q:
+                i += 2 if stmt[i] == "\\" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return m.start(), m.end(), i
+
+
 def _rewrite_union_fns(stmt: str) -> str:
     """create_union(tag, v0, v1, ...) and extract_union(u[, n]) over the
     tagged-struct emulation (see _rewrite_uniontype)."""
-    def _find_call(name: str):
-        m = re.search(rf"(?i)\b{name}\s*\(", stmt)
-        if not m:
-            return None
-        i, depth = m.end(), 1
-        while i < len(stmt) and depth:
-            c = stmt[i]
-            if c in "'\"":
-                q = c
-                i += 1
-                while i < len(stmt) and stmt[i] != q:
-                    i += 2 if stmt[i] == "\\" else 1
-            elif c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            i += 1
-        return m.start(), m.end(), i  # call start, args start, past ')'
-
     while True:
-        span = _find_call("create_union")
+        span = _find_call(stmt, "create_union")
         if span is None:
             break
         s, a, e = span
@@ -1604,7 +1651,7 @@ def _rewrite_union_fns(stmt: str) -> str:
             + stmt[e:]
         )
     while True:
-        span = _find_call("extract_union")
+        span = _find_call(stmt, "extract_union")
         if span is None:
             break
         s, a, e = span
@@ -1617,6 +1664,78 @@ def _rewrite_union_fns(stmt: str) -> str:
             repl = f"({args[0]})"
         stmt = stmt[:s] + repl + stmt[e:]
     return stmt
+
+
+def _rewrite_kll_fns(stmt: str) -> str:
+    """SQL-surface ds_kll_* family (ref: ql/.../udf/datasketches +
+    the hive.optimize.bi.enabled rank/cume_dist/ntile rewrites in
+    HiveRewriteToDataSketchesRules). At qtest scale the sketch is an
+    EXACT sorted array (a KLL sketch below k items IS exact), so every
+    function maps onto JVM-side builtins — collect_list / filter /
+    transform — with KLL's rank conventions: getRank is exclusive
+    (items < v), getCDF is inclusive (items <= split) with a trailing
+    1.0. The registry's sampled-KLL mapInPandas operator
+    (operators/sketches.py) remains the at-scale lane."""
+    def _sub(name: str, build) -> bool:
+        span = _find_call(stmt, name)
+        if span is None:
+            return None
+        s, a, e = span
+        args = [x.strip() for x in _split_args(stmt[a:e - 1])]
+        return stmt[:s] + build(args) + stmt[e:]
+
+    rules = {
+        # drop the optional k parameter: exactness subsumes sketch size
+        "ds_kll_sketch": lambda a: (
+            f"array_sort(collect_list(CAST(({a[0]}) AS FLOAT)))"
+        ),
+        "ds_kll_union": lambda a: f"array_sort(flatten(collect_list({a[0]})))",
+        "ds_kll_n": lambda a: f"CAST(size({a[0]}) AS BIGINT)",
+        "ds_kll_rank": lambda a: (
+            f"(CAST(size(filter({a[0]}, _x -> _x < ({a[1]}))) AS DOUBLE)"
+            f" / size({a[0]}))"
+        ),
+        "ds_kll_cdf": lambda a: (
+            "concat(transform(array(" + ", ".join(a[1:]) + "),"
+            f" _v -> CAST(size(filter({a[0]}, _x -> _x <= _v)) AS DOUBLE)"
+            f" / size({a[0]})), array(CAST(1.0 AS DOUBLE)))"
+        ),
+        "ds_kll_quantile": lambda a: (
+            f"element_at(array_sort({a[0]}),"
+            f" greatest(1, CAST(ceil(({a[1]}) * size({a[0]})) AS INT)))"
+        ),
+        "ds_kll_stringify": lambda a: (
+            f"concat('### KLL sketch summary: N = ',"
+            f" CAST(size({a[0]}) AS STRING))"
+        ),
+    }
+    changed = True
+    while changed:
+        changed = False
+        for name, build in rules.items():
+            out = _sub(name, build)
+            if out is not None:
+                stmt = out
+                changed = True
+    return stmt
+
+
+def _rewrite_compute_stats(stmt: str) -> str:
+    """compute_stats(col, 'fm'|'hll'[, nbins]) — Hive's internal
+    column-statistics UDAF (ql/.../udf/generic/GenericUDAFComputeStats):
+    a struct of count/nulls/ndv aggregates."""
+    while True:
+        span = _find_call(stmt, "compute_stats")
+        if span is None:
+            return stmt
+        s, a, e = span
+        args = [x.strip() for x in _split_args(stmt[a:e - 1])]
+        col = args[0]
+        stmt = stmt[:s] + (
+            f"named_struct('count', count({col}),"
+            f" 'numnulls', sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END),"
+            f" 'ndv', count(DISTINCT {col}))"
+        ) + stmt[e:]
 
 
 def _desugar_distinct_having(stmt: str) -> str:
@@ -1724,6 +1843,10 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = _rewrite_uniontype(stmt)
     if re.search(r"(?i)\b(?:create_union|extract_union)\s*\(", stmt):
         stmt = _rewrite_union_fns(stmt)
+    if re.search(r"(?i)\bds_kll_\w+\s*\(", stmt):
+        stmt = _rewrite_kll_fns(stmt)
+    if re.search(r"(?i)\bcompute_stats\s*\(", stmt):
+        stmt = _rewrite_compute_stats(stmt)
     stmt = _desugar_distinct_having(stmt)
     stmt = _rewrite_transform_using(stmt)
     stmt = _DROP_BARE.sub(lambda m: m.group(1) + "IF EXISTS ", stmt)
@@ -2310,7 +2433,7 @@ _NUMERIC_TYPENAMES = (
 )
 
 
-def _retry_binop_coercion(spark, stmt: str, err: Exception):
+def _retry_binop_coercion(spark, stmt: str, err: Exception, args=None):
     """Hive implicitly compares TIMESTAMP and BOOLEAN with numerics
     (FunctionRegistry.getCommonClassForComparison coerces through
     double — a timestamp becomes seconds.nanos since epoch, a boolean
@@ -2343,21 +2466,27 @@ def _retry_binop_coercion(spark, stmt: str, err: Exception):
             raise last
         # match the operand pair with WHATEVER comparison operator the
         # source used (Spark reports `a != b` as NOT (a = b), so the
-        # error's operator may differ) and keep the source operator
+        # error's operator may differ) and keep the source operator; a
+        # bound parameter marker (?) stands in for the reported literal
         pat = re.compile(
             re.escape(lhs) + r"\s*(<=|>=|<>|!=|==?|<|>)\s*"
-            + re.escape(rhs),
+            + "(" + re.escape(rhs) + r"|\?)",
             re.I,
         )
         patched = pat.sub(
-            lambda sm2: f"{new_l or lhs} {sm2.group(1)} {new_r or rhs}",
+            lambda sm2: (
+                f"{new_l or lhs} {sm2.group(1)} "
+                + (sm2.group(2) if new_r is None
+                   else f"CAST({sm2.group(2)} AS "
+                        f"{'DOUBLE' if rt == 'TIMESTAMP' else 'INT'})")
+            ),
             cur, count=1,
         )
         if patched == cur:
             raise last
         cur = patched
         try:
-            return spark.sql(cur)
+            return spark.sql(cur, args=args or None)
         except Exception as e2:
             if "BINARY_OP_DIFF_TYPES" not in str(e2):
                 raise
@@ -2499,6 +2628,91 @@ def _retry_insert_truncate_charvarchar(spark, stmt: str, err: Exception):
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
     return spark.createDataFrame([], "x string").limit(0).drop("x")
+
+
+def _retry_inline_values(spark, stmt: str, err: Exception):
+    """INSERT ... VALUES rows Spark's inline-table resolver refuses —
+    mixed literal types in a column (Hive casts each value to the TARGET
+    column type: ql/.../parse/SemanticAnalyzer genValuesTempTable) or
+    the DEFAULT keyword (resolves to the column default, NULL when none
+    is declared). Rebuild as UNION ALL selects with explicit casts."""
+    if "INLINE_TABLE" not in str(err) and not re.search(
+        r"(?i)`default`", str(err)
+    ):
+        raise err
+    m = re.match(
+        r"(?is)^(\s*(?:EXPLAIN\s+(?:\w+\s+)?)?"
+        r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?\s*"
+        r"(?:PARTITION\s*\(([^)]*)\))?\s*"
+        r"(?:\(([^)]*)\)\s*)?)VALUES\s*([\s\S]+)$",
+        stmt,
+    )
+    if m is None:
+        raise err
+    head, verb, table, pspec, col_list, rows_text = m.groups()
+    try:
+        described = []
+        for r in spark.sql(
+            f"DESCRIBE `{table.replace('.', '`.`')}`"
+        ).collect():
+            if not r[0] or r[0].startswith("#"):
+                break
+            described.append((r[0], r[1]))
+    except Exception:
+        raise err
+    # column defaults from SHOW CREATE TABLE (DEFAULT <expr> per column)
+    defaults = _column_defaults(spark, table)
+    static = {}
+    if pspec:
+        for kv in _split_args(pspec):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                static[k.strip().strip("`").lower()] = v.strip()
+    if col_list:
+        names = [c.strip().strip("`") for c in col_list.split(",")]
+        targets = [
+            (n, t) for n, t in described
+            if n.lower() in {x.lower() for x in names}
+        ]
+        # preserve the INSERT's column order
+        order = {x.lower(): i for i, x in enumerate(names)}
+        targets.sort(key=lambda nt: order[nt[0].lower()])
+    else:
+        targets = [
+            (n, t) for n, t in described if n.lower() not in static
+        ]
+    # split "(row), (row), ..." into rows at depth 0
+    rows, depth, cur = [], 0, []
+    for ch in rows_text:
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                rows.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    if not rows:
+        raise err
+    selects = []
+    for row in rows:
+        items = _split_args(row)
+        if len(items) != len(targets):
+            raise err
+        exprs = []
+        for (cname, ctyp), item in zip(targets, items):
+            it = item.strip()
+            if it.lower() == "default":
+                it = defaults.get(cname.lower(), "NULL")
+            exprs.append(f"CAST({it} AS {ctyp}) AS `{cname}`")
+        selects.append("SELECT " + ", ".join(exprs))
+    # re-issue through Spark's own insert path (EXPLAIN prefix, column
+    # lists and partition specs all keep their native semantics)
+    return spark.sql(head + " UNION ALL ".join(selects))
 
 
 def _retry_view_autoalias(spark, stmt: str, err: Exception):
@@ -3207,12 +3421,40 @@ _FUNCTION_CLASS_FOLDS: dict[str, object] = {
     "org.apache.hadoop.hive.ql.udf.generic.GenericUDFTestGetJavaString":
         lambda a: a[0],
     "org.apache.hadoop.hive.ql.udf.generic.GenericUDFTestGetJavaBoolean":
-        lambda a: a[0],
+        lambda a: f"CAST({a[0]} AS BOOLEAN)",
     # variadic sum (UDFExampleAdd's evaluate overloads)
     "org.apache.hadoop.hive.contrib.udf.example.UDFExampleAdd":
         lambda a: "(" + " + ".join(a) + ")",
     "org.apache.hadoop.hive.contrib.genericudf.example.GenericUDFAdd10":
         lambda a: f"({a[0]} + 10)",
+    # the BUILTIN UDAF classes (FunctionRegistry registers these names
+    # natively; CREATE FUNCTION over the class is just an alias)
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFSum":
+        lambda a: f"sum({a[0]})",
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFAverage":
+        lambda a: f"avg({a[0]})",
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFMax":
+        lambda a: f"max({a[0]})",
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFMin":
+        lambda a: f"min({a[0]})",
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFCount":
+        lambda a: f"count({a[0]})",
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFLastValue":
+        lambda a: f"last_value({a[0]})",
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFFirstValue":
+        lambda a: f"first_value({a[0]})",
+    "org.apache.hadoop.hive.udf.example.GenericUDFExampleAdd":
+        lambda a: "(" + " + ".join(a) + ")",
+    "org.apache.hadoop.hive.ql.udf.UDFTestLength2":
+        lambda a: f"length({a[0]})",
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFCustomDateSub":
+        lambda a: f"date_sub({a[0]}, {a[1]})",
+    "hive.it.custom.udfs.GenericUDFRot13":
+        lambda a: (
+            f"translate({a[0]},"
+            " 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+            " 'nopqrstuvwxyzabcdefghijklmNOPQRSTUVWXYZABCDEFGHIJKLM')"
+        ),
 }
 _CREATE_FUNCTION_CLASS = re.compile(
     r"^\s*CREATE\s+TEMPORARY\s+FUNCTION\s+(\w+)\s+AS\s+'([\w.]+)'\s*$", re.I
@@ -3325,9 +3567,13 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 if name not in res.prepared:
                     raise ValueError(f"EXECUTE of unknown prepared statement {name!r}")
                 args = _parse_literals(spark, m.group(2)) if m.group(2) else []
-                df = spark.sql(
-                    rewrite_statement(spark, res.prepared[name]), args=args or None
-                )
+                _ptext = rewrite_statement(spark, res.prepared[name])
+                try:
+                    df = spark.sql(_ptext, args=args or None)
+                except Exception as e:
+                    if "BINARY_OP_DIFF_TYPES" not in str(e):
+                        raise
+                    df = _retry_binop_coercion(spark, _ptext, e, args=args)
                 if df.columns:
                     res.results.append(
                         spark.createDataFrame(df.collect(), df.schema)
@@ -3776,6 +4022,8 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 or _LOCK_STMT.match(inner)
                 or _UNLOCK_STMT.match(inner)
                 or _COMPACT_STMT.match(inner)
+                or _PREPARE.match(inner)
+                or _EXECUTE.match(inner)
             ):
                 res.results.append(
                     spark.createDataFrame(
@@ -4045,6 +4293,8 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     )
                 elif "BINARY_OP_DIFF_TYPES" in str(e):
                     df = _retry_binop_coercion(spark, rewritten, e)
+                elif "INLINE_TABLE" in str(e):
+                    df = _retry_inline_values(spark, rewritten, e)
                 elif "COLUMN_ALREADY_EXISTS" in str(e) and re.match(
                     r"(?i)\s*CREATE\s+(?:TEMPORARY\s+)?(?:EXTERNAL\s+)?"
                     r"TABLE\b", rewritten
