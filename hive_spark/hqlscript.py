@@ -1066,8 +1066,12 @@ def _rewrite_stored_as(stmt: str) -> str:
             or "parquet"
         stmt = stmt[: sa.start()] + stmt[sa.end():]
     was_external = bool(re.search(r"(?i)\bCREATE\s+EXTERNAL\s+TABLE\b", stmt))
-    if re.search(r"\bEXTERNAL\b", stmt, re.I) and not re.search(
-        r"\bLOCATION\b", stmt, re.I
+    if re.search(r"\bEXTERNAL\b", stmt, re.I) and (
+        not re.search(r"\bLOCATION\b", stmt, re.I)
+        # Spark's createTableLike grammar has no EXTERNAL token even
+        # with a LOCATION (the location alone makes it unmanaged)
+        or re.search(r"(?i)^\s*CREATE\s+EXTERNAL\s+TABLE\s+"
+                     r"(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s+LIKE\b", stmt)
     ):
         stmt = re.sub(r"\bEXTERNAL\s+", "", stmt, count=1, flags=re.I)
 
@@ -1401,6 +1405,12 @@ def _lazy_convert_expr(src: str, dt, delims: list[str], depth: int) -> str:
             for i, f in enumerate(dt.fields)
         )
         return f"named_struct({parts})"
+    mm = re.match(r"(?:char|varchar)\((\d+)\)", dt.simpleString())
+    if mm:
+        # Hive's serdes TRUNCATE over-length char/varchar on read
+        # (HiveBaseCharWritable.enforceMaxLength); Spark's write-side
+        # length check would raise EXCEED_LIMIT_LENGTH instead
+        return f"substring(CAST({src} AS STRING), 1, {mm.group(1)})"
     return f"CAST({src} AS {dt.simpleString()})"
 
 _LOAD_DATA = re.compile(
@@ -1738,6 +1748,41 @@ def _rewrite_compute_stats(stmt: str) -> str:
         ) + stmt[e:]
 
 
+def _desugar_qualify(stmt: str) -> str:
+    """QUALIFY <pred> (HiveParser qualifyClause; filters on window
+    function results after windows evaluate). Spark has no QUALIFY:
+    evaluate the predicate as a hidden projected column in a subquery
+    and filter on it outside — the registry's qualify_topn operator
+    does the same desugar in DataFrame form (relational.py)."""
+    spans = _top_level_spans(stmt, r"\bQUALIFY\b")
+    if not spans:
+        return stmt
+    q_start, q_end = spans[0]
+    tail = stmt[q_end:]
+    # the predicate runs to the next top-level ORDER/LIMIT/UNION clause
+    stop = _top_level_spans(
+        tail, r"\b(ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b"
+    )
+    pred_end = stop[0][0] if stop else len(tail)
+    pred = tail[:pred_end].strip().rstrip(";")
+    outer_tail = tail[pred_end:]
+    head = stmt[:q_start].rstrip()
+    # EXPLAIN prefix stays outside the wrap
+    em = re.match(r"(?is)^(\s*EXPLAIN\s+(?:\w+\s+)?)(SELECT[\s\S]*)$", head)
+    prefix, body = (em.group(1), em.group(2)) if em else ("", head)
+    froms = _top_level_spans(body, r"\bFROM\b")
+    if not froms:
+        return stmt
+    f0 = froms[0][0]
+    inner = (
+        body[:f0].rstrip() + f", ({pred}) AS __qualify__ " + body[f0:]
+    )
+    return (
+        f"{prefix}SELECT * EXCEPT (__qualify__) FROM ({inner}) __qsub"
+        f" WHERE __qualify__ {outer_tail}"
+    )
+
+
 def _desugar_distinct_having(stmt: str) -> str:
     """Hive accepts ``SELECT DISTINCT ... HAVING <agg>`` with no GROUP
     BY, grouping by every select column (ref: ql/.../parse/
@@ -1848,6 +1893,25 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     if re.search(r"(?i)\bcompute_stats\s*\(", stmt):
         stmt = _rewrite_compute_stats(stmt)
     stmt = _desugar_distinct_having(stmt)
+    if re.search(r"(?i)\bQUALIFY\b", stmt):
+        stmt = _desugar_qualify(stmt)
+    # Hive FLOOR(<ts> TO <unit>) (HiveParser floorExpression) ->
+    # date_trunc
+    stmt = re.sub(
+        r"(?i)\bfloor\s*\(\s*([^()]+?)\s+to\s+"
+        r"(year|quarter|month|week|day|hour|minute|second)\s*\)",
+        lambda m: f"date_trunc('{m.group(2).upper()}', {m.group(1)})",
+        stmt,
+    )
+    # bare interval literals ('1 2:3:4' DAY TO SECOND without the
+    # INTERVAL keyword — HiveParser intervalExpression allows it)
+    stmt = re.sub(
+        r"(?i)(?<!INTERVAL\s)('[^']*')\s+"
+        r"(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)\s+TO\s+"
+        r"(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)\b",
+        r"INTERVAL \1 \2 TO \3",
+        stmt,
+    )
     stmt = _rewrite_transform_using(stmt)
     stmt = _DROP_BARE.sub(lambda m: m.group(1) + "IF EXISTS ", stmt)
     # TIMESTAMPLOCALTZ: Spark's TIMESTAMP already carries local-tz
@@ -1890,6 +1954,12 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     stmt = re.sub(
         r"(?i)^(\s*(?:EXPLAIN\s+)?SHOW\s+FUNCTIONS\s+)('(?:[^']*)')",
         r"\1LIKE \2", stmt,
+    )
+    # Hive's MySQL-style LIMIT <offset>,<count> (HiveParser limitClause)
+    stmt = re.sub(
+        r"(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+        r"LIMIT \2 OFFSET \1",
+        stmt,
     )
     # no HDFS in this runtime: host-less hdfs URIs are local paths (the
     # qtest harness's fs.defaultFS is a local-backed filesystem)
@@ -2082,6 +2152,23 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     stmt = re.sub(
         r"(?i)(?:`?\w+`?\.)?`?\bINPUT__FILE__NAME\b`?",
         "input_file_name()", stmt,
+    )
+    # aggregates over the file-name virtual column: Spark rejects
+    # nondeterministic inputs to aggregates; COUNT of a never-null
+    # virtual column is COUNT(*)
+    stmt = re.sub(
+        r"(?i)\bcount\s*\(\s*input_file_name\(\)\s*\)", "count(*)", stmt
+    )
+    # other aggregates over file names: _metadata.file_path is the
+    # deterministic analog of input_file_name()
+    stmt = re.sub(
+        r"(?i)\b(count|min|max|collect_set)\s*\(\s*(DISTINCT\s*)?"
+        r"\(?\s*input_file_name\(\)\s*\)?\s*\)",
+        lambda m: (
+            f"{m.group(1)}({'DISTINCT ' if m.group(2) else ''}"
+            "_metadata.file_path)"
+        ),
+        stmt,
     )
     # Hive virtual columns BLOCK__OFFSET__INSIDE__FILE (the row's byte
     # offset — ref: ql/.../metadata/VirtualColumn.java), ROW__ID (the
@@ -2494,30 +2581,64 @@ def _retry_binop_coercion(spark, stmt: str, err: Exception, args=None):
     raise last
 
 
-def _truncate_to_declared(spark, table: str, df):
-    """Substring-truncate any df column (matched by name) whose declared
-    table type is char(n)/varchar(n) — Hive's serdes truncate on
-    read/write (HiveBaseCharWritable enforces maxLength); Spark raises
-    EXCEED_LIMIT_LENGTH instead."""
-    from pyspark.sql import functions as F
+def _trunc_char_expr(src: str, dt) -> str | None:
+    """Recursive truncating projection for a declared type containing
+    char(n)/varchar(n) anywhere (top level or nested in struct/array/
+    map): Hive's serdes truncate over-length values
+    (HiveBaseCharWritable.enforceMaxLength); Spark's write-side check
+    raises EXCEED_LIMIT_LENGTH. Returns None when the type carries no
+    char/varchar (no rewrite needed)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    limits: dict[str, int] = {}
+    if isinstance(dt, StructType):
+        parts, any_hit = [], False
+        for f in dt.fields:
+            sub = _trunc_char_expr(f"{src}.`{f.name}`", f.dataType)
+            any_hit = any_hit or sub is not None
+            parts.append(f"'{f.name}', " + (sub or f"{src}.`{f.name}`"))
+        return f"named_struct({', '.join(parts)})" if any_hit else None
+    if isinstance(dt, ArrayType):
+        sub = _trunc_char_expr("_e", dt.elementType)
+        return f"transform({src}, _e -> {sub})" if sub else None
+    if isinstance(dt, MapType):
+        sub = _trunc_char_expr("_v", dt.valueType)
+        return (
+            f"transform_values({src}, (_k, _v) -> {sub})" if sub else None
+        )
+    mm = re.match(r"(?:char|varchar)\((\d+)\)", dt.simpleString())
+    if mm:
+        return f"substring(CAST({src} AS STRING), 1, {mm.group(1)})"
+    return None
+
+
+def _truncate_to_declared(spark, table: str, df):
+    """Substring-truncate any df column (matched by name) whose DECLARED
+    table type carries char(n)/varchar(n), including nested fields —
+    see _trunc_char_expr."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    exprs: dict[str, str] = {}
     try:
         for r in spark.sql(
             f"DESCRIBE `{table.replace('.', '`.`')}`"
         ).collect():
             if not r[0] or r[0].startswith("#"):
                 break
-            mm = re.match(r"(?:char|varchar)\s*\((\d+)\)", (r[1] or "").lower())
-            if mm:
-                limits[r[0].lower()] = int(mm.group(1))
+            typ = (r[1] or "").lower()
+            if "char(" not in typ:
+                continue
+            sub = _trunc_char_expr(
+                f"`{r[0]}`", _parse_datatype_string(typ)
+            )
+            if sub:
+                exprs[r[0].lower()] = sub
     except Exception:
         return df
-    if not limits:
+    if not exprs:
         return df
     return df.select(*[
-        F.substring(F.col(c).cast("string"), 1, limits[c.lower()]).alias(c)
-        if c.lower() in limits
+        F.expr(exprs[c.lower()]).alias(c) if c.lower() in exprs
         else F.col(c)
         for c in df.columns
     ])
@@ -3933,6 +4054,34 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 res.results.append(spark.sql(
                     f"DESCRIBE {m.group(2) or ''}`{m.group(3)}`"
                 ))
+                continue
+            m = re.match(
+                r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+`?([\w.]+)`?"
+                r"(?:\s+(?:FROM|IN)\s+`?([\w.]+)`?)?"
+                r"\s+LIKE\s+['\"]([^'\"]+)['\"]\s*$",
+                stmt, re.I,
+            )
+            if m:
+                # SHOW COLUMNS ... LIKE 'pattern' (Hive ShowColumnsDesc:
+                # SQL-LIKE or *-glob patterns, case-insensitive)
+                tbl = (
+                    f"{m.group(2)}.{m.group(1)}" if m.group(2)
+                    else m.group(1)
+                )
+                pat = m.group(3).replace("*", "%")
+                rx = re.compile(
+                    "^" + re.escape(pat).replace("%", ".*")
+                    .replace("_", ".") + "$",
+                    re.I,
+                )
+                names = [
+                    (c.name,)
+                    for c in spark.catalog.listColumns(tbl)
+                    if rx.match(c.name)
+                ]
+                res.results.append(
+                    spark.createDataFrame(names, "col_name string")
+                )
                 continue
             if re.match(r"^\s*SHOW\s+COMPACTIONS\b", stmt, re.I):
                 res.results.append(spark.createDataFrame(
