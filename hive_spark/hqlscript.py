@@ -2879,6 +2879,64 @@ _ALTER_REPLACE_COLS = re.compile(
 )
 
 
+def _positional_cast_expr(src: str, src_dt, dst_dt) -> str:
+    """Hive's schema evolution reinterprets complex types FIELD-
+    POSITIONALLY (struct field i -> new field i, regardless of names;
+    extra target fields read NULL — ref: serde2 ObjectInspectorConverters
+    StructConverter). Spark's CAST requires matching field names, so
+    build the conversion explicitly."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dst_dt, StructType) and isinstance(src_dt, StructType):
+        parts = []
+        for i, f in enumerate(dst_dt.fields):
+            if i < len(src_dt.fields):
+                sf = src_dt.fields[i]
+                sub = _positional_cast_expr(
+                    f"{src}.`{sf.name}`", sf.dataType, f.dataType
+                )
+            else:
+                sub = f"CAST(NULL AS {f.dataType.simpleString()})"
+            parts.append(f"'{f.name}', {sub}")
+        return (
+            f"IF({src} IS NULL, CAST(NULL AS {dst_dt.simpleString()}),"
+            f" named_struct({', '.join(parts)}))"
+        )
+    if isinstance(dst_dt, ArrayType) and isinstance(src_dt, ArrayType):
+        sub = _positional_cast_expr(
+            "_pe", src_dt.elementType, dst_dt.elementType
+        )
+        return f"transform({src}, _pe -> {sub})"
+    if isinstance(dst_dt, MapType) and isinstance(src_dt, MapType):
+        kc = _positional_cast_expr("_pk", src_dt.keyType, dst_dt.keyType)
+        vc = _positional_cast_expr("_pv", src_dt.valueType, dst_dt.valueType)
+        return (
+            f"transform_values(transform_keys({src}, (_pk, _pv) -> {kc}),"
+            f" (_pk, _pv) -> {vc})"
+        )
+    complex_kinds = (ArrayType, MapType, StructType)
+    if isinstance(dst_dt, complex_kinds) or isinstance(
+        src_dt, complex_kinds
+    ):
+        # mixed-kind reinterpretation (string -> array, array -> map...):
+        # Hive's converters read NULL for incompatible complex shapes
+        return f"CAST(NULL AS {dst_dt.simpleString()})"
+    return f"CAST({src} AS {dst_dt.simpleString()})"
+
+
+def _cast_to_declared(df, col: str, typ: str):
+    """Column `col` of df cast to DDL type string `typ`, positionally
+    for complex types (see _positional_cast_expr)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    dst = _parse_datatype_string(typ)
+    f0 = next(
+        f for f in df.schema.fields if f.name.lower() == col.lower()
+    )
+    return F.expr(_positional_cast_expr(f"`{f0.name}`", f0.dataType, dst))
+
+
 def _rewrite_table_inplace(spark: SparkSession, table: str, out) -> None:
     """Two-phase CoW swap: stage `out` to parquet, drop + recreate the
     table from the stage (MoveTask-style, same staging idea as
@@ -2949,7 +3007,7 @@ def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
 
         ddl = ddl_from_schema_json(raw)
         specs = []
-        for item in _split_args(ddl):
+        for item in _split_generic_args(ddl):
             toks = item.strip().split(None, 1)
             if len(toks) == 2:
                 specs.append((toks[0].strip("`"), toks[1]))
@@ -2995,7 +3053,8 @@ def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
         )
         if not (same_name and same_type and not pos):
             sel = [
-                F.col(c).cast(typ).alias(new) if c.lower() == old.lower()
+                _cast_to_declared(df, c, typ).alias(new)
+                if c.lower() == old.lower()
                 else F.col(c)
                 for c in df.columns
             ]
@@ -3022,10 +3081,16 @@ def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
         table = m.group(1)
         df = spark.table(table)
         specs = []
-        for item in _split_args(m.group(2)):
-            toks = item.strip().split(None, 2)
-            if len(toks) >= 2:
-                specs.append((toks[0].strip("`"), toks[1]))
+        # generic-aware split: STRUCT<a:int, b:string> column types carry
+        # top-level-looking commas inside <> — and spaces, so the type
+        # is everything after the name (minus a trailing COMMENT)
+        for item in _split_generic_args(m.group(2)):
+            toks = item.strip().split(None, 1)
+            if len(toks) == 2:
+                typ = re.sub(
+                    r"(?is)\s+COMMENT\s+'[^']*'\s*$", "", toks[1]
+                ).strip()
+                specs.append((toks[0].strip("`"), typ))
         # REPLACE COLUMNS only replaces DATA columns — Hive never lets it
         # touch partition keys (AlterTableReplaceColsDesc operates on the
         # storage descriptor's cols); keep partition columns out of the
@@ -3044,7 +3109,9 @@ def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
         sel = []
         for i, (name, typ) in enumerate(specs):
             if i < len(old_cols):
-                sel.append(F.col(old_cols[i]).cast(typ).alias(name))
+                sel.append(
+                    _cast_to_declared(df, old_cols[i], typ).alias(name)
+                )
             else:
                 sel.append(F.lit(None).cast(typ).alias(name))
         sel.extend(F.col(c) for c in part_cols)
