@@ -2713,15 +2713,21 @@ def _retry_insert_truncate_charvarchar(spark, stmt: str, err: Exception):
     ]
     if len(df.columns) != len(expected):
         raise err
+    from pyspark.sql.types import _parse_datatype_string
+
     sel = []
     for i, (name, typ) in enumerate(expected):
-        mm = re.match(r"(?:char|varchar)\s*\((\d+)\)", typ)
         src_col = F.col(df.columns[i])
-        if mm:
-            sel.append(
-                F.substring(src_col.cast("string"), 1, int(mm.group(1)))
-                .alias(name)
-            )
+        sub = None
+        if "char(" in typ:  # char(...) or varchar(...), maybe nested
+            try:
+                sub = _trunc_char_expr(
+                    f"`{df.columns[i]}`", _parse_datatype_string(typ)
+                )
+            except Exception:
+                sub = None
+        if sub:
+            sel.append(F.expr(sub).alias(name))
         else:
             sel.append(src_col.alias(name))
     out = df.select(*sel)

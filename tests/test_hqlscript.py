@@ -677,3 +677,78 @@ def test_unordered_window_order_injection(spark):
         " FROM range(4) ORDER BY id;",
     )
     assert sorted(r.rn for r in out.results[-1].collect()) == [1, 1, 2, 2]
+
+
+def test_charvarchar_truncation_on_write(spark):
+    """Hive serdes TRUNCATE over-length char/varchar on write
+    (HiveBaseCharWritable.enforceMaxLength) — including fields nested in
+    structs; Spark alone raises EXCEED_LIMIT_LENGTH."""
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS cv_trunc;"
+        " CREATE TABLE cv_trunc (a varchar(5), s struct<x:char(3)>);"
+        " INSERT INTO cv_trunc SELECT 'abcdefghij',"
+        "   named_struct('x', 'wxyz');"
+        " SELECT a, s.x AS x FROM cv_trunc;",
+    )
+    row = out.results[-1].collect()[0]
+    assert row.a == "abcde"
+    assert row.x.rstrip() == "wxy"
+    run_script(spark, "DROP TABLE IF EXISTS cv_trunc;")
+
+
+def test_timestamp_numeric_comparison_coercion(spark):
+    """Hive compares TIMESTAMP and BOOLEAN with numerics through
+    double (FunctionRegistry.getCommonClassForComparison); verified
+    against the vectorization_12.q golden (532 rows) in the corpus —
+    this is the unit form."""
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS ts_cmp;"
+        " CREATE TABLE ts_cmp (t timestamp, b boolean);"
+        " INSERT INTO ts_cmp VALUES"
+        "  (timestamp'1969-12-31 23:59:50', true),"
+        "  (timestamp'1970-01-01 00:00:10', false);"
+        " SELECT COUNT(*) AS n FROM ts_cmp WHERE t <= 0;"
+        " SELECT COUNT(*) AS m FROM ts_cmp WHERE b > 0;",
+    )
+    assert out.results[-2].collect()[0].n == 1  # -10s <= 0 < +10s
+    assert out.results[-1].collect()[0].m == 1  # true -> 1 > 0
+    run_script(spark, "DROP TABLE IF EXISTS ts_cmp;")
+
+
+def test_qualify_desugar(spark):
+    """QUALIFY filters on window results (HiveParser qualifyClause)."""
+    out = run_script(
+        spark,
+        "SELECT id, id % 2 AS g FROM range(6)"
+        " QUALIFY row_number() OVER (PARTITION BY id % 2 ORDER BY id) = 1"
+        " ORDER BY id;",
+    )
+    assert [r.id for r in out.results[-1].collect()] == [0, 1]
+
+
+def test_uniontype_tagged_struct(spark):
+    """UNIONTYPE<...> emulates as struct<tag, fieldN> with
+    create_union/extract_union (UnionObjectInspector's (tag, value))."""
+    out = run_script(
+        spark,
+        "DROP TABLE IF EXISTS ut1;"
+        " CREATE TABLE ut1 (u UNIONTYPE<INT, STRING>);"
+        " INSERT INTO ut1 VALUES (create_union(0, 7, 'seven')),"
+        "  (create_union(1, 7, 'seven'));"
+        " SELECT u.tag AS tag, u.field0 AS f0, u.field1 AS f1 FROM ut1"
+        " ORDER BY tag;",
+    )
+    rows = out.results[-1].collect()
+    assert (rows[0].tag, rows[0].f0, rows[0].f1) == (0, 7, None)
+    assert (rows[1].tag, rows[1].f0, rows[1].f1) == (1, None, "seven")
+    run_script(spark, "DROP TABLE IF EXISTS ut1;")
+
+
+def test_limit_offset_comma_form(spark):
+    """Hive's MySQL-style LIMIT <offset>,<count>."""
+    out = run_script(
+        spark, "SELECT id FROM range(10) ORDER BY id LIMIT 2,3;"
+    )
+    assert [r.id for r in out.results[-1].collect()] == [2, 3, 4]
