@@ -1730,6 +1730,151 @@ def _rewrite_kll_fns(stmt: str) -> str:
     return stmt
 
 
+_INTERVAL_SECS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _rewrite_calls(stmt: str, name: str, build) -> str:
+    """Rewrite every `name(...)` call via build(args) -> replacement
+    text or None to leave that call untouched (scan resumes after it)."""
+    pos = 0
+    while True:
+        m = re.search(rf"(?i)\b{name}\s*\(", stmt[pos:])
+        if m is None:
+            return stmt
+        s = pos + m.start()
+        a = pos + m.end()
+        i, depth = a, 1
+        while i < len(stmt) and depth:
+            c = stmt[i]
+            if c in "'\"":
+                q = c
+                i += 1
+                while i < len(stmt) and stmt[i] != q:
+                    i += 2 if stmt[i] == "\\" else 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        rep = build([x.strip() for x in _split_args(stmt[a:i - 1])])
+        if rep is None:
+            pos = a
+        else:
+            stmt = stmt[:s] + rep + stmt[i:]
+            pos = s + len(rep)
+
+
+def _rewrite_arity_fns(stmt: str) -> str:
+    """Hive call arities Spark's builtins/our SQL UDFs don't accept
+    (FunctionRegistry variadic overloads): pad defaults or map onto the
+    equivalent expression."""
+    # mask_*_n beyond the 2-arg form: inline the masking expression
+    # (GenericUDFMaskBaseN defaults: N=4, upper 'X', lower 'x', digit
+    # 'n', other retained; the -1 sentinel means "retain" -> NULL).
+    # Spark's mask() needs FOLDABLE char args, so custom chars can't go
+    # through a SQL-UDF parameter — fold them into the call site.
+    def _inline_mask_n(kind: str, a: list[str]) -> str | None:
+        if len(a) <= 2 and "-1" not in a:
+            return None if len(a) == 2 else f"{kind}({a[0]}, 4)"
+        s, n = a[0], a[1] if len(a) > 1 else "4"
+        chars = [v if v != "-1" else "NULL" for v in a[2:]]
+        chars += ["'X'", "'x'", "'n'", "NULL"][len(chars):]
+        u, l, d, o = chars[:4]
+        masked = lambda x: f"mask({x}, {u}, {l}, {d}, {o})"  # noqa: E731
+        head = f"substr({s}, 1, {n})"
+        tail = f"substr({s}, ({n}) + 1)"
+        lead = f"substr({s}, 1, greatest(length({s}) - ({n}), 0))"
+        trail = f"substr({s}, greatest(length({s}) - ({n}), 0) + 1)"
+        if kind == "mask_first_n":
+            return f"concat({masked(head)}, {tail})"
+        if kind == "mask_last_n":
+            return f"concat({lead}, {masked(trail)})"
+        if kind == "mask_show_first_n":
+            return f"concat({head}, {masked(tail)})"
+        return f"concat({masked(lead)}, {trail})"
+
+    for name in ("mask_first_n", "mask_last_n",
+                 "mask_show_first_n", "mask_show_last_n"):
+        stmt = _rewrite_calls(
+            stmt, name,
+            lambda a, name=name: _inline_mask_n(name, a),
+        )
+    # mask(str, up, low, digit, other, <date parts...>): Spark's native
+    # mask caps at 5 args; the day/month/year tail masks DATE values
+    stmt = _rewrite_calls(
+        stmt, "mask",
+        lambda a: (
+            "mask(" + ", ".join(
+                ("NULL" if v == "-1" else v) for v in a[:5]
+            ) + ")"
+            if (len(a) > 5 or "-1" in a) else None
+        ),
+    )
+    # grouping(c1, c2, ...): Hive's multi-index grouping bit-packs like
+    # grouping_id (GenericUDFGrouping over the grouping-set id)
+    stmt = _rewrite_calls(
+        stmt, "grouping",
+        lambda a: f"grouping_id({', '.join(a)})" if len(a) > 1 else None,
+    )
+    # percentile_cont/disc(x, p) (Hive 2-arg UDAF form) -> the
+    # WITHIN GROUP spelling Spark implements
+    for fn in ("percentile_cont", "percentile_disc"):
+        stmt = _rewrite_calls(
+            stmt, fn,
+            lambda a, fn=fn: (
+                f"{fn}({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
+                if len(a) == 2 else None
+            ),
+        )
+    # add_months(d, n, fmt): the 3-arg form returns the FORMATTED string
+    stmt = _rewrite_calls(
+        stmt, "add_months",
+        lambda a: (
+            f"date_format(add_months({a[0]}, {a[1]}), {a[2]})"
+            if len(a) == 3 else None
+        ),
+    )
+    # trunc(x[, scale]) NUMERIC truncation (GenericUDFTrunc's number
+    # branch; toward zero) — only when scale is an integer literal
+    stmt = _rewrite_calls(
+        stmt, "trunc",
+        lambda a: (
+            f"(CAST(({a[0]}) * pow(10, {a[1] if len(a) == 2 else 0})"
+            f" AS BIGINT) / pow(10, {a[1] if len(a) == 2 else 0}))"
+            if (len(a) == 1 and not re.search(r"(?i)'", a[0]))
+            or (len(a) == 2 and re.fullmatch(r"-?\d+", a[1]))
+            else None
+        ),
+    )
+    # tumbling_window(ts, INTERVAL 'n' unit[, origin]): the SQL-UDF
+    # takes seconds; fold the interval literal and the 3-arg origin
+    # form (GenericUDFTumbledWindow) inline
+    while True:
+        m = re.search(
+            r"(?i)\btumbling_window\s*\(\s*((?:[^(),]|\([^()]*\))+?),\s*"
+            r"interval\s+'(\d+)'\s+(\w+)\s*"
+            r"(?:,\s*((?:[^(),]|\([^()]*\))+?)\s*)?\)",
+            stmt,
+        )
+        if not m:
+            break
+        t, num, unit, origin = m.groups()
+        secs = int(num) * _INTERVAL_SECS.get(unit.lower(), 1)
+        if origin:
+            rep = (
+                f"timestamp_seconds(floor((unix_seconds({t}) -"
+                f" unix_seconds({origin})) / {secs}) * {secs}"
+                f" + unix_seconds({origin}))"
+            )
+        else:
+            rep = f"tumbling_window({t}, {secs})"
+        stmt = stmt[:m.start()] + rep + stmt[m.end():]
+    return stmt
+
+
 def _rewrite_compute_stats(stmt: str) -> str:
     """compute_stats(col, 'fm'|'hll'[, nbins]) — Hive's internal
     column-statistics UDAF (ql/.../udf/generic/GenericUDAFComputeStats):
@@ -1892,6 +2037,12 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = _rewrite_kll_fns(stmt)
     if re.search(r"(?i)\bcompute_stats\s*\(", stmt):
         stmt = _rewrite_compute_stats(stmt)
+    if re.search(
+        r"(?i)\b(mask|mask_\w+|grouping|percentile_cont|percentile_disc"
+        r"|add_months|trunc|tumbling_window)\s*\(",
+        stmt,
+    ):
+        stmt = _rewrite_arity_fns(stmt)
     stmt = _desugar_distinct_having(stmt)
     if re.search(r"(?i)\bQUALIFY\b", stmt):
         stmt = _desugar_qualify(stmt)
