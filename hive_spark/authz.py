@@ -243,9 +243,13 @@ def handle(spark: SparkSession, stmt: str):
                 want = _obj_key(spark, okind, obj, cols, pspec)
                 if (db, tbl) != want[:2]:
                     continue
-                if cols is not None and col != want[2]:
+                # Hive scopes the readback to the requested level: a
+                # table-level SHOW GRANT lists table-level grants only;
+                # column/partition grants appear for the matching
+                # (col)/PARTITION spec query (authorization_2/3 goldens)
+                if col != want[2]:
                     continue
-                if pspec and part != want[3]:
+                if part != want[3]:
                     continue
             for p, t, priv, gopt, grantor in grants:
                 if pname and (p != pname or (ptype and t != ptype)):

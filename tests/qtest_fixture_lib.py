@@ -258,6 +258,15 @@ def run_and_cleanup(
         _owners_prev = dict(_authz._state(spark).owners)
         _authz._STATES.pop(id(spark), None)
         _authz._state(spark).owners.update(_owners_prev)
+        # per-session dialect registries (compaction queue, explicit
+        # locks, view partitions) are metastore state Hive's QTestUtil
+        # resets between tests — a leaked compaction request would
+        # inflate a later script's SHOW COMPACTIONS
+        from hive_spark import hqlscript as _hql
+
+        for _reg in (_hql._COMPACTIONS, _hql._EXPLICIT_LOCKS,
+                     _hql._VIEW_PARTS):
+            _reg.pop(id(spark), None)
         from hive_spark.sources.jdbc_handler import drop_memory_databases
 
         drop_memory_databases(spark)
