@@ -797,22 +797,30 @@ FROM
      AND d_year = 1996 AND d_moy = 11) all_sales"""
 
 # ref: perf/query25.q — MULTI-FACT join: sales matched to their returns
-# on (customer, item, ticket), each fact gated by its own date_dim alias
+# on (customer, item, ticket), each fact gated by its own date_dim
+# alias. Shape note (r7, measured at the sf1 tier): each fact side is
+# reduced by its OWN broadcast date filter BEFORE the big
+# sales-to-returns shuffle join — the returns filter sits in a subquery
+# so the d2 broadcast provably applies pre-shuffle (without it the
+# sr side shipped unfiltered: 3.96s -> 2.75s, same rows)
 _Q25 = f"""
-SELECT /*+ BROADCAST(d1, d2, store, item) */
+SELECT /*+ BROADCAST(d1, store, item) */
        i_item_id, s_store_name,
        {_qsum("ss_ext_sales_price", "store_sales_revenue")},
        {_qsum("sr_net_loss", "store_returns_loss")}
-FROM store_sales, store_returns, date_dim d1, date_dim d2, store, item
-WHERE d1.d_moy = 4 AND d1.d_year = 1996
-  AND d1.d_date_sk = ss_sold_date_sk
-  AND i_item_sk = ss_item_sk
-  AND s_store_sk = ss_store_sk
-  AND ss_customer_sk = sr_customer_sk
-  AND ss_item_sk = sr_item_sk
-  AND ss_ticket_number = sr_ticket_number
-  AND sr_returned_date_sk = d2.d_date_sk
-  AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 1996
+FROM store_sales
+JOIN date_dim d1 ON d1.d_date_sk = ss_sold_date_sk
+    AND d1.d_moy = 4 AND d1.d_year = 1996
+JOIN item ON i_item_sk = ss_item_sk
+JOIN store ON s_store_sk = ss_store_sk
+JOIN (SELECT /*+ BROADCAST(d2) */ sr_customer_sk, sr_item_sk,
+             sr_ticket_number, sr_net_loss
+      FROM store_returns
+      JOIN date_dim d2 ON sr_returned_date_sk = d2.d_date_sk
+          AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 1996) r
+  ON ss_customer_sk = r.sr_customer_sk
+  AND ss_item_sk = r.sr_item_sk
+  AND ss_ticket_number = r.sr_ticket_number
 GROUP BY i_item_id, s_store_name
 ORDER BY i_item_id, s_store_name
 LIMIT 100"""
