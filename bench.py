@@ -302,25 +302,47 @@ def main() -> None:
         }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "fixed_overhead_sec": overhead,
-                "queries_net": {
-                    n: round(max(t - overhead, 0.0), 3) for n, t in timings.items()
-                },
-                "scale_sweep": sweep,
-                "breakdowns": breakdowns,
-                "extra_queries": extra,
-                "sf1": sf1,
-            }
-        )
-    )
+    from hive_spark.operators import tpcds as _tpcds
+
+    full = {
+        "metric": "headline_query_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "fixed_overhead_sec": overhead,
+        "queries_net": {
+            n: round(max(t - overhead, 0.0), 3) for n, t in timings.items()
+        },
+        "scale_sweep": sweep,
+        "breakdowns": breakdowns,
+        "extra_queries": extra,
+        # one-time star-ETL cost of the LAST materialization build this
+        # process triggered (0.0 = disk-cache hit) — reported so the
+        # per-query numbers can't silently hide the setup work
+        "star_build_sec": _tpcds.TOTAL_BUILD_SEC,
+        "sf1": sf1,
+    }
+    # full detail to a file: the r7 stdout line outgrew the driver's
+    # capture (BENCH_r07 "parsed": null, tail truncated mid-key)
+    out_path = os.path.join(_REPO, "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+    # stdout gets a COMPACT single line (the driver contract): headline
+    # keys + totals only, guaranteed to fit any reasonable capture
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "sf": full["sf"],
+        "queries": timings,
+        "fixed_overhead_sec": overhead,
+        "extra_queries": extra,
+        "star_build_sec": full["star_build_sec"],
+        "sf1": {k: sf1[k] for k in ("factor", "total_sec") if k in sf1},
+        "details_file": out_path,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

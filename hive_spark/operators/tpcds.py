@@ -53,6 +53,8 @@ are TakeOrderedAndProject. Plan-pinned in tests/test_tpcds.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from hive_spark.operators import QuerySpec, views
@@ -396,14 +398,112 @@ FROM lineitem, orders WHERE l_orderkey = o_orderkey"""
 # as operators.views()'s _ACTIVE_SF)
 _ACTIVE_STAR: dict[int, str] = {}
 
+# wall-clock of the last star materialization build (0.0 on a disk-cache
+# hit) and the process-cumulative total across all dirs — bench.py
+# reports the total so the one-time ETL cost is visible instead of
+# silently amortized into the first query's best-of-2.
+LAST_BUILD_SEC: float = 0.0
+TOTAL_BUILD_SEC: float = 0.0
+
+# base tables the star SQL derives from — their file stats key the
+# materialization cache (a rebuilt sf_dir with the same path must miss)
+_STAR_BASES = ("lineitem", "orders", "part", "supplier", "customer")
+
+
+def _star_fingerprint(sf_dir: str, sqls: list[tuple[str, str]]) -> str:
+    import hashlib
+
+    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
+    for t in _STAR_BASES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        files = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    for name, sql in sqls:
+        h.update(name.encode())
+        h.update(sql.encode())
+    return h.hexdigest()[:16]
+
 
 def _register_star(spark: SparkSession, sf_dir: str) -> None:
-    """Create the derived star views over this sf_dir's base views."""
+    """Materialize the derived star schema once per (data, definition)
+    and register the views as parquet reads.
+
+    Two scale decisions live here (r7 verdict #1 — the sf1 2x-gate
+    regression was a per-query constant over derived-view internals):
+
+    1. The `(SELECT max(c_custkey) ...)` / `least(count(*),25)` scalar
+       subqueries are folded to LITERALS at registration — they are
+       cardinality constants of the dataset, and leaving them symbolic
+       re-ran their stages inside every query that touched a fact view.
+    2. The derived views are materialized to durable scratch parquet
+       (fingerprint-keyed on source file stats + rendered SQL, so a
+       rebuilt sf_dir or an edited view definition misses the cache)
+       and re-registered as plain parquet scans. This is the classic
+       warehouse shape — in real TPC-DS the star tables ARE base
+       tables; only this repo's testdata forces derivation — and it
+       removes the derivation stages (projection of lineitem, DISTINCT
+       month_seq, explode generators) from every downstream query plan
+       while keeping column pruning + filter pushdown at the scan.
+       Mirrors Hive's materialized-view rewrite
+       (ref: ql/src/java/org/apache/hadoop/hive/ql/metadata/
+       HiveMaterializedViewsRegistry.java) with freshness keyed on
+       source data instead of txn ids. The DuckDB oracle still derives
+       the same tables per query from its WITH prelude (unused CTEs are
+       pruned there), so cross-engine value equality is untouched.
+    """
+    global LAST_BUILD_SEC, TOTAL_BUILD_SEC
     views(spark, sf_dir)
     if _ACTIVE_STAR.get(id(spark)) == sf_dir:
         return
-    for name, sql in _star_sql("spark"):
-        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+
+    ncust = spark.sql(f"SELECT {_NCUST}").collect()[0][0]
+    nstore = spark.sql(f"SELECT {_NSTORE}").collect()[0][0]
+    sqls = [
+        (n, s.replace(_NCUST, str(ncust)).replace(_NSTORE, str(nstore)))
+        for n, s in _star_sql("spark")
+    ]
+
+    from hive_spark.scratch import scratch_dir
+
+    fp = _star_fingerprint(sf_dir, sqls)
+    dst = os.path.join(scratch_dir("star"), fp)
+    marker = os.path.join(dst, "_BUILT")
+    LAST_BUILD_SEC = 0.0
+    if not os.path.exists(marker):
+        import shutil
+        import time as _time
+
+        t0 = _time.perf_counter()
+        build = f"{dst}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(build)
+        # build in declaration order: later views (mss, channel_sales,
+        # inventory) read the ALREADY-materialized upstreams because each
+        # write is immediately re-registered as the view
+        for name, sql in sqls:
+            out = os.path.join(build, name)
+            spark.sql(sql).write.mode("overwrite").parquet(out)
+            spark.read.parquet(out).createOrReplaceTempView(name)
+        open(os.path.join(build, "_BUILT"), "w").close()
+        try:
+            os.rename(build, dst)
+        except OSError:
+            # concurrent builder won the rename — use theirs
+            shutil.rmtree(build, ignore_errors=True)
+        LAST_BUILD_SEC = round(_time.perf_counter() - t0, 3)
+        TOTAL_BUILD_SEC = round(TOTAL_BUILD_SEC + LAST_BUILD_SEC, 3)
+    for name, _sql in sqls:
+        spark.read.parquet(os.path.join(dst, name)).createOrReplaceTempView(name)
     _ACTIVE_STAR[id(spark)] = sf_dir
 
 

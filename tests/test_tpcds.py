@@ -48,7 +48,10 @@ def test_star_join_plan(spark, sf_dir, registry, name, n_dims):
     plan = _executed_plan(registry[name].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= n_dims
     assert "SortMergeJoin" not in plan
-    assert plan.count("lineitem.parquet") == 1  # fact scanned once
+    # fact scanned once — the materialized star table (r8), column-pruned
+    # to the ss_* columns the query needs, not the full lineitem scan
+    assert plan.count("FileScan parquet [ss_") == 1
+    assert "lineitem.parquet" not in plan  # derivation folded away
     # exchanges: the fact aggregation, plus (q34/q68-style) the final
     # ORDER BY range exchange when there is no LIMIT to TakeOrdered
     assert plan.count("Exchange hashpartitioning") <= 2
@@ -72,15 +75,16 @@ def test_q27_rollup_is_expand(spark, sf_dir, registry):
 
 
 def test_q71_union_single_aggregate(spark, sf_dir, registry):
-    """Multi-channel union: the three channel subselects union BEFORE
-    the aggregate (one shuffle for the whole report), and the dims
+    """Multi-channel union: the three channel subselects union once at
+    star-materialization time (r8 — channel_sales is a parquet table at
+    query time), leaving one shuffle for the whole report and the dims
     broadcast over the unioned fact."""
     plan = _executed_plan(
         registry["tpcds_q71_multichannel"].fn(spark, sf_dir)
     )
-    assert "Union" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
+    assert "lineitem.parquet" not in plan  # derivation folded away
 
 
 def test_q59_cte_computed_once_per_side(spark, sf_dir, registry):
