@@ -135,6 +135,72 @@ def _py_likeall(value, *patterns):
     return all(p is not None and _re.match(_like_to_regex(p), value) for p in patterns)
 
 
+def _py_deserialize(s, fmt):
+    """Hive deserialize(str, format) (ref: ql/.../udf/generic/
+    GenericUDFDeserialize.java): 'gzip*' formats are base64-encoded
+    gzip payloads; json formats pass through verbatim."""
+    if s is None or fmt is None:
+        return None
+    if fmt.lower().startswith("gzip"):
+        import base64
+        import gzip
+
+        return gzip.decompress(base64.b64decode(s)).decode("utf-8")
+    return s
+
+
+def _topk_ngrams(grams: list[tuple], k: int) -> list:
+    from collections import Counter
+
+    counts = Counter(grams)
+    # frequency desc, then gram text asc — a deterministic total order
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [
+        {"ngram": list(g), "estfrequency": float(c)} for g, c in top
+    ]
+
+
+def _py_ngrams(rows, n, k):
+    """ngrams UDAF body over collect_list(sentences) (ref: ql/.../udf/
+    generic/GenericUDAFnGrams.java). Cold-path compat: the heavy lift
+    (sentence splitting) stays JVM-side in `sentences`; this counts
+    qtest-scale gram frequencies exactly (Hive's estimate is exact
+    whenever the heap holds all grams, which it does at these sizes)."""
+    if rows is None or n is None or k is None:
+        return None
+    grams: list[tuple] = []
+    for sents in rows:
+        for s in sents or []:
+            words = [w for w in (s or []) if w is not None]
+            for i in range(len(words) - n + 1):
+                grams.append(tuple(words[i : i + n]))
+    return _topk_ngrams(grams, k)
+
+
+def _py_context_ngrams(rows, context, k):
+    """context_ngrams UDAF body (ref: GenericUDAFContextNGrams.java):
+    nulls in the context are wildcard slots; output grams are the words
+    at those slots for every window matching the non-null words."""
+    if rows is None or context is None or k is None:
+        return None
+    n = len(context)
+    holes = [i for i, c in enumerate(context) if c is None]
+    grams: list[tuple] = []
+    for sents in rows:
+        for s in sents or []:
+            words = list(s or [])
+            for i in range(len(words) - n + 1):
+                win = words[i : i + n]
+                if any(w is None for w in win):
+                    continue
+                if all(
+                    context[j] is None or win[j] == context[j]
+                    for j in range(n)
+                ):
+                    grams.append(tuple(win[j] for j in holes))
+    return _topk_ngrams(grams, k)
+
+
 def register_all(spark: SparkSession) -> None:
     """Install the gap functions into this session's SQL namespace."""
     from pyspark.sql import types as T
@@ -147,6 +213,21 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("field", _py_field, T.IntegerType())
     spark.udf.register("likeany", _py_likeany, T.BooleanType())
     spark.udf.register("likeall", _py_likeall, T.BooleanType())
+
+    # ngrams/context_ngrams UDAF bodies: the dialect layer folds the
+    # Hive aggregate call to __hive_ngrams(collect_list(...), n, k) —
+    # one Python row per GROUP, never per data row
+    gram_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("ngram", T.ArrayType(T.StringType())),
+                T.StructField("estfrequency", T.DoubleType()),
+            ]
+        )
+    )
+    spark.udf.register("__hive_ngrams", _py_ngrams, gram_t)
+    spark.udf.register("__hive_context_ngrams", _py_context_ngrams, gram_t)
+    spark.udf.register("deserialize", _py_deserialize, T.StringType())
 
 
 # ---------------------------------------------------------------------------

@@ -1730,6 +1730,347 @@ def _rewrite_kll_fns(stmt: str) -> str:
     return stmt
 
 
+# ---------------------------------------------------------------------------
+# SQL-surface gap-fill folds (r8, VERDICT r7 #3): functions the engine
+# implemented as DataFrame operators / Python helpers but never exposed to
+# verbatim HiveQL text (ref registrations: ql/.../exec/
+# FunctionRegistry.java:286-662). Each fold maps onto JVM-side builtins.
+# ---------------------------------------------------------------------------
+
+
+def _fold_gap_calls(stmt: str, name: str, fold) -> str:
+    """_fold_calls, but skip call-shaped text that is really a TABLE
+    name followed by a column list (qtests deliberately name tables
+    after the function under test: `create table
+    datetime_legacy_hybrid_calendar(dt date, ...)`)."""
+    pat = re.compile(r"\b" + name + r"\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(stmt, pos)
+        if m is None:
+            return stmt
+        prefix = stmt[: m.start()].rstrip()
+        if (
+            re.search(r"(?i)\b(table|exists|into|describe|desc)$", prefix)
+            or (
+                re.search(r"(?i)\bview$", prefix)
+                and not re.search(r"(?i)\blateral\s+view$", prefix)
+            )
+            or prefix.endswith(".")
+        ):
+            pos = m.end()
+            continue
+        open_i = stmt.index("(", m.start())
+        close_i = _matching_paren(stmt, open_i)
+        args = _split_args(stmt[open_i + 1 : close_i])
+        stmt = stmt[: m.start()] + fold(args) + stmt[close_i + 1 :]
+        pos = 0
+
+
+def _fold_parse_url_tuple(args: list[str]) -> str:
+    """parse_url_tuple(url, part...) (ref: ql/.../udf/generic/
+    GenericUDTFParseUrlTuple.java) -> inline over per-part parse_url
+    (Spark's parse_url IS Hive's part semantics); emits Hive's default
+    c0..cN column names. QUERY:<key> routes to the 3-arg parse_url."""
+    url = args[0]
+    fields = []
+    for i, part in enumerate(args[1:]):
+        p = part.strip()
+        m = re.fullmatch(r"'QUERY:([^']*)'", p, re.I)
+        if m:
+            fields.append(f"'c{i}', parse_url({url}, 'QUERY', '{m.group(1)}')")
+        else:
+            fields.append(f"'c{i}', parse_url({url}, {p})")
+    return "inline(array(named_struct(" + ", ".join(fields) + ")))"
+
+
+def _fold_replicate_rows(args: list[str]) -> str:
+    """replicate_rows(n, v...) (ref: GenericUDTFReplicateRows.java):
+    emit the whole argument row n times. array_repeat with a clamped
+    count (negative/zero n -> no rows, matching the UDTF)."""
+    fields = ", ".join(f"'c{i}', ({a})" for i, a in enumerate(args))
+    return (
+        f"inline(array_repeat(named_struct({fields}),"
+        f" CAST(greatest({args[0]}, 0) AS INT)))"
+    )
+
+
+def _fold_in_file(args: list[str]) -> str:
+    """in_file(str, filename) (ref: GenericUDFInFile.java): membership
+    against a line-per-value file, resolved against the same bases as
+    LOAD DATA and folded to an IN literal list at parse time — the
+    broadcast-hash-set shape for the dimension files this serves."""
+    val, raw = args[0], args[1].strip()
+    m = re.fullmatch(r"'([^']*)'|\"([^\"]*)\"", raw)
+    if m is None:
+        raise ValueError("in_file requires a literal file path")
+    rel = m.group(1) or m.group(2)
+    path = rel
+    if not os.path.isabs(path) or not os.path.exists(path):
+        for base in LOAD_DATA_BASES:
+            cand = os.path.normpath(os.path.join(base, rel))
+            if os.path.exists(cand):
+                path = cand
+                break
+    with open(path) as f:
+        values = [line.rstrip("\n") for line in f]
+    if not values:
+        return f"(({val}) <> ({val}))"  # empty set: false (null stays null)
+    lits = ", ".join("'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                     for v in values)
+    return f"(({val}) IN ({lits}))"
+
+
+# theta sketches at qtest scale are EXACT distinct sets (a theta sketch
+# below k=4096 entries stores every hash), so the family folds onto a
+# storable binary encoding of the sorted distinct values — same pattern
+# as the ds_kll exactness fold (ref: DataSketchesFunctions.java theta
+# family; operators/sketches.py keeps the at-scale mapInPandas lane).
+_THETA_SET = "split(CAST(({0}) AS STRING), ',')"
+
+
+def _theta_pack(arr_expr: str) -> str:
+    return f"CAST(concat_ws(',', array_sort({arr_expr})) AS BINARY)"
+
+
+_THETA_FOLDS = {
+    "ds_theta_sketch": lambda a: _theta_pack(
+        f"collect_set(CAST(({a[0]}) AS STRING))"
+    ),
+    "ds_theta_union_f": lambda a: _theta_pack(
+        f"array_union({_THETA_SET.format(a[0])}, {_THETA_SET.format(a[1])})"
+    ),
+    "ds_theta_intersect_f": lambda a: _theta_pack(
+        f"array_intersect({_THETA_SET.format(a[0])}, {_THETA_SET.format(a[1])})"
+    ),
+    "ds_theta_exclude": lambda a: _theta_pack(
+        f"array_except({_THETA_SET.format(a[0])}, {_THETA_SET.format(a[1])})"
+    ),
+    "ds_theta_union": lambda a: _theta_pack(
+        "array_distinct(flatten(collect_list("
+        + _THETA_SET.format(a[0])
+        + ")))"
+    ),
+    "ds_theta_estimate": lambda a: (
+        f"CAST(size(filter({_THETA_SET.format(a[0])}, _x -> _x <> ''))"
+        " AS DOUBLE)"
+    ),
+}
+
+
+def _fold_dlhc(args: list[str]) -> str:
+    """datetime_legacy_hybrid_calendar(ts) (ref: ql/.../udf/generic/
+    GenericUDFDatetimeLegacyHybridCalendar.java): re-render a proleptic-
+    Gregorian datetime as the legacy Julian/Gregorian hybrid would have
+    shown it. For dates >= the 1582-10-15 cutover it's identity; before,
+    shift by the secular Julian-Gregorian drift c - c/4 - 2 days (c =
+    century of the March-anchored year). Verified against the reference
+    goldens: 0601-03-07 -> 0601-03-04, 0501-03-07 -> 0501-03-05."""
+    x = f"CAST(({args[0]}) AS TIMESTAMP)"
+    yv = f"(year({x}) - IF(month({x}) <= 2, 1, 0))"
+    c = f"CAST(floor({yv} / 100) AS INT)"
+    days = f"({c} - CAST(floor({c} / 4) AS INT) - 2)"
+    return (
+        f"CASE WHEN {x} >= TIMESTAMP'1582-10-15 00:00:00' THEN {x}"
+        f" WHEN {x} IS NULL THEN NULL"
+        f" ELSE {x} - make_dt_interval({days}) END"
+    )
+
+
+def _fold_ngrams(args: list[str]) -> str:
+    """ngrams(array<array<string>>, n, k, pf) UDAF (ref: ql/.../udf/
+    generic/GenericUDAFnGrams.java) -> collect_list + the cold-path
+    Python estimator registered by functions.register_all (qtest-scale
+    text; the precision factor is dropped — the estimate is exact)."""
+    return (
+        f"__hive_ngrams(collect_list({args[0]}),"
+        f" CAST({args[1]} AS INT), CAST({args[2]} AS INT))"
+    )
+
+
+def _fold_context_ngrams(args: list[str]) -> str:
+    """context_ngrams(sents, context_array, k, pf) UDAF (ref:
+    GenericUDAFContextNGrams.java): nulls in the context are wildcard
+    slots; output n-grams are the words filling those slots."""
+    return (
+        f"__hive_context_ngrams(collect_list({args[0]}), {args[1]},"
+        f" CAST({args[2]} AS INT))"
+    )
+
+
+def _rewrite_gap_fns(stmt: str) -> str:
+    """Batch of r8 SQL-surface gap folds; see each helper's ref cite."""
+    # aggregate renames / aliases
+    stmt = re.sub(
+        r"(?i)\bapprox_distinct\s*\(", "approx_count_distinct(", stmt
+    )
+    # `$SUM0`(x): SUM returning 0 instead of NULL on empty/all-null
+    # (ref: GenericUDAFSumEmptyIsZero) — backticked in HiveQL text
+    if re.search(r"(?i)`?\$sum0`?\s*\(", stmt):
+        stmt = re.sub(r"(?i)`?\$sum0`?\s*\(", "__sum0(", stmt)
+        stmt = _fold_gap_calls(stmt, "__sum0", lambda a: f"coalesce(sum({a[0]}), 0)")
+    # murmur_hash -> Spark's hash (both Murmur3_x86_32; Hive seeds with
+    # 104729 where Spark uses 42, so values differ cross-engine —
+    # ref: ObjectInspectorUtils.getBucketHashCode)
+    stmt = re.sub(r"(?i)\bmurmur_hash\s*\(", "hash(", stmt)
+    stmt = re.sub(r"(?i)\blogged_in_user\s*\(\s*\)", "current_user()", stmt)
+    stmt = re.sub(
+        r"(?i)\bsurrogate_key\s*\(\s*\)", "monotonically_increasing_id()", stmt
+    )
+    # compute_bit_vector_hll -> the Spark DataSketches HLL binary (same
+    # bit-vector intent, different serialized encoding than Hive's);
+    # string-cast the input since Hive accepts any type and equal values
+    # stay equal under the cast (the property the qtest checks)
+    if re.search(r"(?i)\bcompute_bit_vector_hll\s*\(", stmt):
+        stmt = _fold_gap_calls(
+            stmt, "compute_bit_vector_hll",
+            lambda a: f"hll_sketch_agg(CAST(({a[0]}) AS STRING))",
+        )
+    if re.search(r"(?i)\barray_slice\s*\(", stmt):
+        # Hive start is 0-based (golden: slice(array(1,2,3,null,3,4),2,2)
+        # = [3,null]); Spark's slice is 1-based
+        stmt = _fold_gap_calls(
+            stmt, "array_slice",
+            lambda a: f"slice({a[0]}, ({a[1]}) + 1, {a[2]})",
+        )
+    if re.search(r"(?i)\binterval_year_month\s*\(", stmt):
+        stmt = _fold_gap_calls(
+            stmt, "interval_year_month",
+            lambda a: f"CAST({a[0]} AS INTERVAL YEAR TO MONTH)",
+        )
+    if re.search(r"(?i)\binterval_day_time\s*\(", stmt):
+        stmt = _fold_gap_calls(
+            stmt, "interval_day_time",
+            lambda a: f"CAST({a[0]} AS INTERVAL DAY TO SECOND)",
+        )
+    if re.search(r"(?i)\bdatetime_legacy_hybrid_calendar\s*\(", stmt):
+        stmt = _fold_gap_calls(
+            stmt, "datetime_legacy_hybrid_calendar", _fold_dlhc
+        )
+    if re.search(r"(?i)\bparse_url_tuple\s*\(", stmt):
+        stmt = _fold_gap_calls(stmt, "parse_url_tuple", _fold_parse_url_tuple)
+    if re.search(r"(?i)\breplicate_rows\s*\(", stmt):
+        stmt = _fold_gap_calls(stmt, "replicate_rows", _fold_replicate_rows)
+    if re.search(r"(?i)\bin_file\s*\(", stmt):
+        stmt = _fold_gap_calls(stmt, "in_file", _fold_in_file)
+    if re.search(r"(?i)\bngrams\s*\(", stmt):
+        stmt = _fold_gap_calls(stmt, "ngrams", _fold_ngrams)
+    if re.search(r"(?i)\bcontext_ngrams\s*\(", stmt):
+        stmt = _fold_gap_calls(stmt, "context_ngrams", _fold_context_ngrams)
+    if re.search(r"(?i)\bds_theta_\w+\s*\(", stmt):
+        # union_f/intersect_f before union so the \b..union\b scan can't
+        # split the _f names; estimate last so folded args pass through
+        for name in ("ds_theta_sketch", "ds_theta_union_f",
+                     "ds_theta_intersect_f", "ds_theta_exclude",
+                     "ds_theta_union", "ds_theta_estimate"):
+            if re.search(rf"(?i)\b{name}\s*\(", stmt):
+                stmt = _fold_gap_calls(stmt, name, _THETA_FOLDS[name])
+    # json_read(json, 'hive type string') (ref: GenericUDFJsonRead) —
+    # Spark's from_json accepts the same type-string syntax, except that
+    # Hive tolerates unquoted struct field names containing spaces
+    # ('accepts credit cards:boolean'); backtick those for Spark
+    if re.search(r"(?i)\bjson_read\s*\(", stmt):
+        def _fold_json_read(a: list[str]) -> str:
+            schema = re.sub(
+                r"([<,])([A-Za-z_][\w ]*? [\w ]*?):", r"\1`\2`:", a[1]
+            )
+            return f"from_json({a[0]}, {schema})"
+
+        stmt = _fold_gap_calls(stmt, "json_read", _fold_json_read)
+    # split_map_privs('1 0 ...') -> privilege names at the '1' slots
+    # (ref: GenericUDFStringToPrivilege; HiveResourceACLs.Privilege order)
+    if re.search(r"(?i)\bsplit_map_privs\s*\(", stmt):
+        _privs = ("'SELECT','UPDATE','CREATE','DROP','ALTER',"
+                  "'INDEX','LOCK','READ','WRITE'")
+        stmt = _fold_gap_calls(
+            stmt, "split_map_privs",
+            lambda a: (
+                f"filter(transform(split({a[0]}, ' '), (_x, _i) ->"
+                f" IF(_x = '1', element_at(array({_privs}), _i + 1),"
+                " NULL)), _x -> _x IS NOT NULL)"
+            ),
+        )
+    # mid = substr synonym (ref: FunctionRegistry "mid"; 2- and 3-arg)
+    if re.search(r"(?i)\bmid\s*\(", stmt):
+        stmt = _fold_gap_calls(
+            stmt, "mid", lambda a: f"substr({', '.join(a)})"
+        )
+    # index(collection, key) -> subscript (ref: GenericUDFIndex; `index`
+    # is a common word, so only 2-arg call sites fold — _rewrite_calls
+    # skips non-matching ones instead of looping)
+    if re.search(r"(?i)\bindex\s*\(", stmt):
+        stmt = _rewrite_calls(
+            stmt, "index",
+            lambda a: f"({a[0]})[{a[1]}]" if len(a) == 2 else None,
+        )
+    # , LATERAL TABLE(VALUES(r1),(r2)) AS tf(c1..) — the CORRELATED
+    # form (rows may reference the left relation) -> LATERAL VIEW
+    # inline(array(named_struct...)), which Spark evaluates per-row;
+    # a plain inline-VALUES relation can't hold outer references
+    while True:
+        m = re.search(r"(?i),\s*LATERAL\s+TABLE\s*\(", stmt)
+        if m is None:
+            break
+        open_i = m.end() - 1
+        close_i = _matching_paren(stmt, open_i)
+        inner = stmt[open_i + 1 : close_i].strip()
+        if not re.match(r"(?i)VALUES\b", inner):
+            break
+        am = re.match(
+            r"(?i)\s*AS\s+(\w+)\s*(?:\(([^)]*)\))?", stmt[close_i + 1 :]
+        )
+        if am is None:
+            break
+        alias, colspec = am.group(1), am.group(2)
+        rows = [
+            r.strip() for r in _split_args(inner[len("VALUES"):].strip())
+        ]
+        first_arity = len(_split_args(rows[0].strip()[1:-1])) if rows else 0
+        cols = (
+            [c.strip().strip("`") for c in colspec.split(",")]
+            if colspec
+            else [f"col{i+1}" for i in range(first_arity)]
+        )
+        structs = []
+        for r in rows:
+            vals = _split_args(r.strip()[1:-1])
+            structs.append(
+                "named_struct("
+                + ", ".join(
+                    f"'{c}', ({v.strip()})" for c, v in zip(cols, vals)
+                )
+                + ")"
+            )
+        stmt = (
+            stmt[: m.start()]
+            + f" LATERAL VIEW inline(array({', '.join(structs)}))"
+            + f" {alias} AS {', '.join(cols)}"
+            + stmt[close_i + 1 + am.end() :]
+        )
+    # TABLE(VALUES (..),(..)) AS alias(cols) -> plain inline VALUES
+    # (HiveParser tableSource TABLE(VALUES...) form; Spark accepts the
+    # parenthesized VALUES relation directly)
+    while True:
+        span = _find_call(stmt, "TABLE")
+        if span is None:
+            break
+        s, a, e = span
+        inner = stmt[a:e - 1].lstrip()
+        if not re.match(r"(?i)VALUES\b", inner):
+            break
+        stmt = stmt[:s] + "(" + inner + ")" + stmt[e:]
+    return stmt
+
+
+_GAP_FN_TRIGGER = re.compile(
+    r"(?i)\b(approx_distinct|murmur_hash|logged_in_user|surrogate_key"
+    r"|compute_bit_vector_hll|array_slice|interval_year_month"
+    r"|interval_day_time|datetime_legacy_hybrid_calendar|parse_url_tuple"
+    r"|replicate_rows|in_file|ngrams|context_ngrams|ds_theta_\w+|index"
+    r"|mid|table|json_read|split_map_privs)\s*\(|\$sum0"
+)
+
+
 _INTERVAL_SECS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
@@ -2035,6 +2376,8 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = _rewrite_union_fns(stmt)
     if re.search(r"(?i)\bds_kll_\w+\s*\(", stmt):
         stmt = _rewrite_kll_fns(stmt)
+    if _GAP_FN_TRIGGER.search(stmt):
+        stmt = _rewrite_gap_fns(stmt)
     if re.search(r"(?i)\bcompute_stats\s*\(", stmt):
         stmt = _rewrite_compute_stats(stmt)
     if re.search(
@@ -2452,6 +2795,23 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
             stmt = _fold_calls(stmt, "dboutput", lambda a: "0")
         else:
             stmt = _fold_calls(stmt, "dboutput", _fold_dboutput(spark))
+    if re.search(r"\bget_sql_schema\s*\(", stmt, re.I):
+        # get_sql_schema('query') UDTF (ref: GenericUDTFGetSQLSchema):
+        # one row per output column with its Hive type name. Spark's
+        # dtypes render identically for the supported surface; analysis
+        # only — the inner query is never executed.
+        def _fold_gss(a: list[str]) -> str:
+            m = re.fullmatch(r"'(.*)'|\"(.*)\"", a[0].strip(), re.S)
+            if m is None:
+                raise ValueError("get_sql_schema requires a literal query")
+            pairs = spark.sql(m.group(1) or m.group(2)).dtypes
+            structs = ", ".join(
+                f"named_struct('col_name', '{c}', 'col_type', '{t}')"
+                for c, t in pairs
+            )
+            return f"inline(array({structs}))"
+
+        stmt = _fold_calls(stmt, "get_sql_schema", _fold_gss)
     if re.search(r"\bsort_array_by\s*\(", stmt, re.I):
         stmt = _fold_calls(stmt, "sort_array_by", _fold_sort_array_by)
     if re.search(r"\bfield\s*\(", stmt, re.I):
@@ -3815,6 +4175,15 @@ _ENGINE_FOLDED_FNS = {
     "sort_array_by", "field", "likeany", "likeall", "dboutput",
     "ds_hll_estimate", "ds_hll_union", "ds_hll_sketch", "ds_kll_quantile",
     "ds_cpc_estimate",
+    # r8 gap folds (_rewrite_gap_fns)
+    "approx_distinct", "murmur_hash", "logged_in_user", "surrogate_key",
+    "compute_bit_vector_hll", "array_slice", "interval_year_month",
+    "interval_day_time", "datetime_legacy_hybrid_calendar",
+    "parse_url_tuple", "replicate_rows", "in_file", "ngrams",
+    "context_ngrams", "index", "create_union", "extract_union",
+    "ds_theta_sketch", "ds_theta_union", "ds_theta_union_f",
+    "ds_theta_intersect_f", "ds_theta_exclude", "ds_theta_estimate",
+    "mid", "json_read", "split_map_privs", "get_sql_schema",
 }
 
 
@@ -4585,6 +4954,18 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     )
                 )
                 continue
+            if m and not spark.catalog.functionExists(m.group(1)):
+                # Hive's DESCRIBE FUNCTION on an unknown name is not an
+                # error — it prints this row and the script continues
+                # (ref: DescFunctionOperation.java, golden
+                # udf_stddev_pop.q.out)
+                res.results.append(
+                    spark.createDataFrame(
+                        [(f"Function '{m.group(1)}' does not exist.",)],
+                        "tab_name string",
+                    )
+                )
+                continue
             m = _CREATE_FUNCTION_CLASS.match(stmt)
             if m and m.group(2) in _FUNCTION_CLASS_FOLDS:
                 _FUNC_FOLDS.setdefault(id(spark), {})[m.group(1).lower()] = (
@@ -4713,11 +5094,17 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     # columns as their string rendering instead
                     from pyspark.sql import functions as F
 
-                    safe = df.select(*[
-                        F.col(c).cast("string").alias(c)
-                        if t.startswith(("timestamp", "date", "interval"))
-                        else F.col(c)
-                        for c, t in df.dtypes
+                    # rename POSITIONALLY first: result frames can carry
+                    # duplicate auto-generated names (two casts of the
+                    # same column), which any by-name reference refuses
+                    tmp = df.toDF(*[f"_qc{i}" for i in range(len(df.columns))])
+                    safe = tmp.select(*[
+                        (
+                            F.col(f"_qc{i}").cast("string")
+                            if t.startswith(("timestamp", "date", "interval"))
+                            else F.col(f"_qc{i}")
+                        ).alias(c)
+                        for i, (c, t) in enumerate(df.dtypes)
                     ])
                     res.results.append(
                         spark.createDataFrame(safe.collect(), safe.schema)
