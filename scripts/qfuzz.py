@@ -341,12 +341,133 @@ class Gen:
             f" WHERE w0 <= {self.r.randint(1, 30)}"
         )
 
+    def q_window_ties(self) -> str:
+        """Window functions over a NON-UNIQUE ORDER BY (r7 verdict #7):
+        only tie-deterministic functions — RANK/DENSE_RANK (peers share
+        a value), PERCENT_RANK (one exact division), and aggregates
+        whose default RANGE frame includes all peers — so any mismatch
+        is an engine divergence, never tie-order flake."""
+        t = self.pick(list(TABLES))
+        ints, strs, _pk = TABLES[t]
+        part = (self.str_expr(strs) if strs and self.r.random() < 0.5
+                else f"({self.pick(ints)} % {self.r.randint(2, 6)})")
+        order = f"({self.pick(ints)} % {self.r.randint(2, 20)})"  # ties!
+        over = f"OVER (PARTITION BY {part} ORDER BY {order})"
+        fn = self.pick([
+            f"RANK() {over}",
+            f"DENSE_RANK() {over}",
+            f"CAST(PERCENT_RANK() {over} AS DOUBLE)",
+            # default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW:
+            # peers enter together, so the running sum is tie-proof
+            f"SUM({self.pick(ints)}) {over}",
+            f"COUNT(*) {over}",
+        ])
+        return (
+            f"SELECT e0, w0, COUNT(*) AS cnt_all FROM"
+            f" (SELECT {self.int_expr(ints)} AS e0, {fn} AS w0"
+            f" FROM {t} WHERE {self.pred(ints, strs)}) sub"
+            f" GROUP BY e0, w0"
+        )
+
+    def q_grouping_sets(self) -> str:
+        t = self.pick(list(TABLES))
+        ints, strs, _pk = TABLES[t]
+        k1 = (self.str_expr(strs) if strs
+              else f"({self.pick(ints)} % 5)")
+        k2 = f"({self.int_expr(ints)} % {self.r.randint(2, 7)})"
+        sets = self.pick([
+            f"(({k1}), ({k1}, {k2}))",
+            f"(({k1}), ({k2}))",
+            f"(({k1}, {k2}), ({k1}), ())",
+            f"(({k1}), ({k2}), ())",
+        ])
+        aggs = self.agg_exprs(ints)
+        return (
+            f"SELECT {k1} AS k0, {k2} AS k1,"
+            f" GROUPING({k1}) AS g0, GROUPING({k2}) AS g1,"
+            f" {', '.join(aggs)} FROM {t}"
+            f" WHERE {self.pred(ints, strs)}"
+            f" GROUP BY GROUPING SETS {sets}"
+        )
+
+    def q_setop_all(self) -> str:
+        """INTERSECT ALL / EXCEPT ALL — multiset semantics (r7 #7)."""
+        t = self.pick(list(TABLES))
+        ints, strs, _ = TABLES[t]
+        op = self.pick(["INTERSECT ALL", "EXCEPT ALL"])
+        e = f"({self.int_expr(ints)} % {self.r.randint(2, 12)})"
+        s = self.str_expr(strs) if strs else str(self.r.randint(0, 9))
+        lhs = (f"SELECT {e} AS e0, {s} AS s0 FROM {t}"
+               f" WHERE {self.pred(ints, strs)}")
+        rhs = (f"SELECT {e} AS e0, {s} AS s0 FROM {t}"
+               f" WHERE {self.pred(ints, strs)}")
+        # wrap in a count so huge multiset outputs stay comparable fast
+        return (
+            f"SELECT e0, s0, COUNT(*) AS cnt_all FROM"
+            f" (({lhs}) {op} ({rhs})) u GROUP BY e0, s0"
+        )
+
     SHAPES = ["filter_project", "agg", "agg", "join", "join3", "exists",
-              "in_subq", "scalar_subq", "setop", "window"]
+              "in_subq", "scalar_subq", "setop", "window",
+              "window_ties", "grouping_sets", "setop_all"]
 
     def query(self) -> tuple[str, str]:
         shape = self.pick(self.SHAPES)
         return shape, getattr(self, f"q_{shape}")()
+
+
+class StarGen(Gen):
+    """Fuzz over the DERIVED TPC-DS star schema (r7 verdict #7) — the
+    r8-materialized views on the Spark side vs the WITH-prelude
+    derivation on the DuckDB side, so every seed also differentially
+    tests the materialization itself. Money aggregates quantize to
+    BIGINT cents (exact, engine-identical)."""
+
+    DIMS = {
+        "date_dim": ("d_date_sk", ["d_year", "d_moy", "d_qoy"], []),
+        "item": ("i_item_sk", ["i_brand_id", "i_category_id",
+                               "i_manager_id"], ["i_brand", "i_category"]),
+        "store": ("s_store_sk", [], ["s_city", "s_county"]),
+    }
+    FACT_FK = {"date_dim": "ss_sold_date_sk", "item": "ss_item_sk",
+               "store": "ss_store_sk"}
+    MONEY = ["ss_ext_sales_price", "ss_sales_price", "ss_coupon_amt",
+             "ss_net_profit"]
+
+    def query(self) -> tuple[str, str]:
+        n_dims = self.r.randint(1, 3)
+        dims = self.r.sample(list(self.DIMS), n_dims)
+        conds, group_keys = [], []
+        for d in dims:
+            pk, dints, dstrs = self.DIMS[d]
+            conds.append(f"{self.FACT_FK[d]} = {pk}")
+            if dints and self.r.random() < 0.8:
+                c = self.pick(dints)
+                conds.append(f"{c} <= {self.r.randint(2, 2000)}")
+                group_keys.append(c)
+            if dstrs and self.r.random() < 0.5:
+                group_keys.append(self.pick(dstrs))
+        if not group_keys:
+            group_keys = ["d_year" if "date_dim" in dims else
+                          self.DIMS[dims[0]][0]]
+        money = self.pick(self.MONEY)
+        aggs = [
+            "COUNT(*) AS cnt_all",
+            f"SUM(CAST(round({money} * 100) AS BIGINT)) AS cents0",
+            f"SUM(CAST(ss_quantity AS BIGINT)) AS q0",
+        ]
+        if self.r.random() < 0.4:
+            aggs.append("COUNT(DISTINCT ss_customer_sk) AS cust0")
+        keys = ", ".join(dict.fromkeys(group_keys))
+        body = (
+            f"SELECT {keys}, {', '.join(aggs)}"
+            f" FROM store_sales, {', '.join(dims)}"
+            f" WHERE {' AND '.join(conds)}"
+            f" AND ss_quantity BETWEEN {self.r.randint(0, 10)}"
+            f" AND {self.r.randint(20, 50)}"
+            f" GROUP BY {keys}"
+        )
+        return "tpcds_star", body
 
 
 def _known_divergence(sql: str, sp, du) -> str | None:
@@ -372,6 +493,7 @@ def _known_divergence(sql: str, sp, du) -> str | None:
 
 def run(seed0: int, n: int, sf_dir: str) -> int:
     from hive_spark.operators import views
+    from hive_spark.operators.tpcds import _oracle, _register_star
     from hive_spark.session import get_session
     from tests.oracle_check import _rows, duck
 
@@ -381,13 +503,22 @@ def run(seed0: int, n: int, sf_dir: str) -> int:
         shuffle_partitions=8,
     )
     views(spark, sf_dir)
+    _register_star(spark, sf_dir)  # star seeds hit the materialized views
     con = duck(sf_dir)
 
     bad = []
     shapes: dict[str, int] = {}
     divergences: dict[str, int] = {}
     for seed in range(seed0, seed0 + n):
-        shape, sql = Gen(seed).query()
+        # every 4th seed fuzzes the derived TPC-DS star schema: Spark
+        # reads the r8-materialized parquet views, DuckDB re-derives the
+        # same tables from the WITH prelude — one seed, two lanes
+        if seed % 4 == 3:
+            shape, sql = StarGen(seed).query()
+            duck_sql = _oracle(sql)
+        else:
+            shape, sql = Gen(seed).query()
+            duck_sql = sql
         shapes[shape] = shapes.get(shape, 0) + 1
         try:
             sdf = spark.sql(sql)
@@ -396,7 +527,7 @@ def run(seed0: int, n: int, sf_dir: str) -> int:
             bad.append((seed, shape, sql, f"SPARK ERROR {type(e).__name__}: {e}"))
             continue
         try:
-            cur = con.sql(sql)
+            cur = con.sql(duck_sql)
             du = _rows(cur.fetchall(), cur.columns)
         except Exception as e:
             bad.append((seed, shape, sql, f"DUCK ERROR {type(e).__name__}: {e}"))
