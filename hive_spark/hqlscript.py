@@ -753,11 +753,15 @@ def _refresh_catalog_entry(spark: SparkSession, name: str) -> None:
 
 def _split_args(s: str) -> list[str]:
     """Split a call's argument list on top-level commas (quote-aware)."""
-    out, buf, depth, quote = [], [], 0, None
+    out, buf, depth, quote, esc = [], [], 0, None, False
     for ch in s:
         if quote:
             buf.append(ch)
-            if ch == quote:
+            if esc:
+                esc = False
+            elif ch == "\\" and quote != "`":
+                esc = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in "'\"":
@@ -1245,9 +1249,84 @@ def _rewrite_one_window_spec(span: str, before: str = "") -> str:
     return span
 
 
+def _expand_window_refs(stmt: str) -> str:
+    """Hive WINDOW-clause inheritance — `w2 as (w1 rows between ...)`
+    and inline `over (w1 rows ...)` reference another named window and
+    override its frame (HiveParser window_specification with an inner
+    window name; windowing.q #42). Spark has no window inheritance:
+    inline the base spec with its frame clause stripped."""
+    def _defs(s: str):
+        """Parse WINDOW-clause definitions; returns (name, open, close)
+        paren spans, or a ('PARENIZE', start, end) directive when a
+        bare `w2 as w3` alias needs parens added first."""
+        m = re.search(r"(?i)\bwindow\s+(?=\w+\s+as\s*[(\w])", s)
+        if not m:
+            return []
+        out, i = [], m.end()
+        while True:
+            dm = re.match(r"\s*(\w+)\s+as\s*(\(|\w+)", s[i:], re.I)
+            if not dm:
+                return out
+            if dm.group(2) != "(":
+                # bare alias `w2 as w3`: signal a parenthesize pass
+                return out + [
+                    ("PARENIZE", i + dm.start(2), i + dm.end(2))
+                ]
+            open_at = i + dm.end() - 1
+            close = _matching_paren(s, open_at)
+            out.append((dm.group(1).lower(), open_at, close))
+            j = close + 1
+            cm = re.match(r"\s*,", s[j:])
+            if not cm:
+                return out
+            i = j + cm.end()
+
+    def _strip_frame(spec: str) -> str:
+        spec = re.sub(r"(?is)\b(rows|range)\s+between[\s\S]*$", "", spec)
+        return re.sub(
+            r"(?is)\b(rows|range)\s+\S+\s+(preceding|following)\s*$",
+            "", spec,
+        ).strip()
+
+    for _ in range(16):
+        defs = _defs(stmt)
+        if defs and defs[-1][0] == "PARENIZE":
+            _, a, b = defs[-1]
+            stmt = stmt[:a] + "(" + stmt[a:b] + ")" + stmt[b:]
+            continue
+        specs = {n: stmt[o + 1 : c] for n, o, c in defs}
+        if not specs:
+            return stmt
+        changed = False
+        for n, o, c in defs:
+            bm = re.match(r"\s*(\w+)\b([\s\S]*)$", stmt[o + 1 : c])
+            if bm and bm.group(1).lower() in specs and bm.group(1).lower() != n:
+                base = _strip_frame(specs[bm.group(1).lower()])
+                stmt = (
+                    stmt[: o + 1]
+                    + base + " " + bm.group(2).strip()
+                    + stmt[c:]
+                )
+                changed = True
+                break
+        if changed:
+            continue
+        # inline `over (w1 <frame>)` references
+        for m in re.finditer(r"(?i)\bover\s*\(\s*(\w+)\b", stmt):
+            if m.group(1).lower() in specs:
+                base = _strip_frame(specs[m.group(1).lower()])
+                stmt = stmt[: m.start(1)] + base + stmt[m.end(1):]
+                changed = True
+                break
+        if not changed:
+            return stmt
+    return stmt
+
+
 def _rewrite_window_specs(stmt: str) -> str:
     if not re.search(r"\bOVER\s*\(|\bWINDOW\s+\w+\s+AS\s*\(", stmt, re.I):
         return stmt
+    stmt = _expand_window_refs(stmt)
     from hive_spark.plans.cte_spool import _scan_parens
 
     out = []
@@ -1904,6 +1983,13 @@ def _rewrite_gap_fns(stmt: str) -> str:
     stmt = re.sub(
         r"(?i)\bapprox_distinct\s*\(", "approx_count_distinct(", stmt
     )
+    # Hive's bare stddev/std/variance/var are the POPULATION variants
+    # (FunctionRegistry: "stddev" -> GenericUDAFStd, "variance" ->
+    # GenericUDAFVariance); Spark's defaults are the SAMPLE variants —
+    # found by the r8 windowing.q golden-value sweep (258.11 vs 298.04)
+    stmt = re.sub(r"(?i)\bstddev\s*\(", "stddev_pop(", stmt)
+    stmt = re.sub(r"(?i)\bstd\s*\(", "stddev_pop(", stmt)
+    stmt = re.sub(r"(?i)\bvariance\s*\(", "var_pop(", stmt)
     # `$SUM0`(x): SUM returning 0 instead of NULL on empty/all-null
     # (ref: GenericUDAFSumEmptyIsZero) — backticked in HiveQL text
     if re.search(r"(?i)`?\$sum0`?\s*\(", stmt):
@@ -2062,12 +2148,190 @@ def _rewrite_gap_fns(stmt: str) -> str:
     return stmt
 
 
+def _expand_regex_columns(spark: SparkSession, stmt: str) -> str:
+    """hive.support.quoted.identifiers=none: a backquoted identifier is
+    a Java regex over column names (ref: ql/.../parse/HiveParser quoted
+    identifier support, regex_col.q) — `..` selects every 2-char column.
+    Expand each regex token against the FROM-clause tables' schemas in
+    declaration order (qualified tokens match only their table)."""
+    _KW = (
+        "ON", "JOIN", "WHERE", "GROUP", "ORDER", "LEFT", "RIGHT", "FULL",
+        "INNER", "CROSS", "LATERAL", "UNION", "LIMIT", "HAVING", "SELECT",
+    )
+    # ordered (alias, column-source) pairs from FROM/JOIN clauses; a
+    # parenthesized relation resolves its columns via a LIMIT 0 analysis
+    rels: list[tuple[str, object]] = []
+    for m in re.finditer(r"(?i)\b(?:FROM|JOIN)\s+", stmt):
+        i = m.end()
+        if i < len(stmt) and stmt[i] == "(":
+            close = _matching_paren(stmt, i)
+            src = ("subq", stmt[i + 1 : close])
+            am = re.match(r"\s*(?:AS\s+)?(\w+)", stmt[close + 1 :], re.I)
+        else:
+            tm = re.match(r"`?([\w.]+)`?", stmt[i:])
+            if tm is None:
+                continue
+            src = ("table", tm.group(1))
+            am = re.match(
+                r"\s*(?:AS\s+)?(\w+)", stmt[i + tm.end():], re.I
+            )
+        alias = (
+            am.group(1)
+            if am and am.group(1).upper() not in _KW
+            else (src[1] if src[0] == "table" else None)
+        )
+        if alias:
+            rels.append((alias, src))
+    if not rels:
+        return stmt
+
+    cols_cache: dict[object, list[str]] = {}
+
+    def _cols(src: tuple) -> list[str]:
+        if src not in cols_cache:
+            try:
+                if src[0] == "table":
+                    cols_cache[src] = [
+                        c.name for c in spark.catalog.listColumns(src[1])
+                    ]
+                else:
+                    cols_cache[src] = spark.sql(
+                        f"SELECT * FROM ({src[1]}) _rx LIMIT 0"
+                    ).columns
+            except Exception:
+                cols_cache[src] = []
+        return cols_cache[src]
+
+    def repl(m: re.Match) -> str:
+        qual, pat = m.group(1), m.group(2)
+        if re.fullmatch(r"\w+", pat):
+            return m.group(0)  # plain quoted identifier, not a regex
+        try:
+            rx = re.compile(f"^(?:{pat})$")
+        except re.error:
+            return m.group(0)
+        out = []
+        for alias, src in rels:
+            if qual and qual.rstrip(".") != alias:
+                continue
+            for c in _cols(src):
+                if rx.match(c):
+                    out.append(f"{alias}.{c}" if len(rels) > 1 else c)
+            if qual:
+                break
+        return ", ".join(out) if out else m.group(0)
+
+    return re.sub(r"(\w+\.)?`([^`]+)`", repl, stmt)
+
+
+def _left_operand_start(stmt: str, end: int) -> int:
+    """Scan backwards from `end` (exclusive) over one expression operand:
+    an optional call/paren group plus a dotted identifier/literal chain.
+    Returns the start index."""
+    i = end
+    while i > 0 and stmt[i - 1].isspace():
+        i -= 1
+    if i > 0 and stmt[i - 1] == ")":
+        depth = 0
+        j = i - 1
+        while j >= 0:
+            if stmt[j] == ")":
+                depth += 1
+            elif stmt[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        i = j
+        while i > 0 and (stmt[i - 1].isalnum() or stmt[i - 1] in "_.`$"):
+            i -= 1
+        return i
+    while i > 0 and (stmt[i - 1].isalnum() or stmt[i - 1] in "_.`$'\""):
+        i -= 1
+    return i
+
+
+_QUANT_CMP = re.compile(r"(==|<>|!=|<=|>=|=|<|>)\s*(ALL|ANY|SOME)\s*\(", re.I)
+
+
+def _rewrite_quantified_cmp(stmt: str) -> str:
+    """`x op ALL/ANY/SOME (subquery)` (HiveParser quantifiers via
+    Calcite SqlToRelConverter; ref qtests subquery_ALL.q/subquery_ANY.q)
+    -> Spark-plannable form with exact 3-valued logic:
+
+      x <> ALL q  ->  x NOT IN (q)        x = ANY q  ->  x IN (q)
+      everything else -> a CASE over four scalar aggregates of q
+      (count, null-count, min, max): for ordered ops the falsifier /
+      verifier test collapses onto the extremum (x < ALL S <=> x <
+      min(S)), with empty-set, null-x and null-element outcomes spelled
+      out per the standard.
+    """
+    while True:
+        m = _QUANT_CMP.search(stmt)
+        if m is None:
+            return stmt
+        op = {"==": "=", "!=": "<>"}.get(m.group(1), m.group(1))
+        kind = m.group(2).upper()
+        open_i = m.end() - 1
+        close_i = _matching_paren(stmt, open_i)
+        q = stmt[open_i + 1 : close_i]
+        xs = _left_operand_start(stmt, m.start())
+        x = stmt[xs : m.start()].strip()
+        if not x:
+            return stmt  # malformed; leave for Spark's own error
+        sq_c = f"(SELECT count(*) FROM ({q}) _qsub)"
+        sq_cn = f"(SELECT count(*) - count(_qv) FROM ({q}) _qsub(_qv))"
+        sq_mn = f"(SELECT min(_qv) FROM ({q}) _qsub(_qv))"
+        sq_mx = f"(SELECT max(_qv) FROM ({q}) _qsub(_qv))"
+        # membership probe for =/<>: equality-correlated count (IN /
+        # NOT IN subqueries would be natural, but Spark's projection-
+        # context IN yields FALSE where 3VL requires NULL — measured
+        # against subquery_ANY.q goldens)
+        sq_eq = (
+            f"(SELECT count(*) FROM ({q}) _qsub(_qv)"
+            f" WHERE _qv = ({x}))"
+        )
+        nullb = "CAST(NULL AS BOOLEAN)"
+        if kind == "ALL":
+            if op == "=":
+                false_cond = f"({sq_mn} <> {sq_mx} OR ({x}) <> {sq_mn})"
+            elif op == "<>":
+                false_cond = f"{sq_eq} > 0"
+            else:
+                bound = sq_mn if op in ("<", "<=") else sq_mx
+                false_cond = f"NOT (({x}) {op} {bound})"
+            repl = (
+                f"(CASE WHEN {sq_c} = 0 THEN TRUE"
+                f" WHEN ({x}) IS NULL THEN {nullb}"
+                f" WHEN {false_cond} THEN FALSE"
+                f" WHEN {sq_cn} > 0 THEN {nullb}"
+                " ELSE TRUE END)"
+            )
+        else:
+            if op == "=":
+                true_cond = f"{sq_eq} > 0"
+            elif op == "<>":
+                true_cond = f"({sq_mn} <> {sq_mx} OR ({x}) <> {sq_mn})"
+            else:
+                bound = sq_mx if op in ("<", "<=") else sq_mn
+                true_cond = f"(({x}) {op} {bound})"
+            repl = (
+                f"(CASE WHEN {sq_c} = 0 THEN FALSE"
+                f" WHEN ({x}) IS NULL THEN {nullb}"
+                f" WHEN {true_cond} THEN TRUE"
+                f" WHEN {sq_cn} > 0 THEN {nullb}"
+                " ELSE FALSE END)"
+            )
+        stmt = stmt[:xs] + repl + stmt[close_i + 1 :]
+
+
 _GAP_FN_TRIGGER = re.compile(
     r"(?i)\b(approx_distinct|murmur_hash|logged_in_user|surrogate_key"
     r"|compute_bit_vector_hll|array_slice|interval_year_month"
     r"|interval_day_time|datetime_legacy_hybrid_calendar|parse_url_tuple"
     r"|replicate_rows|in_file|ngrams|context_ngrams|ds_theta_\w+|index"
-    r"|mid|table|json_read|split_map_privs)\s*\(|\$sum0"
+    r"|mid|table|json_read|split_map_privs|stddev|std|variance)\s*\("
+    r"|\$sum0"
 )
 
 
@@ -2143,17 +2407,40 @@ def _rewrite_arity_fns(stmt: str) -> str:
             stmt, name,
             lambda a, name=name: _inline_mask_n(name, a),
         )
-    # mask(str, up, low, digit, other, <date parts...>): Spark's native
-    # mask caps at 5 args; the day/month/year tail masks DATE values
-    stmt = _rewrite_calls(
-        stmt, "mask",
-        lambda a: (
-            "mask(" + ", ".join(
+    # mask(v, up, low, digit, other, number, day, month, year): Spark's
+    # native mask is strings-only and caps at 5 args. The numeric branch
+    # (GenericUDFMask MASKED_NUMBER) replaces every digit with the
+    # number char and wraps on overflow via the legacy down-cast (golden
+    # udf_mask.q: tinyint 555 -> 43); the date branch sets day/month/
+    # year (-1 retains, Hive months are 0-indexed).
+    def _mask_n(a: list[str]) -> str | None:
+        if len(a) <= 5 and "-1" not in a:
+            return None
+        cast_t = re.search(r"(?i)\bas\s+(\w+)\s*\)\s*$", a[0])
+        t = (cast_t.group(1).lower() if cast_t else "")
+        if t in ("tinyint", "smallint", "int", "integer", "bigint") and len(a) >= 6:
+            d = a[5].strip().strip("'\"")
+            d = "1" if d == "-1" else d[:1]
+            return (
+                f"CAST(translate(CAST(({a[0]}) AS STRING),"
+                f" '0123456789', '{d * 10}') AS {t})"
+            )
+        if t == "date" and len(a) >= 9:
+            x, dd, mm, yy = a[0], a[6], a[7], a[8]
+            return (
+                f"make_date("
+                f"IF(({yy}) = -1, year({x}), ({yy})),"
+                f" IF(({mm}) = -1, month({x}), ({mm}) + 1),"
+                f" IF(({dd}) = -1, day({x}),"
+                f" IF(({dd}) BETWEEN 1 AND 31, ({dd}), 1)))"
+            )
+        if len(a) > 5 or "-1" in a:
+            return "mask(" + ", ".join(
                 ("NULL" if v == "-1" else v) for v in a[:5]
             ) + ")"
-            if (len(a) > 5 or "-1" in a) else None
-        ),
-    )
+        return None
+
+    stmt = _rewrite_calls(stmt, "mask", _mask_n)
     # grouping(c1, c2, ...): Hive's multi-index grouping bit-packs like
     # grouping_id (GenericUDFGrouping over the grouping-set id)
     stmt = _rewrite_calls(
@@ -2179,17 +2466,58 @@ def _rewrite_arity_fns(stmt: str) -> str:
         ),
     )
     # trunc(x[, scale]) NUMERIC truncation (GenericUDFTrunc's number
-    # branch; toward zero) — only when scale is an integer literal
-    stmt = _rewrite_calls(
-        stmt, "trunc",
-        lambda a: (
-            f"(CAST(({a[0]}) * pow(10, {a[1] if len(a) == 2 else 0})"
-            f" AS BIGINT) / pow(10, {a[1] if len(a) == 2 else 0}))"
-            if (len(a) == 1 and not re.search(r"(?i)'", a[0]))
-            or (len(a) == 2 and re.fullmatch(r"-?\d+", a[1]))
-            else None
-        ),
-    )
+    # branch; toward zero). Literal integer scale keeps the exact
+    # BIGINT-quantized form; a column/expression scale falls back to the
+    # sign/floor double identity (udf_trunc_number.q table section).
+    def _trunc_numeric(a: list[str]) -> str | None:
+        if len(a) == 1 and not re.search(r"(?i)'", a[0]):
+            return f"(CAST(({a[0]}) AS BIGINT))"
+        if len(a) != 2:
+            return None
+        if re.fullmatch(r"-?\d+", a[1].strip()):
+            s = a[1].strip()
+            return (
+                f"(CAST(({a[0]}) * pow(10, {s}) AS BIGINT)"
+                f" / pow(10, {s}))"
+            )
+        # expression scale: date-trunc 2-arg form has a STRING unit —
+        # only fold when the scale can't be a string literal
+        if re.search(r"'", a[1]):
+            return None
+        x, s = a[0], a[1]
+        return (
+            f"(IF(({s}) >= 0,"
+            f" sign({x}) * floor(abs({x}) * pow(10, ({s}))) / pow(10, ({s})),"
+            f" sign({x}) * floor(abs({x}) / pow(10, -({s}))) * pow(10, -({s}))))"
+        )
+
+    stmt = _rewrite_calls(stmt, "trunc", _trunc_numeric)
+    # instr(str, sub, pos[, occurrence]) (GenericUDFInstr 4-arg form;
+    # negative pos searches backward from length+pos+1). Spark's instr
+    # is 2-arg only; enumerate match positions JVM-side.
+    def _instr_n(a: list[str]) -> str | None:
+        if len(a) not in (3, 4):
+            return None
+        s, sub, pos = f"({a[0]})", f"({a[1]})", f"({a[2]})"
+        k = f"({a[3]})" if len(a) == 4 else "1"
+        matches = (
+            f"filter(transform(sequence(1, greatest(length({s})"
+            f" - length({sub}) + 1, 1)),"
+            f" _i -> IF(substr({s}, _i, length({sub})) = {sub}, _i, -1)),"
+            " _x -> _x != -1)"
+        )
+        return (
+            f"(IF({s} IS NULL OR {sub} IS NULL OR {pos} IS NULL"
+            f" OR {k} IS NULL, CAST(NULL AS INT),"
+            f" IF({pos} > 0,"
+            f" coalesce(element_at(filter({matches}, _x -> _x >= {pos}),"
+            f" CAST({k} AS INT)), 0),"
+            f" coalesce(element_at(reverse(filter({matches},"
+            f" _x -> _x <= length({s}) + {pos} + 1)), CAST({k} AS INT)),"
+            " 0))))"
+        )
+
+    stmt = _rewrite_calls(stmt, "instr", _instr_n)
     # tumbling_window(ts, INTERVAL 'n' unit[, origin]): the SQL-UDF
     # takes seconds; fold the interval literal and the 3-arg origin
     # form (GenericUDFTumbledWindow) inline
@@ -2332,6 +2660,32 @@ def _hive_split_args(cmd: str) -> list[str]:
     return args
 
 
+# session resources from ADD FILE: basename -> absolute local path
+_ADDED_FILES: dict[int, dict[str, str]] = {}
+
+
+def _absolutize_added_files(spark: SparkSession, stmt: str) -> str:
+    """TRANSFORM USING 'python input20_script.py': Hive execs in a work
+    dir seeded with ADD FILE resources; Spark's script transform runs in
+    the executor cwd, so substitute registered basenames with their
+    resolved absolute paths inside the USING command literal."""
+    added = _ADDED_FILES.get(id(spark))
+    if not added or not re.search(r"(?i)\bUSING\s+['\"]", stmt):
+        return stmt
+
+    def repl(m: re.Match) -> str:
+        body = m.group(3)
+        for base, ap in added.items():
+            body = re.sub(
+                rf"(?<![\w/]){re.escape(base)}(?![\w.])", ap, body
+            )
+        return f"{m.group(1)}{m.group(2)}{body}{m.group(2)}"
+
+    return re.sub(
+        r"(?is)(\bUSING\s+)(['\"])((?:[^'\"\\]|\\.)*?)\2", repl, stmt
+    )
+
+
 def _rewrite_transform_using(stmt: str) -> str:
     """TRANSFORM ... USING '<cmd>': Hive tokenizes the command itself
     and execs argv directly; Spark hands the whole string to
@@ -2378,11 +2732,17 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = _rewrite_kll_fns(stmt)
     if _GAP_FN_TRIGGER.search(stmt):
         stmt = _rewrite_gap_fns(stmt)
+    if _QUANT_CMP.search(stmt):
+        stmt = _rewrite_quantified_cmp(stmt)
+    # GROUP BY () — HiveParser's empty grouping = one global group
+    stmt = re.sub(
+        r"(?i)\bGROUP\s+BY\s*\(\s*\)", "GROUP BY GROUPING SETS(())", stmt
+    )
     if re.search(r"(?i)\bcompute_stats\s*\(", stmt):
         stmt = _rewrite_compute_stats(stmt)
     if re.search(
         r"(?i)\b(mask|mask_\w+|grouping|percentile_cont|percentile_disc"
-        r"|add_months|trunc|tumbling_window)\s*\(",
+        r"|add_months|trunc|tumbling_window|instr)\s*\(",
         stmt,
     ):
         stmt = _rewrite_arity_fns(stmt)
@@ -2406,6 +2766,7 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         r"INTERVAL \1 \2 TO \3",
         stmt,
     )
+    stmt = _absolutize_added_files(spark, stmt)
     stmt = _rewrite_transform_using(stmt)
     stmt = _DROP_BARE.sub(lambda m: m.group(1) + "IF EXISTS ", stmt)
     # TIMESTAMPLOCALTZ: Spark's TIMESTAMP already carries local-tz
@@ -2751,7 +3112,8 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     # TEMPORARY TABLE without a provider is rejected outright). The
     # session-end auto-drop is the one divergence (COVERAGE.md §2.14).
     stmt = re.sub(
-        r"^(\s*CREATE\s+)TEMPORARY\s+(TABLE\b)", r"\1\2", stmt,
+        r"^(\s*(?:EXPLAIN\s+(?:\w+\s+)?)?CREATE\s+)TEMPORARY\s+(TABLE\b)",
+        r"\1\2", stmt,
         flags=re.I,
     )
     stmt = _rewrite_time_travel(spark, stmt)
@@ -2840,7 +3202,11 @@ def _needs_autoalias(item: str) -> bool:
         return False
     if re.fullmatch(r"`?[\w]+`?(?:\s*\.\s*`?\w+`?)*", s):
         return False  # bare (possibly qualified) column
-    return bool(re.search(r"(\)|\bEND|\d|'|\")\s*$", s, re.I))
+    if re.search(r"(\)|\bEND|'|\")\s*$", s, re.I):
+        return True
+    # a trailing NUMBER literal needs an alias, but an identifier that
+    # merely ENDS in digits (`... as c00`) is already aliased
+    return bool(re.search(r"(?:^|[\s(,+\-*/%])\.?\d+(?:\.\d+)?\s*$", s))
 
 
 def _autoalias_select_lists(body: str) -> str:
@@ -3351,6 +3717,74 @@ def _retry_inline_values(spark, stmt: str, err: Exception):
     # re-issue through Spark's own insert path (EXPLAIN prefix, column
     # lists and partition specs all keep their native semantics)
     return spark.sql(head + " UNION ALL ".join(selects))
+
+
+def _retry_string_range_frame(spark, stmt: str, err: Exception):
+    """RANGE frame with a numeric offset over a STRING sort key: Hive's
+    StringValueBoundaryScanner (ref: ql/.../PTFRowContainer /
+    ValueBoundaryScanner.java) treats ANY unequal key as exceeding any
+    amount, so the frame degenerates to the current row's PEER GROUP —
+    exactly `RANGE BETWEEN CURRENT ROW AND CURRENT ROW`. Spark refuses
+    the numeric offset outright; rewrite the offending frame (named in
+    the error, with N PRECEDING normalized to (-N) FOLLOWING) and
+    re-issue, looping while each retry surfaces another frame."""
+    for _ in range(16):
+        msg = str(err)
+        if "SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE" not in msg or not re.search(
+            r'"(STRING|VARCHAR[^"]*|CHAR[^"]*|BOOLEAN|BINARY)"', msg.upper()
+        ):
+            raise err
+        m = re.search(
+            r'RANGE BETWEEN (\(- )?(\d+|CURRENT|UNBOUNDED)\)?'
+            r' (ROW|PRECEDING|FOLLOWING)'
+            r' AND (\(- )?(\d+|CURRENT|UNBOUNDED)\)?'
+            r' ?(ROW|PRECEDING|FOLLOWING)?',
+            msg,
+        )
+        if m is None:
+            raise err
+
+        def _orig(neg, n, kind):
+            if n == "CURRENT":
+                return r"current\s+row"
+            if n == "UNBOUNDED":
+                return rf"unbounded\s+{kind.lower()}"
+            # Spark normalizes N PRECEDING to (-N) FOLLOWING in messages
+            if neg and kind == "FOLLOWING":
+                kind = "PRECEDING"
+            elif neg and kind == "PRECEDING":
+                kind = "FOLLOWING"
+            return rf"{n}\s+{kind.lower()}"
+
+        lo = _orig(m.group(1), m.group(2), m.group(3))
+        hi = _orig(m.group(4), m.group(5), m.group(6) or "ROW")
+        alts = [rf"between\s+{lo}\s+and\s+{hi}"]
+        if hi == r"current\s+row":
+            alts.append(lo)  # Hive shorthand: `range 1 preceding`
+        pat = re.compile(
+            rf"(?i)\brange\s+(?:{'|'.join(alts)})(?!\s+and\b)"
+        )
+        # only NUMERIC bounds degenerate to the peer boundary (Spark's
+        # RANGE CURRENT ROW = first/last peer, matching the scanner);
+        # UNBOUNDED sides keep their reach
+        def _rep(n, kind):
+            if n == "UNBOUNDED":
+                return f"UNBOUNDED {kind}"
+            return "CURRENT ROW"
+
+        lo_rep = _rep(m.group(2), "PRECEDING")
+        hi_rep = _rep(m.group(5), "FOLLOWING")
+        fixed = pat.sub(
+            f"RANGE BETWEEN {lo_rep} AND {hi_rep}", stmt
+        )
+        if fixed == stmt:
+            raise err
+        stmt = fixed
+        try:
+            return spark.sql(stmt)
+        except Exception as e2:  # another degenerate frame remains
+            err = e2
+    raise err
 
 
 def _retry_view_autoalias(spark, stmt: str, err: Exception):
@@ -3986,7 +4420,7 @@ def _exec_create_external_complex_text(spark: SparkSession,
 _INSERT_DIR = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+['\"]([^'\"]+)['\"]"
     r"\s*((?:ROW\s+FORMAT\s[\s\S]*?)?)((?:STORED\s+AS\s+(\w+)\s*)?)"
-    r"((?:SELECT|WITH|FROM|VALUES)\b[\s\S]*)$",
+    r"((?:SELECT|FROM|VALUES|WITH\s+(?!SERDEPROPERTIES\b))[\s\S]*)$",
     re.I,
 )
 
@@ -4081,21 +4515,57 @@ def _exec_insert_directory(spark: SparkSession, m: re.Match):
         )
     df = spark.sql(rewrite_statement(spark, query))
     shutil.rmtree(path, ignore_errors=True)
-    if fmt and fmt.lower() in ("parquet", "orc", "avro"):
-        df.write.format(fmt.lower()).save(path)
+    if fmt and fmt.lower() in (
+        "parquet", "orc", "avro", "rcfile", "sequencefile"
+    ):
+        # rcfile/sequencefile ride the engine's parquet stand-in (same
+        # mapping as STORED AS tables, hqlscript _FORMAT_PROVIDERS) so a
+        # later EXTERNAL table at this LOCATION round-trips
+        real = {"rcfile": "parquet", "sequencefile": "parquet"}.get(
+            fmt.lower(), fmt.lower()
+        )
+        df.write.format(real).save(path)
+        _rename_hive_style(path)
         return
-    sep = "\x01"
-    rf = _ROW_FORMAT.search(m.group(2) or "")
+    sep, null_fmt = "\x01", "\\N"
+    rowfmt = m.group(2) or ""
+    rf = _ROW_FORMAT.search(rowfmt)
     if rf and rf.group("sep"):
         sep = rf.group("sep").encode().decode("unicode_escape")
+    # ROW FORMAT SERDE ... WITH SERDEPROPERTIES: honor the LazySimpleSerDe
+    # delimiter/null keys (ref: serde2/lazy/LazySerDeParameters.java)
+    for key, val in re.findall(r"'([\w.]+)'\s*=\s*'((?:[^'\\]|\\.)*)'", rowfmt):
+        if key == "field.delim":
+            sep = val.encode().decode("unicode_escape")
+        elif key == "serialization.null.format":
+            null_fmt = val
     from pyspark.sql import functions as F
 
     # positional names: a select list may repeat a name (`null, null`)
     df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
     cols = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in df.columns
+        F.coalesce(F.col(c).cast("string"), F.lit(null_fmt))
+        for c in df.columns
     ]
     df.select(F.concat_ws(sep, *cols).alias("value")).write.text(path)
+    _rename_hive_style(path)
+
+
+def _rename_hive_style(path: str) -> None:
+    """Rename part-* outputs to Hive's 000000_0 task naming — scripts
+    address sink files by that exact name (`dfs -cat dir/000000_0`)."""
+    try:
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+    except OSError:
+        return
+    for i, f in enumerate(parts):
+        os.rename(os.path.join(path, f), os.path.join(path, f"{i:06d}_0"))
+    for f in os.listdir(path):  # orphaned checksum sidecars
+        if f.endswith(".crc"):
+            os.remove(os.path.join(path, f))
 
 
 # PREPARE name FROM <query with ? markers> / EXECUTE name USING v1, v2
@@ -4160,6 +4630,22 @@ _FUNCTION_CLASS_FOLDS: dict[str, object] = {
             " 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',"
             " 'nopqrstuvwxyzabcdefghijklmNOPQRSTUVWXYZABCDEFGHIJKLM')"
         ),
+    # sum of every element of every array (HIVE-5279 UDAF)
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFSumList":
+        lambda a: (
+            f"sum(aggregate({a[0]}, CAST(0 AS DOUBLE),"
+            " (_a, _x) -> _a + CAST(_x AS DOUBLE)))"
+        ),
+    # contrib UDTF: each array element emitted as two identical columns
+    "org.apache.hadoop.hive.contrib.udtf.example.GenericUDTFExplode2":
+        lambda a: (
+            f"inline(transform({a[0]},"
+            " _x -> named_struct('c0', _x, 'c1', _x)))"
+        ),
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper":
+        lambda a: f"upper({a[0]})",
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFTestGetJavaBoolean":
+        lambda a: f"CAST({a[0]} AS BOOLEAN)",
 }
 _CREATE_FUNCTION_CLASS = re.compile(
     r"^\s*CREATE\s+TEMPORARY\s+FUNCTION\s+(\w+)\s+AS\s+'([\w.]+)'\s*$", re.I
@@ -4648,32 +5134,110 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     f"DESCRIBE {m.group(2) or ''}`{m.group(3)}`"
                 ))
                 continue
+            if re.match(
+                r"^\s*EXPLAIN\s+SHOW\s+(COLUMNS|PARTITIONS)\b[\s\S]*"
+                r"(['\"][^'\"]*['\"]|\bWHERE\b|\bORDER\s+BY\b|\bLIMIT\b)",
+                stmt, re.I,
+            ):
+                # EXPLAIN of the engine-handled SHOW forms: Hive renders
+                # a metadata-op stage; emit the same one-stage summary
+                res.results.append(
+                    spark.createDataFrame(
+                        [("STAGE DEPENDENCIES:",), ("  Stage-0 is a root stage",)],
+                        "Explain string",
+                    )
+                )
+                continue
             m = re.match(
-                r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+`?([\w.]+)`?"
-                r"(?:\s+(?:FROM|IN)\s+`?([\w.]+)`?)?"
-                r"\s+LIKE\s+['\"]([^'\"]+)['\"]\s*$",
+                r"^\s*SHOW\s+(SORTED\s+)?COLUMNS\s+(?:FROM|IN)\s+`?([\w.]+)`?"
+                r"(?:\s+(?:FROM|IN)\s+`?([\w]+)`?)?"
+                r"(?:\s+(?:LIKE\s+)?['\"]([^'\"]+)['\"])?\s*$",
                 stmt, re.I,
             )
-            if m:
-                # SHOW COLUMNS ... LIKE 'pattern' (Hive ShowColumnsDesc:
-                # SQL-LIKE or *-glob patterns, case-insensitive)
+            if m and (m.group(1) or m.group(4)):
+                # SHOW [SORTED] COLUMNS ... ['pattern'] (Hive
+                # ShowColumnsDesc: LIKE keyword optional; *-glob with |
+                # alternation, case-insensitive, output sorted —
+                # show_columns.q). Plain un-patterned SHOW COLUMNS stays
+                # on Spark's native path.
                 tbl = (
-                    f"{m.group(2)}.{m.group(1)}" if m.group(2)
-                    else m.group(1)
+                    f"{m.group(3)}.{m.group(2)}" if m.group(3)
+                    else m.group(2)
                 )
-                pat = m.group(3).replace("*", "%")
-                rx = re.compile(
-                    "^" + re.escape(pat).replace("%", ".*")
-                    .replace("_", ".") + "$",
-                    re.I,
-                )
-                names = [
+                if m.group(4):
+                    alts = [
+                        "^" + re.escape(p.replace("*", "%"))
+                        .replace("%", ".*").replace("_", ".") + "$"
+                        for p in m.group(4).split("|")
+                    ]
+                    rx = re.compile("|".join(alts), re.I)
+                else:
+                    rx = re.compile(".*")
+                names = sorted(
                     (c.name,)
                     for c in spark.catalog.listColumns(tbl)
                     if rx.match(c.name)
-                ]
+                )
                 res.results.append(
                     spark.createDataFrame(names, "col_name string")
+                )
+                continue
+            m = re.match(
+                r"^\s*SHOW\s+PARTITIONS\s+`?([\w.]+)`?"
+                r"(?:\s+PARTITION\s*\(([^)]*)\))?"
+                r"(?:\s+WHERE\s+([\s\S]*?))?"
+                r"(?:\s+ORDER\s+BY\s+([\s\S]*?))?"
+                r"(?:\s+LIMIT\s+(\d+))?\s*$",
+                stmt, re.I,
+            )
+            if m and (m.group(2) or m.group(3) or m.group(4) or m.group(5)):
+                # SHOW PARTITIONS ... [PARTITION(spec)] [WHERE] [ORDER BY]
+                # [LIMIT] (HIVE-22458 filtered listing, show_partitions2.q):
+                # evaluate over the partition list as string columns —
+                # numeric predicates coerce under non-ANSI comparison,
+                # and __HIVE_DEFAULT_PARTITION__ compares as its literal
+                from urllib.parse import unquote as _unq
+
+                tbl = m.group(1)
+                raw = [
+                    r[0]
+                    for r in spark.sql(
+                        f"SHOW PARTITIONS `{tbl.replace('.', '`.`')}`"
+                    ).collect()
+                ]
+                pnames = [
+                    c.name for c in spark.catalog.listColumns(tbl)
+                    if c.isPartition
+                ]
+                rows2 = [
+                    tuple(
+                        [_unq(kv.split("=", 1)[1]) for kv in r.split("/")]
+                        + [r]
+                    )
+                    for r in raw
+                ]
+                schema = ", ".join(
+                    f"`{n}` string" for n in pnames
+                ) + ", _raw string"
+                pdf = spark.createDataFrame(rows2, schema)
+                pdf.createOrReplaceTempView("_hqls_show_parts")
+                conds = []
+                if m.group(2):
+                    for kv in m.group(2).split(","):
+                        k, v = kv.split("=", 1)
+                        conds.append(f"`{k.strip().strip('`')}` = {v.strip()}")
+                if m.group(3):
+                    conds.append(f"({m.group(3)})")
+                sql = "SELECT _raw AS `partition` FROM _hqls_show_parts"
+                if conds:
+                    sql += " WHERE " + " AND ".join(conds)
+                if m.group(4):
+                    sql += f" ORDER BY {m.group(4)}"
+                if m.group(5):
+                    sql += f" LIMIT {m.group(5)}"
+                out = spark.sql(sql)
+                res.results.append(
+                    spark.createDataFrame(out.collect(), out.schema)
                 )
                 continue
             if re.match(r"^\s*SHOW\s+COMPACTIONS\b", stmt, re.I):
@@ -4702,6 +5266,29 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 ))
                 continue
             if _ADD.match(stmt) or _METADATA_NOOP.match(stmt):
+                am = re.match(
+                    r"(?i)^\s*(ADD|DELETE)\s+FILES?\s+(.+?)\s*$", stmt
+                )
+                if am:
+                    # ADD FILE ships a script to executors (ref: ql/
+                    # SessionState add_resource); here the executor IS
+                    # local, so record basename -> resolved path and let
+                    # the TRANSFORM USING rewrite absolutize commands
+                    files = _ADDED_FILES.setdefault(id(spark), {})
+                    for p in am.group(2).split():
+                        base = os.path.basename(p.rstrip("/"))
+                        if am.group(1).upper() == "DELETE":
+                            files.pop(base, None)
+                            continue
+                        cand = p
+                        if not os.path.isabs(cand) or not os.path.exists(cand):
+                            for b in LOAD_DATA_BASES:
+                                c2 = os.path.normpath(os.path.join(b, p))
+                                if os.path.exists(c2):
+                                    cand = c2
+                                    break
+                        if os.path.exists(cand):
+                            files[base] = os.path.abspath(cand)
                 res.skipped.append(stmt)
                 continue
             m = _EXPLAIN_SPECIAL.match(stmt)
@@ -4893,6 +5480,23 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     )
                 )
                 continue
+            m = re.match(
+                r"(?i)^\s*RESET(?:\s+(-d\s+)?([\w.\s$:]+?))?\s*$", stmt
+            )
+            if m:
+                # Hive RESET / RESET -d key... (SetProcessor): drop the
+                # session overrides; Spark's RESET grammar rejects the
+                # -d flag and dotted hive keys, so handle it here
+                keys = (m.group(2) or "").split()
+                if not keys:
+                    res.set_commands.clear()
+                for key in keys:
+                    res.set_commands.pop(key, None)
+                    try:
+                        spark.sql(f"RESET `{key}`")
+                    except Exception:
+                        pass
+                continue
             m = _SET.match(stmt)
             if m and m.group(2) is not None:
                 key, val = m.group(1), m.group(2).strip()
@@ -4979,6 +5583,13 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 continue
             if _exec_dml(spark, res, stmt):
                 continue
+            if (
+                res.set_commands.get(
+                    "hive.support.quoted.identifiers", ""
+                ).lower() == "none"
+                and re.search(r"`[^`]+`", stmt)
+            ):
+                stmt = _expand_regex_columns(spark, stmt)
             rewritten = rewrite_statement(spark, stmt)
             # hive.optimize.cte.materialize.threshold: spool WITH-CTEs
             # referenced >= threshold times (ref: TableScanToSpoolRule;
@@ -5047,6 +5658,50 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     )
                 elif "BINARY_OP_DIFF_TYPES" in str(e):
                     df = _retry_binop_coercion(spark, rewritten, e)
+                elif "SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE" in str(e):
+                    df = _retry_string_range_frame(spark, rewritten, e)
+                elif "RANGE_FRAME_INVALID_TYPE" in str(e) and re.search(
+                    r'"(TIMESTAMP|DATE)[^"]*"', str(e).upper()
+                ):
+                    # Hive's RANGE amounts over time keys are SECONDS
+                    # for timestamps / DAYS for dates (ref:
+                    # ValueBoundaryScanner Timestamp/DateValueBoundary
+                    # Scanner) — Spark wants interval literals
+                    unit = (
+                        "SECOND"
+                        if '"TIMESTAMP' in str(e).upper()
+                        else "DAY"
+                    )
+                    fixed = re.sub(
+                        r"(?i)\brange\s+between\s+(\d+)\s+"
+                        r"(preceding|following)\s+and\s+"
+                        r"(\d+\s+|current\s+)(preceding|following|row)",
+                        lambda m2: (
+                            f"RANGE BETWEEN INTERVAL '{m2.group(1)}'"
+                            f" {unit} {m2.group(2).upper()} AND "
+                            + (
+                                "CURRENT ROW"
+                                if m2.group(3).strip().upper() == "CURRENT"
+                                else (
+                                    f"INTERVAL '{m2.group(3).strip()}'"
+                                    f" {unit} {m2.group(4).upper()}"
+                                )
+                            )
+                        ),
+                        rewritten,
+                    )
+                    fixed = re.sub(
+                        r"(?i)\brange\s+between\s+current\s+row\s+and\s+"
+                        r"(\d+)\s+(preceding|following)",
+                        lambda m2: (
+                            "RANGE BETWEEN CURRENT ROW AND INTERVAL"
+                            f" '{m2.group(1)}' {unit} {m2.group(2).upper()}"
+                        ),
+                        fixed,
+                    )
+                    if fixed == rewritten:
+                        raise
+                    df = spark.sql(fixed)
                 elif "INLINE_TABLE" in str(e):
                     df = _retry_inline_values(spark, rewritten, e)
                 elif "COLUMN_ALREADY_EXISTS" in str(e) and re.match(
@@ -5084,7 +5739,10 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     msg = str(e)
                     retriable = (
                         isinstance(e, (ValueError, OverflowError))
-                        and "out of range" in msg
+                        and ("out of range" in msg
+                             # proleptic year-0 dates (mask date branch)
+                             # precede Python datetime's ordinal 1
+                             or "ordinal must be" in msg)
                     ) or "NOT_IMPLEMENTED" in msg
                     if not retriable:
                         raise

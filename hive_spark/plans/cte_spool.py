@@ -41,6 +41,9 @@ def _skip_noncode(text: str, i: int) -> int:
     if c == "'" or c == '"' or c == "`":
         j = i + 1
         while j < n:
+            if c != "`" and text[j] == "\\" and j + 1 < n:
+                j += 2  # backslash escape (HiveQL string literals)
+                continue
             if text[j] == c:
                 if c == "'" and j + 1 < n and text[j + 1] == "'":
                     j += 2  # '' escape

@@ -82,7 +82,8 @@ def main():
             n = final_rowcount(res)
             print(f"{fname}\tOK\t{n}")
         except Exception as e:
-            first = str(e).replace("\n", " ")[:160]
+            errlen = int(os.environ.get("QTRIAGE_ERRLEN", "160"))
+            first = str(e).replace("\n", " ")[:errlen]
             print(f"{fname}\tFAIL\t{type(e).__name__}: {first}")
         finally:
             for k, v in conf_prev.items():

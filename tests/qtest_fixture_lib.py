@@ -265,7 +265,7 @@ def run_and_cleanup(
         from hive_spark import hqlscript as _hql
 
         for _reg in (_hql._COMPACTIONS, _hql._EXPLICIT_LOCKS,
-                     _hql._VIEW_PARTS):
+                     _hql._VIEW_PARTS, _hql._ADDED_FILES):
             _reg.pop(id(spark), None)
         from hive_spark.sources.jdbc_handler import drop_memory_databases
 
