@@ -753,3 +753,106 @@ def test_limit_offset_comma_form(spark):
         spark, "SELECT id FROM range(10) ORDER BY id LIMIT 2,3;"
     )
     assert [r.id for r in out.results[-1].collect()] == [2, 3, 4]
+
+
+def test_quantified_comparisons_3vl(spark):
+    """x op ALL/ANY (subquery) desugar (r8): exact 3-valued logic per
+    the standard — empty set, null probe, null elements (golden-matched
+    against subquery_ALL.q / subquery_ANY.q, 46/46)."""
+    run_script(
+        spark,
+        "CREATE OR REPLACE TEMP VIEW qv AS SELECT * FROM VALUES"
+        " (1), (2), (3) AS t(v);"
+        "CREATE OR REPLACE TEMP VIEW qvn AS SELECT * FROM VALUES"
+        " (1), (2), (CAST(NULL AS INT)) AS t(v);"
+        "CREATE OR REPLACE TEMP VIEW qve AS"
+        " SELECT v FROM qv WHERE v < 0;",
+    )
+    cases = [
+        # (predicate, expected)
+        ("5 > ALL (SELECT v FROM qv)", True),
+        ("2 > ALL (SELECT v FROM qv)", False),
+        ("5 > ALL (SELECT v FROM qve)", True),     # empty -> TRUE
+        ("5 > ANY (SELECT v FROM qve)", False),    # empty -> FALSE
+        ("5 > ALL (SELECT v FROM qvn)", None),     # null element -> NULL
+        ("0 > ANY (SELECT v FROM qvn)", None),
+        ("2 = ANY (SELECT v FROM qvn)", True),
+        ("9 = ANY (SELECT v FROM qvn)", None),     # not found + null
+        ("9 <> ALL (SELECT v FROM qvn)", None),    # NOT IN w/ null
+        ("2 <> ALL (SELECT v FROM qv)", False),
+        ("9 <> ALL (SELECT v FROM qv)", True),
+    ]
+    sql = "SELECT " + ", ".join(
+        f"({p}) AS c{i}" for i, (p, _) in enumerate(cases)
+    )
+    row = run_script(spark, sql + ";").results[-1].collect()[0]
+    for i, (p, want) in enumerate(cases):
+        assert row[i] == want, f"{p}: got {row[i]}, want {want}"
+
+
+def test_stddev_variance_population_variants(spark):
+    """Hive's bare stddev/std/variance are the POPULATION aggregates
+    (FunctionRegistry -> GenericUDAFStd/GenericUDAFVariance); Spark's
+    defaults are sample — the dialect must rewrite (r8, found by the
+    windowing.q golden-value sweep)."""
+    out = run_script(
+        spark,
+        "SELECT stddev(v) AS sd, std(v) AS sd2, variance(v) AS vr"
+        " FROM VALUES (1.0), (2.0), (3.0) AS t(v);",
+    )
+    r = out.results[-1].collect()[0]
+    import math
+
+    assert math.isclose(r.sd, math.sqrt(2.0 / 3.0))   # population
+    assert math.isclose(r.sd2, math.sqrt(2.0 / 3.0))
+    assert math.isclose(r.vr, 2.0 / 3.0)
+
+
+def test_string_range_frame_peer_group(spark):
+    """RANGE numeric offsets over a STRING sort key degenerate to the
+    peer group (Hive StringValueBoundaryScanner equality semantics,
+    r8); UNBOUNDED sides keep their reach."""
+    run_script(
+        spark,
+        "CREATE OR REPLACE TEMP VIEW wt AS SELECT * FROM VALUES"
+        " ('a', 1), ('a', 2), ('b', 4), ('c', 8) AS t(k, x);",
+    )
+    out = run_script(
+        spark,
+        "SELECT k, sum(x) OVER (ORDER BY k"
+        " RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s,"
+        " sum(x) OVER (ORDER BY k"
+        " RANGE BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING) AS s2"
+        " FROM wt ORDER BY k, s;",
+    )
+    rows = out.results[-1].collect()
+    # peers-only sums: a=3, b=4, c=8; peer-start..end sums: 15, 12, 8
+    assert [(r.k, r.s, r.s2) for r in rows] == [
+        ("a", 3, 15), ("a", 3, 15), ("b", 4, 12), ("c", 8, 8),
+    ]
+
+
+def test_window_clause_inheritance(spark):
+    """`w2 as (w1 rows ...)` and bare `w2 as w3` expand the base spec
+    with its frame stripped (windowing.q #42, r8)."""
+    out = run_script(
+        spark,
+        "SELECT sum(x) OVER w2 AS s FROM VALUES (1), (2), (3) AS t(x)"
+        " WINDOW w1 AS (ORDER BY x"
+        "   RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),"
+        " w2 AS (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW);",
+    )
+    assert sorted(r.s for r in out.results[-1].collect()) == [1, 3, 6]
+
+
+def test_regex_columns_quoted_identifiers_none(spark):
+    """Backquoted regex columns under hive.support.quoted.identifiers=
+    none (regex_col.q, r8)."""
+    out = run_script(
+        spark,
+        "set hive.support.quoted.identifiers=none;"
+        "CREATE OR REPLACE TEMP VIEW rt AS"
+        " SELECT 1 AS ds, 2 AS hr, 3 AS key FROM range(1);"
+        "SELECT `..` FROM rt;",
+    )
+    assert out.results[-1].columns == ["ds", "hr"]
