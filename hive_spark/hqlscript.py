@@ -126,7 +126,10 @@ _ADD = re.compile(r"^\s*(ADD|DELETE)\s+(JAR|FILE|ARCHIVE)S?\b", re.I)
 # they land in ScriptResult.skipped.
 _METADATA_NOOP = re.compile(
     r"^\s*(?:"
-    r"ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
+    # partition VALUES may contain quoted parens/escapes: part=')' or
+    # part="\'" (escape2.q)
+    r"ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\("
+    r"""(?:[^()'"]|'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")*\)\s+)?"""
     r"(?:SET\s+(?:SERDE\b|SERDEPROPERTIES\b|FILEFORMAT\b|SKEWED\b)"
     r"|CLUSTERED\s+BY\b|SKEWED\s+BY\b|NOT\s+SKEWED\b"
     r"|NOT\s+STORED\s+AS\s+DIRECTORIES\b|NOT\s+CLUSTERED\b"
@@ -5135,6 +5138,12 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 ))
                 continue
             if re.match(
+                r"^\s*EXPLAIN\s+((CREATE|DROP)\s+TEMPORARY\s+MACRO"
+                r"|SHOW\s+GRANT|CREATE\s+ROLE|DROP\s+ROLE|GRANT\s|REVOKE\s"
+                r"|SET\s+ROLE|SHOW\s+CURRENT\s+ROLES|SHOW\s+ROLE"
+                r"|SHOW\s+PRINCIPALS|SHOW\s+LOCKS|SHOW\s+COMPACTIONS)\b",
+                stmt, re.I,
+            ) or re.match(
                 r"^\s*EXPLAIN\s+SHOW\s+(COLUMNS|PARTITIONS)\b[\s\S]*"
                 r"(['\"][^'\"]*['\"]|\bWHERE\b|\bORDER\s+BY\b|\bLIMIT\b)",
                 stmt, re.I,
@@ -5519,6 +5528,16 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 continue
             from hive_spark.sources import jdbc_handler as _jh
 
+            # DefaultStorageHandler is Hive's no-op handler — the table
+            # behaves exactly like a managed table (ref: ql/.../metadata/
+            # DefaultStorageHandler.java); strip the clause
+            stmt = re.sub(
+                r"(?is)\bSTORED\s+BY\s+'org\.apache\.hadoop\.hive\.ql\."
+                r"metadata\.DefaultStorageHandler'"
+                r"(\s+WITH\s+SERDEPROPERTIES\s*\((?:[^()]|\([^()]*\))*\))?",
+                "",
+                stmt,
+            )
             if re.search(r"STORED\s+BY\b", stmt, re.I) \
                     and _jh.try_create_jdbc_table(spark, stmt):
                 continue
