@@ -135,6 +135,89 @@ def _py_likeall(value, *patterns):
     return all(p is not None and _re.match(_like_to_regex(p), value) for p in patterns)
 
 
+# -- minimal geospatial subset (ref: the Esri UDF family Hive bundles,
+# ql/.../udf/esri; geospatial_binary.q / geospatial_decimal.q surface).
+# Geometry binary: b'P' + 2 doubles (point), b'L' + n + 2n doubles
+# (linestring). The full WKT/JTS surface (polygons, buffer, GeoJSON)
+# stays env-blocked — these are the pure-math pieces.
+
+def _geo_fmt(v: float) -> str:
+    return "%g" % v
+
+
+def _py_st_point(x, y):
+    import struct
+
+    if x is None or y is None:
+        return None
+    return b"P" + struct.pack("<dd", float(x), float(y))
+
+
+def _py_st_linestring(*args):
+    """ST_LineString(x1,y1,x2,y2,...) or ST_LineString(array<point>)."""
+    import struct
+
+    if len(args) == 1 and isinstance(args[0], (list, tuple)):
+        pts = []
+        for b in args[0]:
+            if b is None:
+                return None
+            bb = bytes(b)
+            pts.append(struct.unpack("<dd", bb[1:17]))
+    else:
+        if any(a is None for a in args) or len(args) % 2:
+            return None
+        it = iter(float(a) for a in args)
+        pts = list(zip(it, it))
+    return (
+        b"L"
+        + struct.pack("<i", len(pts))
+        + b"".join(struct.pack("<dd", x, y) for x, y in pts)
+    )
+
+
+def _py_st_astext(b):
+    import struct
+
+    if b is None:
+        return None
+    bb = bytes(b)
+    if bb[:1] == b"P":
+        x, y = struct.unpack("<dd", bb[1:17])
+        return f"POINT ({_geo_fmt(x)} {_geo_fmt(y)})"
+    if bb[:1] == b"L":
+        (n,) = struct.unpack("<i", bb[1:5])
+        pts = [
+            struct.unpack("<dd", bb[5 + 16 * i : 21 + 16 * i])
+            for i in range(n)
+        ]
+        inner = ", ".join(f"{_geo_fmt(x)} {_geo_fmt(y)}" for x, y in pts)
+        return f"LINESTRING ({inner})"
+    return None
+
+
+def _py_st_length(b):
+    import math
+    import struct
+
+    if b is None:
+        return None
+    bb = bytes(b)
+    if bb[:1] != b"L":
+        return None
+    (n,) = struct.unpack("<i", bb[1:5])
+    pts = [
+        struct.unpack("<dd", bb[5 + 16 * i : 21 + 16 * i])
+        for i in range(n)
+    ]
+    return float(
+        sum(
+            math.hypot(x2 - x1, y2 - y1)
+            for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+        )
+    )
+
+
 def _py_deserialize(s, fmt):
     """Hive deserialize(str, format) (ref: ql/.../udf/generic/
     GenericUDFDeserialize.java): 'gzip*' formats are base64-encoded
@@ -228,6 +311,10 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("__hive_ngrams", _py_ngrams, gram_t)
     spark.udf.register("__hive_context_ngrams", _py_context_ngrams, gram_t)
     spark.udf.register("deserialize", _py_deserialize, T.StringType())
+    spark.udf.register("ST_Point", _py_st_point, T.BinaryType())
+    spark.udf.register("ST_LineString", _py_st_linestring, T.BinaryType())
+    spark.udf.register("ST_AsText", _py_st_astext, T.StringType())
+    spark.udf.register("ST_Length", _py_st_length, T.DoubleType())
 
 
 # ---------------------------------------------------------------------------

@@ -1252,6 +1252,92 @@ def _rewrite_one_window_spec(span: str, before: str = "") -> str:
     return span
 
 
+def _rewrite_distinct_orderby_alias(stmt: str) -> str:
+    """SELECT DISTINCT e AS alias ... ORDER BY e: Hive binds the ORDER
+    BY expression to the select item computing it (SemanticAnalyzer
+    resolves against the select schema); Spark refuses non-output
+    references after DISTINCT. Substitute the alias for any top-level
+    ORDER BY expression that textually matches a select item
+    (distinct_windowing_2.q)."""
+    from hive_spark.plans.cte_spool import _skip_noncode
+
+    m = re.match(
+        r"(?is)^(\s*(?:explain\s+(?:\w+\s+)?)?select\s+distinct\s)", stmt
+    )
+    if m is None or not re.search(r"(?i)\border\s+by\b", stmt):
+        return stmt
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s).strip().lower()
+
+    # scan depth-0 tokens: select-list span ends at FROM; note the last
+    # depth-0 ORDER BY
+    i, depth = m.end(), 0
+    items: list[str] = []
+    buf_start = i
+    from_at = order_at = None
+    n = len(stmt)
+    while i < n:
+        j = _skip_noncode(stmt, i)
+        if j != i:
+            i = j
+            continue
+        c = stmt[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c == "," and from_at is None:
+                items.append(stmt[buf_start:i])
+                buf_start = i + 1
+            else:
+                km = re.match(r"(?i)(FROM|ORDER\s+BY)\b", stmt[i:])
+                if km and (i == 0 or not (stmt[i - 1].isalnum()
+                                          or stmt[i - 1] in "_`")):
+                    if km.group(1).upper() == "FROM" and from_at is None:
+                        items.append(stmt[buf_start:i])
+                        from_at = i
+                    elif km.group(1).upper() != "FROM":
+                        order_at = i + km.end()
+                    i += km.end()
+                    continue
+        i += 1
+    if from_at is None or order_at is None:
+        return stmt
+    aliases: dict[str, str] = {}
+    for it in items:
+        am = re.match(
+            r"(?is)^\s*(.*?)\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?\s*$", it
+        )
+        # an expression tail ending in an operator means the final word
+        # is an operand, not an alias (`c + 1` has no alias)
+        if am and not re.search(r"[-+*/%=<>|&,(]\s*$", am.group(1)):
+            aliases[norm(am.group(1))] = am.group(2)
+    if not aliases:
+        return stmt
+    # ORDER BY items run to end (or LIMIT)
+    tail_m = re.search(r"(?i)\bLIMIT\b", stmt[order_at:])
+    ob_end = order_at + (tail_m.start() if tail_m else len(stmt) - order_at)
+    ob_items = _split_args(stmt[order_at:ob_end])
+    changed = False
+    out_items = []
+    for it in ob_items:
+        dm = re.match(r"(?is)^(.*?)(\s+(?:ASC|DESC)\s*)?$", it.strip())
+        expr, direction = dm.group(1), dm.group(2) or ""
+        alias = aliases.get(norm(expr))
+        if alias:
+            out_items.append(f"{alias}{direction}")
+            changed = True
+        else:
+            out_items.append(it.strip())
+    if not changed:
+        return stmt
+    return (
+        stmt[:order_at] + " " + ", ".join(out_items) + " " + stmt[ob_end:]
+    )
+
+
 def _expand_window_refs(stmt: str) -> str:
     """Hive WINDOW-clause inheritance — `w2 as (w1 rows between ...)`
     and inline `over (w1 rows ...)` reference another named window and
@@ -2750,6 +2836,10 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     ):
         stmt = _rewrite_arity_fns(stmt)
     stmt = _desugar_distinct_having(stmt)
+    if re.match(
+        r"(?is)^\s*(?:explain\s+(?:\w+\s+)?)?select\s+distinct\b", stmt
+    ):
+        stmt = _rewrite_distinct_orderby_alias(stmt)
     if re.search(r"(?i)\bQUALIFY\b", stmt):
         stmt = _desugar_qualify(stmt)
     # Hive FLOOR(<ts> TO <unit>) (HiveParser floorExpression) ->
