@@ -165,6 +165,30 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
         "underscore_int:int>>, mstringstring map<string,string>",
     ).coalesce(1).write.saveAsTable("src_thrift")
 
+    # tpch_0_001 dataset: run the reference's OWN load scripts
+    # (data/files/datasets/tpch_0_001.*/load.hive.sql — CREATE DATABASE +
+    # pipe-delimited LOAD of the bundled sf0.001 .tbl.bz2 files) through
+    # the engine's HiveQL on-ramp, exactly like QTestUtil does
+    import glob as _glob
+
+    from hive_spark.hqlscript import run_script as _rs
+
+    for d in sorted(
+        _glob.glob(
+            "/root/reference/data/files/datasets/tpch_0_001.*/load.hive.sql"
+        )
+    ):
+        sql = open(d).read().replace(
+            "${hiveconf:test.data.dir}", "/root/reference/data/files"
+        )
+        # idempotent across persistent warehouses (corpus runs reuse
+        # spark-warehouse; LOAD ... OVERWRITE re-seeds the rows)
+        sql = re.sub(
+            r"(?i)\bCREATE\s+TABLE\s+(?!IF\b)", "CREATE TABLE IF NOT EXISTS ",
+            sql,
+        )
+        _rs(spark, sql)
+
     # qtest LOAD DATA paths are relative to ql/src
     if REF_ROOT not in LOAD_DATA_BASES:
         LOAD_DATA_BASES.append(REF_ROOT)
