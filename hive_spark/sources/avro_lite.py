@@ -38,6 +38,16 @@ def _read_long(buf: io.BytesIO) -> int:
     return (acc >> 1) ^ -(acc & 1)
 
 
+def _decimal_value(raw: bytes, scale: int):
+    """Avro decimal logical type: big-endian two's-complement unscaled
+    int (ref: serde/.../avro/AvroDeserializer decimal handling)."""
+    import decimal
+
+    return decimal.Decimal(
+        int.from_bytes(raw, "big", signed=True)
+    ).scaleb(-int(scale))  # old writers emit scale as a STRING
+
+
 def _read_bytes(buf: io.BytesIO) -> bytes:
     return buf.read(_read_long(buf))
 
@@ -67,19 +77,37 @@ def _decode(schema, buf: io.BytesIO, names: dict):
     if t == "boolean":
         return buf.read(1) == b"\x01"
     if t in ("int", "long"):
-        return _read_long(buf)
+        v = _read_long(buf)
+        if isinstance(schema, dict):
+            lt = schema.get("logicalType")
+            if lt == "date":
+                import datetime
+
+                return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+            if lt in ("timestamp-millis", "timestamp-micros"):
+                import datetime
+
+                div = 1e3 if lt == "timestamp-millis" else 1e6
+                return datetime.datetime.utcfromtimestamp(v / div)
+        return v
     if t == "float":
         return struct.unpack("<f", buf.read(4))[0]
     if t == "double":
         return struct.unpack("<d", buf.read(8))[0]
     if t == "bytes":
-        return _read_bytes(buf)
+        raw = _read_bytes(buf)
+        if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
+            return _decimal_value(raw, schema.get("scale", 0))
+        return raw
     if t == "string":
         return _read_bytes(buf).decode("utf-8")
     if t == "enum":
         return schema["symbols"][_read_long(buf)]
     if t == "fixed":
-        return buf.read(schema["size"])
+        raw = buf.read(schema["size"])
+        if schema.get("logicalType") == "decimal":
+            return _decimal_value(raw, schema.get("scale", 0))
+        return raw
     if t == "array":
         out = []
         while True:
@@ -131,6 +159,17 @@ def spark_type(schema, names: dict | None = None) -> str:
     t = schema["type"]
     if t in ("record", "enum", "fixed") and "name" in schema:
         names.setdefault(schema["name"], schema)
+    if t in ("bytes", "fixed") and schema.get("logicalType") == "decimal":
+        return (
+            f"decimal({int(schema.get('precision', 38))},"
+            f"{int(schema.get('scale', 0))})"
+        )
+    if t in ("int", "long") and schema.get("logicalType") == "date":
+        return "date"
+    if t == "long" and str(schema.get("logicalType", "")).startswith(
+        "timestamp-"
+    ):
+        return "timestamp"
     if t == "enum":
         return "string"
     if t == "fixed":
