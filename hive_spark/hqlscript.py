@@ -135,7 +135,11 @@ _METADATA_NOOP = re.compile(
     r"|NOT\s+STORED\s+AS\s+DIRECTORIES\b|NOT\s+CLUSTERED\b"
     r"|NOT\s+SORTED\b|COMPACT\b|CONCATENATE\b|TOUCH\b"
     r"|ENABLE\s+NO_DROP\b|DISABLE\s+NO_DROP\b|ENABLE\s+OFFLINE\b"
-    r"|DISABLE\s+OFFLINE\b)"
+    r"|DISABLE\s+OFFLINE\b"
+    # DROP [HISTOGRAM] STATISTICS FOR COLUMNS (HIVE-27110) — stats are
+    # advisory metadata here; RELOAD [FUNCTION[S]] re-scans plugin jars
+    r"|DROP\s+(?:HISTOGRAM\s+)?STATISTICS\b)"
+    r"|RELOAD(?:\s+FUNCTIONS?)?\s*$"
     r"|ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
     r"UPDATE\s+STATISTICS\s+FOR\s+COLUMN\b"
     # partition-scoped row-stats override: Spark keeps table-level CBO
@@ -2859,6 +2863,20 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         r"INTERVAL \1 \2 TO \3",
         stmt,
     )
+    # TRUNCATE <table> — HiveParser allows omitting the TABLE keyword
+    stmt = re.sub(
+        r"(?i)^(\s*(?:EXPLAIN\s+)?TRUNCATE\s+)(?!TABLE\b)(`?[\w.]+`?)",
+        r"\1TABLE \2",
+        stmt,
+    )
+    # ALTER TABLE ... DROP COLUMN c CASCADE|RESTRICT: the cascade flag
+    # re-types existing partitions (metadata-only here) — strip it
+    stmt = re.sub(
+        r"(?i)^(\s*(?:EXPLAIN\s+)?ALTER\s+TABLE\s+[\s\S]*?"
+        r"\bDROP\s+COLUMNS?\s+[\w`,\s]+?)\s+(CASCADE|RESTRICT)\s*$",
+        r"\1",
+        stmt,
+    )
     stmt = _absolutize_added_files(spark, stmt)
     stmt = _rewrite_transform_using(stmt)
     stmt = _DROP_BARE.sub(lambda m: m.group(1) + "IF EXISTS ", stmt)
@@ -4119,6 +4137,23 @@ def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
                 f"ALTER TABLE `{table.replace('.', '`.`')}` "
                 f"ALTER COLUMN `{new}` COMMENT '{safe}'"
             )
+        return True
+    m = re.match(
+        r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+COLUMNS?\s+"
+        r"((?:`?\w+`?\s*,?\s*)+)$",
+        stmt, re.I,
+    )
+    if m:
+        # ALTER TABLE ... DROP COLUMN (HIVE-26817): Spark's v1 catalog
+        # refuses it — same local-parquet CoW rewrite as CHANGE COLUMN
+        table = m.group(1)
+        drop = {
+            c.strip().strip("`").lower()
+            for c in m.group(2).split(",") if c.strip()
+        }
+        df = spark.table(table)
+        keep = [c for c in df.columns if c.lower() not in drop]
+        _rewrite_table_inplace(spark, table, df.select(*keep))
         return True
     m = _ALTER_REPLACE_COLS.match(stmt)
     if m:
