@@ -1640,6 +1640,30 @@ def _exec_load_data(spark: SparkSession, m: re.Match) -> None:
             if os.path.exists(cand):
                 path = cand
                 break
+    if not os.path.exists(path) and re.search(r"[*?\[]", path):
+        # glob inpath (Hive resolves via FileSystem.globStatus —
+        # authorization_load.q's kv[123].tx*): stage matches into a dir
+        import glob as _glob
+        import shutil as _shutil
+
+        matches = sorted(_glob.glob(path)) or [
+            f
+            for base in LOAD_DATA_BASES
+            for f in sorted(
+                _glob.glob(os.path.normpath(os.path.join(base, path)))
+            )
+        ]
+        if matches:
+            from hive_spark.scratch import scratch_dir
+
+            stage = os.path.join(
+                scratch_dir("load_glob"), f"stage_{os.getpid()}"
+            )
+            _shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(stage)
+            for f in matches:
+                _shutil.copy(f, stage)
+            path = stage
     if not os.path.exists(path):
         raise FileNotFoundError(f"LOAD DATA inpath not found: {path}")
     sep = _TABLE_DELIMS.get(table.lower(), "\x01")
