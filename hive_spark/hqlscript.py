@@ -2205,6 +2205,7 @@ def _rewrite_gap_fns(stmt: str) -> str:
         stmt = _rewrite_calls(
             stmt, "index",
             lambda a: f"({a[0]})[{a[1]}]" if len(a) == 2 else None,
+            guard_tables=True,
         )
     # , LATERAL TABLE(VALUES(r1),(r2)) AS tf(c1..) — the CORRELATED
     # form (rows may reference the left relation) -> LATERAL VIEW
@@ -2396,6 +2397,21 @@ def _rewrite_quantified_cmp(stmt: str) -> str:
         x = stmt[xs : m.start()].strip()
         if not x:
             return stmt  # malformed; leave for Spark's own error
+        # compound left expressions (`a + b > ALL (q)`): the operand
+        # scanner captures only the trailing term, so the rewrite would
+        # rebind as `a + (CASE ...)` — refuse and let Spark's own
+        # quantified-subquery error surface loudly
+        j = xs
+        while j > 0 and stmt[j - 1].isspace():
+            j -= 1
+        prev = stmt[j - 1] if j else ""
+        if prev in "+-*/%^|&":
+            k = j - 1
+            while k > 0 and stmt[k - 1].isspace():
+                k -= 1
+            before = stmt[k - 1] if k else ""
+            if prev not in "+-" or before.isalnum() or before in ")`'\"_":
+                return stmt  # binary operator: compound left operand
         sq_c = f"(SELECT count(*) FROM ({q}) _qsub)"
         sq_cn = f"(SELECT count(*) - count(_qv) FROM ({q}) _qsub(_qv))"
         sq_mn = f"(SELECT min(_qv) FROM ({q}) _qsub(_qv))"
@@ -2458,9 +2474,12 @@ _INTERVAL_SECS = {
 }
 
 
-def _rewrite_calls(stmt: str, name: str, build) -> str:
+def _rewrite_calls(stmt: str, name: str, build, guard_tables=False) -> str:
     """Rewrite every `name(...)` call via build(args) -> replacement
-    text or None to leave that call untouched (scan resumes after it)."""
+    text or None to leave that call untouched (scan resumes after it).
+    guard_tables skips call-shaped text that is really a TABLE name
+    followed by a column list (same guard as _fold_gap_calls — qtests
+    name tables after the function under test)."""
     pos = 0
     while True:
         m = re.search(rf"(?i)\b{name}\s*\(", stmt[pos:])
@@ -2468,6 +2487,20 @@ def _rewrite_calls(stmt: str, name: str, build) -> str:
             return stmt
         s = pos + m.start()
         a = pos + m.end()
+        if guard_tables:
+            prefix = stmt[:s].rstrip()
+            if (
+                re.search(
+                    r"(?i)\b(table|exists|into|describe|desc)$", prefix
+                )
+                or (
+                    re.search(r"(?i)\bview$", prefix)
+                    and not re.search(r"(?i)\blateral\s+view$", prefix)
+                )
+                or prefix.endswith(".")
+            ):
+                pos = a
+                continue
         i, depth = a, 1
         while i < len(stmt) and depth:
             c = stmt[i]
@@ -3909,16 +3942,33 @@ def _retry_string_range_frame(spark, stmt: str, err: Exception):
 
         lo_rep = _rep(m.group(2), "PRECEDING")
         hi_rep = _rep(m.group(5), "FOLLOWING")
-        fixed = pat.sub(
-            f"RANGE BETWEEN {lo_rep} AND {hi_rep}", stmt
-        )
-        if fixed == stmt:
+        rep = f"RANGE BETWEEN {lo_rep} AND {hi_rep}"
+        matches = list(pat.finditer(stmt))
+        if not matches:
             raise err
-        stmt = fixed
-        try:
-            return spark.sql(stmt)
-        except Exception as e2:  # another degenerate frame remains
-            err = e2
+        # the frame TEXT alone can't tell the offending window apart
+        # from a valid numeric-keyed one sharing it — probe each
+        # occurrence singly and return the first rewrite Spark accepts
+        # (rewriting only a legal numeric-keyed frame leaves the error
+        # in place, so it is never the accepted probe)
+        errs = []
+        for mo in matches:
+            cand = stmt[: mo.start()] + rep + stmt[mo.end():]
+            if cand == stmt:
+                errs.append(None)
+                continue
+            try:
+                return spark.sql(cand)
+            except Exception as e2:
+                errs.append(e2)
+        if not any(errs):
+            raise err
+        # >=2 offending frames: keep the first effective single rewrite
+        # and loop on ITS error (reparsed at the top for the next frame)
+        i = next(i for i, e in enumerate(errs) if e is not None)
+        mo = matches[i]
+        stmt = stmt[: mo.start()] + rep + stmt[mo.end():]
+        err = errs[i]
     raise err
 
 
@@ -5647,6 +5697,10 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 # -d flag and dotted hive keys, so handle it here
                 keys = (m.group(2) or "").split()
                 if not keys:
+                    # bare RESET restores EVERY overridden conf (Hive
+                    # SetProcessor), not just the recorded-key dict —
+                    # un-apply each conf this session actually set
+                    keys = list(res.set_commands)
                     res.set_commands.clear()
                 for key in keys:
                     res.set_commands.pop(key, None)

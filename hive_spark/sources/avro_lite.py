@@ -87,8 +87,14 @@ def _decode(schema, buf: io.BytesIO, names: dict):
             if lt in ("timestamp-millis", "timestamp-micros"):
                 import datetime
 
-                div = 1e3 if lt == "timestamp-millis" else 1e6
-                return datetime.datetime.utcfromtimestamp(v / div)
+                # exact integer arithmetic: float division rounds the
+                # microsecond for large/negative epochs (f64 mantissa)
+                delta = (
+                    datetime.timedelta(milliseconds=v)
+                    if lt == "timestamp-millis"
+                    else datetime.timedelta(microseconds=v)
+                )
+                return datetime.datetime(1970, 1, 1) + delta
         return v
     if t == "float":
         return struct.unpack("<f", buf.read(4))[0]

@@ -46,15 +46,20 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
     # entry (this catalog is in-memory); orphans make later CREATEs die
     # LOCATION_ALREADY_EXISTS — sweep them
     live = {t.name.lower() for t in spark.catalog.listTables("default")}
+    live_dbs = {d.name.lower() for d in spark.catalog.listDatabases()}
     if os.path.isdir(wh):
         for d in os.listdir(wh):
             p = os.path.join(wh, d)
-            if (
-                os.path.isdir(p)
-                and not d.startswith("_")
-                and not d.endswith(".db")
-                and d.lower() not in live
-            ):
+            if not os.path.isdir(p) or d.startswith("_"):
+                continue
+            if d.endswith(".db"):
+                # a managed database dir whose database is NOT in the
+                # catalog (ephemeral metastore + persistent warehouse):
+                # any CREATE TABLE inside it dies LOCATION_ALREADY_EXISTS
+                # even with IF NOT EXISTS — sweep the whole orphan
+                if d[: -len(".db")].lower() not in live_dbs:
+                    shutil.rmtree(p, ignore_errors=True)
+            elif d.lower() not in live:
                 shutil.rmtree(p, ignore_errors=True)
 
     src = spark.range(500).select(
