@@ -119,6 +119,7 @@ def merge_into(
     not_matched_insert: dict[str, Column] | None = None,
     check_cardinality: bool = True,
     fmt: str = "parquet",
+    not_matched_cond: Column | None = None,
 ) -> None:
     """MERGE INTO target USING source ON cond — Hive's join+multi-insert
     rewrite (MergeSemanticAnalyzer.java:85-102) as one full-outer join:
@@ -140,6 +141,7 @@ def merge_into(
         matched_delete,
         not_matched_insert,
         check_cardinality,
+        not_matched_cond,
     )
     _rewrite(out, target_path, fmt)
 
@@ -152,9 +154,13 @@ def merge_frame(
     matched_delete: Column | None = None,
     not_matched_insert: dict[str, Column] | None = None,
     check_cardinality: bool = True,
+    not_matched_cond: Column | None = None,
 ) -> DataFrame:
     """The MERGE full-outer-join rewrite over any target frame (shared
-    by path-backed and versioned-table DML; see merge_into)."""
+    by path-backed and versioned-table DML; see merge_into).
+    not_matched_cond carries WHEN NOT MATCHED AND <cond> — Hive folds it
+    into the insert branch's source filter
+    (MergeSemanticAnalyzer.java:85-102)."""
     tcols = target.columns
 
     # Per-row id BEFORE the join: Hive keys the cardinality check on
@@ -196,6 +202,8 @@ def merge_frame(
     if matched_delete is not None:
         keep = ~(matched & matched_delete)
     insert_ok = (~t_marker) & s_marker & F.lit(not_matched_insert is not None)
+    if not_matched_cond is not None:
+        insert_ok = insert_ok & not_matched_cond
     keep = keep & (t_marker | insert_ok)
 
     out_cols = []

@@ -79,13 +79,43 @@ _UPDATE_STMT = re.compile(
 _DELETE_STMT = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$", re.I | re.S
 )
-_MERGE_STMT = re.compile(
-    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
-    r"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
-    r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+(.+?)"
+_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+(?:/\*\+.*?\*/\s*)?INTO\s+((?:`[^`]+`|[\w.])+)"
+    r"(?:\s+(?:AS\s+)?(?!USING\b)(`[^`]+`|\w+))?\s+USING\s+",
+    re.I | re.S,
+)
+_MERGE_TAIL = re.compile(
+    r"\s*(?:(?:AS\s+)?(?!ON\b)(`[^`]+`|\w+)\s+)?ON\s+(.+?)"
     r"\s+(WHEN\s+.+?)\s*$",
     re.I | re.S,
 )
+
+
+def _match_merge(stmt: str):
+    """Parse MERGE INTO tgt [alias] USING src [alias] ON cond WHEN...
+    into (target, talias, src_text, salias, on_text, when_text), or
+    None. Paren-aware for arbitrarily nested USING subqueries and
+    backtick-quoted names (sqlmerge.q's `count` source) — a regex with
+    a fixed nesting depth can't parse either."""
+    m = _MERGE_HEAD.match(stmt)
+    if m is None:
+        return None
+    i = m.end()
+    if i < len(stmt) and stmt[i] == "(":
+        close = _matching_paren(stmt, i)
+        if close < 0:
+            return None
+        src_text, rest = stmt[i : close + 1], stmt[close + 1 :]
+    else:
+        m2 = re.match(r"(?:`[^`]+`|[\w.])+", stmt[i:])
+        if m2 is None:
+            return None
+        src_text, rest = m2.group(0), stmt[i + m2.end():]
+    m3 = _MERGE_TAIL.match(rest)
+    if m3 is None:
+        return None
+    return (m.group(1), m.group(2), src_text, m3.group(1),
+            m3.group(2), m3.group(3))
 _WHEN_MATCHED = re.compile(
     r"WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
     r"(UPDATE\s+SET\s+(.+?)|DELETE)\s*(?=WHEN\s|$)",
@@ -152,6 +182,10 @@ _METADATA_NOOP = re.compile(
     # readable (ql/.../ddl/table/partition/archive) — a layout-only op
     r"|ALTER\s+TABLE\s+[\w.`]+\s+(?:UN)?ARCHIVE\s+PARTITION\b"
     r"|GRANT\b|REVOKE\b"
+    # txn/session admin (ref: ql/.../ddl/process/AbortTransactionsDesc,
+    # KillQueriesDesc): nothing to abort/kill in this single-process
+    # engine — accepted, no result set, like Hive with no live target
+    r"|ABORT\s+TRANSACTIONS\b|KILL\s+QUERY\b"
     r")",
     re.I,
 )
@@ -609,6 +643,12 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
                 spark, res, name, path,
                 lambda t: dml.update_frame(t, cond, assigns),
             )
+        elif _bucket_spec(spark, name):
+            # bucketed catalog target: path-level CoW would drop bucket
+            # file naming — swap through the catalog instead
+            _rewrite_table_inplace(
+                spark, name, dml.update_frame(spark.table(name), cond, assigns)
+            )
         else:
             dml.update_where(
                 spark, path, cond, assigns,
@@ -624,6 +664,10 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
         if versioned:
             _publish_dml(
                 spark, res, name, path, lambda t: dml.delete_frame(t, cond)
+            )
+        elif _bucket_spec(spark, name):
+            _rewrite_table_inplace(
+                spark, name, dml.delete_frame(spark.table(name), cond)
             )
         else:
             dml.delete_where(
@@ -651,24 +695,38 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
         path = VERSIONED_TABLES[name.lower()]
         _publish_dml(spark, res, name, path, lambda t: t.limit(0))
         return True
-    m = _MERGE_STMT.match(stmt)
-    if m:
-        name, talias, src_text, salias, on_text, when_text = m.groups()
+    mg = _match_merge(stmt)
+    if mg:
+        name, talias, src_text, salias, on_text, when_text = mg
+        name = name.replace("`", "")
         talias = talias or name.split(".")[-1]
         salias = salias or (
             src_text.split(".")[-1] if not src_text.startswith("(") else "s"
         )
         path, versioned = _resolve_dml_target(spark, name)
         source = (
-            spark.sql(src_text[1:-1].strip())
+            spark.sql(rewrite_statement(spark, src_text[1:-1].strip()))
             if src_text.startswith("(")
             else spark.table(src_text)
         )
 
+        def _alias_pat(alias: str) -> str:
+            # \b can't anchor before a backtick (both sides non-word)
+            if alias.startswith("`"):
+                return re.escape(alias) + r"\."
+            return rf"\b{re.escape(alias)}\."
+
         def rw(e: str) -> str:
             # user aliases -> the t/s aliases merge_frame joins under
-            e = re.sub(rf"\b{re.escape(talias)}\.", "t.", e, flags=re.I)
-            e = re.sub(rf"\b{re.escape(salias)}\.", "s.", e, flags=re.I)
+            # (both the quoted and unquoted spellings of each)
+            for a in {talias, talias.replace("`", "").split(".")[-1],
+                      f"`{talias}`"}:
+                if a and a != "``":
+                    e = re.sub(_alias_pat(a), "t.", e, flags=re.I)
+            for a in {salias, salias.replace("`", "").split(".")[-1],
+                      f"`{salias}`"}:
+                if a and a != "``":
+                    e = re.sub(_alias_pat(a), "s.", e, flags=re.I)
             return e
 
         matched_update = None
@@ -683,8 +741,11 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
                 continue
             matched_update = {}
             for pair in _split_args(set_text):
-                pm = re.match(r"\s*([\w.]+)\s*=\s*(.+?)\s*$", pair, re.S)
-                col, expr = pm.group(1).split(".")[-1], rw(pm.group(2))
+                pm = re.match(
+                    r"\s*((?:`[^`]+`|[\w.])+)\s*=\s*(.+?)\s*$", pair, re.S
+                )
+                col = pm.group(1).replace("`", "").split(".")[-1]
+                expr = rw(pm.group(2))
                 if expr.strip().lower() == "default":
                     expr = _column_defaults(spark, name).get(
                         col.lower(), "NULL"
@@ -692,18 +753,22 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
                 if and_cond:
                     expr = (
                         f"CASE WHEN {rw(and_cond)} THEN ({expr})"
-                        f" ELSE t.{col} END"
+                        f" ELSE t.`{col}` END"
                     )
                 matched_update[col] = F.expr(expr)
+        not_matched_cond = None
         for wm in _WHEN_NOT_MATCHED.finditer(when_text):
             if wm.group(1):
-                raise ValueError(
-                    "WHEN NOT MATCHED AND <cond> is not supported: "
-                    "filter the USING source instead"
-                )
+                # Hive folds WHEN NOT MATCHED AND <cond> into the
+                # insert branch's source filter
+                # (MergeSemanticAnalyzer.java:85-102)
+                not_matched_cond = F.expr(rw(wm.group(1)))
             vals = [rw(v) for v in _split_args(wm.group(3))]
             if wm.group(2):
-                cols = [c.strip().split(".")[-1] for c in wm.group(2).split(",")]
+                cols = [
+                    c.strip().replace("`", "").split(".")[-1]
+                    for c in wm.group(2).split(",")
+                ]
             else:
                 from hive_spark import snapshots
 
@@ -733,6 +798,16 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
                 lambda t: dml.merge_frame(
                     t, source, on, matched_update, matched_delete,
                     not_matched_insert,
+                    not_matched_cond=not_matched_cond,
+                ),
+            )
+        elif _bucket_spec(spark, name):
+            _rewrite_table_inplace(
+                spark, name,
+                dml.merge_frame(
+                    spark.table(name), source, on, matched_update,
+                    matched_delete, not_matched_insert,
+                    not_matched_cond=not_matched_cond,
                 ),
             )
         else:
@@ -740,6 +815,7 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
                 spark, path, source, on, matched_update, matched_delete,
                 not_matched_insert,
                 fmt=TABLE_FORMATS.get(path, "parquet"),
+                not_matched_cond=not_matched_cond,
             )
             _refresh_catalog_entry(spark, name)
         return True
@@ -2872,6 +2948,64 @@ def _rewrite_transform_using(stmt: str) -> str:
     )
 
 
+def _wrap_xor_for_concat(stmt: str) -> str:
+    """Hive binds `^` tighter than `||` (IdentifiersParser.g precedence:
+    bitwiseXor above concatenate); Spark parses `||` tighter, turning
+    `0 ^ 1 || '2'` into `0 ^ concat(1, '2')`. Parenthesize each simple
+    `a ^ b` pair so both parsers agree (single pairs only — the cursor
+    moves past each replacement, which is the shape qtests use)."""
+    term = (r"(?:`[^`]+`|'[^']*'|\"[^\"]*\"|[\w.]+"
+            r"|\((?:[^()]|\([^()]*\))*\))")
+    pat = re.compile(rf"({term})(\s*\^\s*)({term})")
+    pos = 0
+    while True:
+        m = pat.search(stmt, pos)
+        if m is None:
+            return stmt
+        rep = f"({m.group(1)}{m.group(2)}{m.group(3)})"
+        stmt = stmt[: m.start()] + rep + stmt[m.end():]
+        pos = m.start() + len(rep)
+
+
+def _paren_in_boolean_test(stmt: str) -> str:
+    """`x IN (...) IS NOT TRUE` / `x IN (...) = true`: Hive's grammar
+    accepts a boolean test directly after IN; Spark needs the membership
+    test parenthesized. Wrap `<operand> IN (<list>)` when a boolean
+    test follows."""
+    pos = 0
+    while True:
+        m = re.search(r"(?i)\bIN\s*\(", stmt[pos:])
+        if m is None:
+            return stmt
+        open_i = pos + m.end() - 1
+        close_i = _matching_paren(stmt, open_i)
+        if close_i < 0:
+            return stmt
+        follow = stmt[close_i + 1 :]
+        if not re.match(
+            r"(?i)\s*(?:IS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b"
+            r"|=\s*(?:true|false)\b)",
+            follow,
+        ):
+            pos = close_i + 1
+            continue
+        start = pos + m.start()
+        xs = _left_operand_start(stmt, start)
+        # `x NOT IN (...)`: the operand scan lands on NOT — extend to
+        # the real operand before it
+        if stmt[xs:start].strip().upper() == "NOT":
+            xs = _left_operand_start(stmt, xs)
+        if xs >= start or not stmt[xs:start].strip():
+            pos = close_i + 1
+            continue
+        stmt = (
+            stmt[:xs] + "(" + stmt[xs : close_i + 1] + ")"
+            + stmt[close_i + 1 :]
+        )
+        pos = close_i + 3
+    return stmt
+
+
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     """All HiveQL-text rewrites this engine applies before spark.sql."""
     if re.search(r"(?i)\bUNIONTYPE\s*<", stmt):
@@ -2920,6 +3054,54 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         r"INTERVAL \1 \2 TO \3",
         stmt,
     )
+    # ANSI `double precision` (HiveParser primitiveType synonym)
+    stmt = re.sub(r"(?i)\bdouble\s+precision\b", "double", stmt)
+    # charset string literals: _UTF-8 0x<hex> (HiveLexer CharSetLiteral)
+    stmt = re.sub(
+        r"(?i)\b_(UTF-?8|UTF-?16\w*|ASCII|ISO-8859-1)\s+0x([0-9A-Fa-f]+)",
+        lambda m: "decode(unhex('{}'), '{}')".format(
+            m.group(2),
+            re.sub(r"(?i)^UTF(\d)", r"UTF-\1", m.group(1).upper()),
+        ),
+        stmt,
+    )
+    if "||" in stmt and "^" in stmt:
+        stmt = _wrap_xor_for_concat(stmt)
+    if re.search(r"(?i)\bIN\s*\(", stmt) and re.search(
+        r"(?i)(?:\bIS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b|=\s*(?:true|false)\b)",
+        stmt,
+    ):
+        stmt = _paren_in_boolean_test(stmt)
+    # TRUNCATE ... FORCE (encrypted-zone variant): no trash here
+    stmt = re.sub(
+        r"(?i)^(\s*(?:EXPLAIN\s+)?TRUNCATE\s+TABLE\s+[\w.`]+"
+        r"(?:\s+PARTITION\s*\([^)]*\))?)\s+FORCE\s*$",
+        r"\1", stmt,
+    )
+    # ALTER TABLE ... SET OWNER USER|ROLE|GROUP x (ref: ql/.../ddl/table/
+    # misc/owner/AlterTableSetOwnerDesc) — catalog ownership metadata
+    stmt = re.sub(
+        r"(?i)^(\s*(?:EXPLAIN\s+)?ALTER\s+TABLE\s+[\w.`]+\s+)"
+        r"SET\s+OWNER\s+(USER|ROLE|GROUP)\s+`?(\w+)`?\s*$",
+        lambda m: (f"{m.group(1)}SET TBLPROPERTIES ('hive.owner.type'="
+                   f"'{m.group(2).lower()}', 'hive.owner'='{m.group(3)}')"),
+        stmt,
+    )
+    # TRUNCATE ... PARTITION with VALUELESS keys (Hive wildcard spec,
+    # ref: ql/.../ddl/table/misc/truncate): drop the wildcard keys —
+    # Spark's partial spec then truncates every matching partition
+    tm = re.match(
+        r"(?i)^(\s*(?:EXPLAIN\s+)?TRUNCATE\s+TABLE\s+[\w.`]+)\s+"
+        r"PARTITION\s*\(([^)]*)\)\s*$",
+        stmt,
+    )
+    if tm and any("=" not in kv for kv in _split_args(tm.group(2))):
+        kept = [
+            kv.strip() for kv in _split_args(tm.group(2)) if "=" in kv
+        ]
+        stmt = tm.group(1) + (
+            f" PARTITION ({', '.join(kept)})" if kept else ""
+        )
     # TRUNCATE <table> — HiveParser allows omitting the TABLE keyword
     stmt = re.sub(
         r"(?i)^(\s*(?:EXPLAIN\s+)?TRUNCATE\s+)(?!TABLE\b)(`?[\w.]+`?)",
@@ -2992,6 +3174,16 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     # here; confine bare root LOCATIONs to qtest scratch like the
     # harness's proxy filesystem does
     if re.match(r"(?i)\s*(?:EXPLAIN\s+)?(CREATE|ALTER)\s+(DATABASE|SCHEMA)\b", stmt):
+        # ALTER DATABASE ... SET OWNER USER|ROLE|GROUP x (ref: ql/.../ddl/
+        # database/alter/owner/AlterDatabaseSetOwnerDesc) — ownership is
+        # catalog metadata; keep it as a db property
+        stmt = re.sub(
+            r"(?i)\s+SET\s+OWNER\s+(USER|ROLE|GROUP)\s+`?(\w+)`?",
+            lambda m: (" SET DBPROPERTIES ('hive.owner.type'="
+                       f"'{m.group(1).lower()}', "
+                       f"'hive.owner'='{m.group(2)}')"),
+            stmt,
+        )
         # ALTER ... SET MANAGEDLOCATION: keep the metadata as a db
         # property (stripping it bare would leave a dangling SET)
         stmt = re.sub(
@@ -3068,6 +3260,11 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     # EXPLAIN REWRITE <q>: Hive prints the MV/subquery-rewritten query
     # text; the EXTENDED logical plans show the same rewrites applied
     stmt = re.sub(r"(?i)^(\s*EXPLAIN\s+)REWRITE\b", r"\1EXTENDED", stmt)
+    # FORMATTED's secondary tokens (Hive ExplainConfiguration): DEBUG
+    # adds internal ids, AST appends the parse tree — no Spark analog
+    stmt = re.sub(
+        r"(?i)^(\s*EXPLAIN\s+FORMATTED\s+)(?:DEBUG|AST)\s+", r"\1", stmt
+    )
     stmt = _EXPLAIN_MODE.sub(
         lambda m: m.group(1)
         + {
@@ -3082,6 +3279,13 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
             "DEPENDENCY": "EXTENDED",
         }[m.group(2).split()[0].upper()],
         stmt,
+    )
+    # the mode sub can leave a trailing DEBUG behind a mapped mode
+    # (EXPLAIN VECTORIZATION DETAIL DEBUG -> FORMATTED DEBUG)
+    stmt = re.sub(
+        r"(?i)^(\s*EXPLAIN\s+(?:FORMATTED|EXTENDED|COST)\s+)"
+        r"(?:DEBUG|AST)\s+",
+        r"\1", stmt,
     )
     # EXPLAIN CREATE MATERIALIZED VIEW ... AS <q>: the plan Hive prints
     # is the defining query's plan plus the sink — explain the query
@@ -4013,6 +4217,48 @@ _ALTER_REPLACE_COLS = re.compile(
     r"\((.*)\)\s*$",
     re.I | re.S,
 )
+# per-partition schema change (ref: ql/.../ddl/table/
+# AlterTableChangeColumnDesc with a partition spec): Hive stores a
+# partition-level SerDe schema and converts at read time; the native
+# store keeps ONE table schema, so the nearest faithful emulation is a
+# CoW rewrite of just that partition's rows — reinterpret the column
+# through the new type, then back to the table-level type (exactly the
+# value the Hive read path would surface).
+_ALTER_PART_CHANGE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+PARTITION\s*\(([^)]*)\)\s+"
+    r"CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+"
+    r"([\w]+(?:\s*\([\d,\s]*\)|\s*<.*?>)?)"
+    r"(?:\s+COMMENT\s+'([^']*)')?"
+    r"(?:\s+(FIRST|AFTER\s+`?\w+`?))?\s*$",
+    re.I | re.S,
+)
+_ALTER_PART_REPLACE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+PARTITION\s*\(([^)]*)\)\s+"
+    r"REPLACE\s+COLUMNS\s*\((.*)\)\s*$",
+    re.I | re.S,
+)
+
+
+def _part_spec_cond(spec: str):
+    """Partition spec text -> row predicate (NULL partitions spelled
+    __HIVE_DEFAULT_PARTITION__, like Hive's name encoding)."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for kv in _split_args(spec):
+        if "=" not in kv:
+            continue  # valueless key: Hive wildcard (matches all)
+        km = re.match(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*$", kv, re.S)
+        if km is None:
+            raise ValueError(f"bad partition spec item: {kv!r}")
+        pcol, val = km.group(1), km.group(2).strip().strip("'\"")
+        c = (
+            F.col(pcol).isNull()
+            if val == "__HIVE_DEFAULT_PARTITION__"
+            else F.col(pcol).cast("string") == F.lit(val)
+        )
+        cond = c if cond is None else cond & c
+    return cond if cond is not None else F.lit(True)
 
 
 def _positional_cast_expr(src: str, src_dt, dst_dt) -> str:
@@ -4073,10 +4319,46 @@ def _cast_to_declared(df, col: str, typ: str):
     return F.expr(_positional_cast_expr(f"`{f0.name}`", f0.dataType, dst))
 
 
+def _bucket_spec(spark: SparkSession, table: str):
+    """(numBuckets, bucketCols, sortCols) from DESCRIBE FORMATTED, or
+    None for an unbucketed table."""
+    try:
+        rows = spark.sql(
+            f"DESCRIBE FORMATTED `{table.replace('.', '`.`')}`"
+        ).collect()
+    except Exception:
+        return None
+    meta = {
+        (r.col_name or "").strip(): (r.data_type or "").strip()
+        for r in rows
+    }
+    try:
+        n = int(meta.get("Num Buckets", ""))
+    except ValueError:
+        return None
+    if n <= 0:
+        return None
+
+    def _bracket_list(s: str) -> list[str]:
+        return [
+            c.strip().strip("`'\"")
+            for c in s.strip().strip("[]").split(",")
+            if c.strip()
+        ]
+
+    return (
+        n,
+        _bracket_list(meta.get("Bucket Columns", "")),
+        _bracket_list(meta.get("Sort Columns", "")),
+    )
+
+
 def _rewrite_table_inplace(spark: SparkSession, table: str, out) -> None:
     """Two-phase CoW swap: stage `out` to parquet, drop + recreate the
     table from the stage (MoveTask-style, same staging idea as
-    _retry_insert_overwrite_selfread), preserving partition columns."""
+    _retry_insert_overwrite_selfread), preserving partition columns and
+    bucketing (plain files under a bucketed catalog entry make later
+    reads die INVALID_BUCKET_FILE)."""
     import shutil
     import tempfile
     import uuid
@@ -4084,6 +4366,19 @@ def _rewrite_table_inplace(spark: SparkSession, table: str, out) -> None:
     part_cols = [
         c.name for c in spark.catalog.listColumns(table) if c.isPartition
     ]
+    bucket = _bucket_spec(spark, table)
+    tq = table.replace(".", "`.`")
+    # Hive keeps a partition in the metastore even when DML empties it
+    # (only rows are deleted) — remember the registered partitions so
+    # the recreate can re-add the ones whose rows vanished
+    old_parts: list[str] = []
+    if part_cols:
+        try:
+            old_parts = [
+                r[0] for r in spark.sql(f"SHOW PARTITIONS `{tq}`").collect()
+            ]
+        except Exception:
+            old_parts = []
     stage = os.path.join(
         tempfile.gettempdir(), f"hive_spark_stage_{uuid.uuid4().hex}"
     )
@@ -4095,7 +4390,36 @@ def _rewrite_table_inplace(spark: SparkSession, table: str, out) -> None:
         kept_parts = [c for c in part_cols if c in staged.columns]
         if kept_parts:
             w = w.partitionBy(*kept_parts)
+        if bucket:
+            n, bcols, scols = bucket
+            bcols = [c for c in bcols if c in staged.columns]
+            if bcols:
+                w = w.bucketBy(n, *bcols)
+                scols = [c for c in scols if c in staged.columns]
+                if scols:
+                    w = w.sortBy(*scols)
         w.saveAsTable(table)
+        if kept_parts:
+            from urllib.parse import unquote as _unq
+
+            for p in old_parts:
+                kvs = [kv.split("=", 1) for kv in p.split("/")]
+                if any(v == "__HIVE_DEFAULT_PARTITION__" for _, v in kvs):
+                    continue  # the null partition only exists with rows
+                spec = ", ".join(
+                    "`{}`='{}'".format(
+                        k,
+                        _unq(v).replace("\\", "\\\\").replace("'", "\\'"),
+                    )
+                    for k, v in kvs
+                )
+                try:
+                    spark.sql(
+                        f"ALTER TABLE `{tq}` ADD IF NOT EXISTS "
+                        f"PARTITION ({spec})"
+                    )
+                except Exception:
+                    pass  # non-restorable spec (dropped partition col)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -4171,6 +4495,77 @@ def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
             else F.lit(None).cast(typ).alias(name)
             for i, (name, typ) in enumerate(specs)
         ] + [F.col(c) for c in parts]
+        _rewrite_table_inplace(spark, table, df.select(*sel))
+        return True
+    m = _ALTER_PART_CHANGE.match(stmt)
+    if m:
+        table, spec, old, new, typ = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+            m.group(5).strip(),
+        )
+        # a per-partition RENAME only relabels the partition-level
+        # schema; reads stay positional (ObjectInspectorConverters), so
+        # the table-level column name is kept and only the value
+        # reinterpretation applies
+        df = spark.table(table)
+        dtypes = {c.lower(): t for c, t in df.dtypes}
+        if old.lower() not in dtypes:
+            raise ValueError(f"CHANGE COLUMN: no column {old!r} in {table}")
+        cond = _part_spec_cond(spec)
+        casted = F.col(old).cast(typ).cast(dtypes[old.lower()])
+        out = df.withColumn(
+            old, F.when(cond, casted).otherwise(F.col(old))
+        )
+        # withColumn re-creates by the lowercase key; keep exact order
+        out = out.select(*df.columns)
+        _rewrite_table_inplace(spark, table, out)
+        return True
+    # per-partition ADD COLUMNS: the partition schema re-gains columns
+    # the table schema already has — metadata-only here (the native
+    # store reads every column from the table-level schema)
+    if re.match(
+        r"(?i)^\s*ALTER\s+TABLE\s+[\w.`]+\s+PARTITION\s*\([^)]*\)\s+"
+        r"ADD\s+COLUMNS\s*\(",
+        stmt,
+    ):
+        return True
+    m = _ALTER_PART_REPLACE.match(stmt)
+    if m:
+        # per-partition REPLACE COLUMNS: the partition's schema keeps
+        # only the listed columns (positional types); reads surface NULL
+        # for table columns the partition schema no longer has
+        table, spec = m.group(1), m.group(2)
+        df = spark.table(table)
+        specs = []
+        for item in _split_generic_args(m.group(3)):
+            toks = item.strip().split(None, 1)
+            if len(toks) == 2:
+                t = re.sub(
+                    r"(?is)\s+COMMENT\s+'[^']*'\s*$", "", toks[1]
+                ).strip()
+                specs.append((toks[0].strip("`"), t))
+        try:
+            part_cols = {
+                c.name.lower()
+                for c in spark.catalog.listColumns(table)
+                if c.isPartition
+            }
+        except Exception:
+            part_cols = set()
+        cond = _part_spec_cond(spec)
+        data_cols = [c for c in df.columns if c.lower() not in part_cols]
+        dtypes = dict(df.dtypes)
+        sel = []
+        for c in df.columns:
+            if c.lower() in part_cols:
+                sel.append(F.col(c))
+                continue
+            i = data_cols.index(c)
+            if i < len(specs):
+                conv = F.col(c).cast(specs[i][1]).cast(dtypes[c])
+            else:
+                conv = F.lit(None).cast(dtypes[c])
+            sel.append(F.when(cond, conv).otherwise(F.col(c)).alias(c))
         _rewrite_table_inplace(spark, table, df.select(*sel))
         return True
     m = _ALTER_CHANGE.match(stmt)
@@ -4306,7 +4701,8 @@ _MV_DEFS: dict[int, dict[str, str]] = {}  # id(spark) -> name -> sql
 # EXPLAIN LOCKS / DDL / AUTHORIZATION (ref: ql/.../parse/
 # ExplainConfiguration.java; output shapes from ExplainTask.java).
 _EXPLAIN_SPECIAL = re.compile(
-    r"^\s*EXPLAIN\s+(LOCKS|DDL|AUTHORIZATION)\s+(.*)$", re.I | re.S
+    r"^\s*EXPLAIN\s+(?:FORMATTED\s+)?(LOCKS|DDL|AUTHORIZATION)\s+(.*)$",
+    re.I | re.S,
 )
 
 _PART_FILTER_ITEM = re.compile(
@@ -4954,10 +5350,30 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 continue
             m = _EXPLAIN_ANALYZE.match(stmt)
             if m:
+                inner_stmt = m.group(1)
+                # engine-executed DML (UPDATE/DELETE/MERGE CoW) has no
+                # Spark plan to instrument — same one-row descriptor the
+                # plain-EXPLAIN dialect route emits (Hive ExplainTask
+                # renders a task tree either way)
+                if (
+                    (_UPDATE_STMT.match(inner_stmt)
+                     and not re.match(r"(?i)^\s*UPDATE\s+STATISTICS\b",
+                                      inner_stmt))
+                    or _DELETE_STMT.match(inner_stmt)
+                    or _match_merge(inner_stmt) is not None
+                ):
+                    res.results.append(
+                        spark.createDataFrame(
+                            [(f"engine metadata operation: "
+                              f"{inner_stmt.split()[0].upper()} ...",)],
+                            "plan string",
+                        )
+                    )
+                    continue
                 from hive_spark.plans import explain_analyze
 
                 text_plan = explain_analyze(
-                    spark.sql(rewrite_statement(spark, m.group(1)))
+                    spark.sql(rewrite_statement(spark, inner_stmt))
                 )
                 res.results.append(
                     spark.createDataFrame([(text_plan,)], "plan string")
@@ -5518,7 +5934,8 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     stripped = re.sub(
                         r"(?i)^\s*(?:CBO|COST|JOINCOST|FORMATTED|EXTENDED"
                         r"|CODEGEN|LOGICAL|AST|DETAIL|REOPTIMIZATION"
-                        r"|VECTORIZATION|ONLY|SUMMARY|OPERATOR|EXPRESSION)"
+                        r"|VECTORIZATION|ONLY|SUMMARY|OPERATOR|EXPRESSION"
+                        r"|DEBUG|ANALYZE(?!\s+TABLE\b))"
                         r"\s+",
                         "", inner, count=1,
                     )
@@ -5541,7 +5958,7 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     and not re.match(r"^\s*UPDATE\s+STATISTICS\b",
                                      inner, re.I))
                 or _DELETE_STMT.match(inner)
-                or _MERGE_STMT.match(inner)
+                or _match_merge(inner) is not None
                 or re.match(
                     r"(?i)^\s*SHOW\s+CREATE\s+(?:DATABASE|SCHEMA)\b", inner
                 )

@@ -20,7 +20,8 @@ QDIR = "/root/reference/ql/src/test/queries/clientpositive"
 FIXTURE_TABLES = (
     "src", "srcpart", "src1", "src_cbo", "cbo_t1", "cbo_t2", "cbo_t3",
     "part", "lineitem", "srcbucket", "srcbucket2", "alltypesorc",
-    "alltypesparquet", "src_thrift",
+    "alltypesparquet", "src_thrift", "src_json", "testdataset",
+    "src_sequencefile",
 )
 
 
@@ -182,7 +183,12 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
         _glob.glob(
             "/root/reference/data/files/datasets/tpch_0_001.*/load.hive.sql"
         )
-    ):
+    ) + [
+        # flat datasets qtests request via --! qt:dataset:<name> that the
+        # synthesized fixtures above don't cover — run their own loaders
+        f"/root/reference/data/files/datasets/{n}/load.hive.sql"
+        for n in ("src_json", "testdataset", "src_sequencefile")
+    ]:
         sql = open(d).read().replace(
             "${hiveconf:test.data.dir}", "/root/reference/data/files"
         )
