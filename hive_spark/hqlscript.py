@@ -392,7 +392,9 @@ def split_statements(text: str) -> list[str]:
         ch = text[i]
         if quote:
             buf.append(ch)
-            if ch == quote and (quote != "'" or not _escaped_at(text, i)):
+            # backslash escapes count inside BOTH quote styles
+            # (LazySimpleSerDe-style literals); backticks have none
+            if ch == quote and (quote == "`" or not _escaped_at(text, i)):
                 quote = None
             i += 1
             continue
@@ -636,8 +638,10 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
             if val.strip().lower() == "default":
                 # SET col = DEFAULT: the declared default, else NULL
                 val = defaults.get(col.lower(), "NULL")
-            assigns[col] = F.expr(val)
-        cond = F.expr(where) if where else F.lit(True)
+            assigns[col] = F.expr(_rewrite_virtual_columns(val))
+        cond = (
+            F.expr(_rewrite_virtual_columns(where)) if where else F.lit(True)
+        )
         if versioned:
             _publish_dml(
                 spark, res, name, path,
@@ -660,7 +664,9 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
     if m:
         name, where = m.group(1), m.group(2)
         path, versioned = _resolve_dml_target(spark, name)
-        cond = F.expr(where) if where else F.lit(True)
+        cond = (
+            F.expr(_rewrite_virtual_columns(where)) if where else F.lit(True)
+        )
         if versioned:
             _publish_dml(
                 spark, res, name, path, lambda t: dml.delete_frame(t, cond)
@@ -719,6 +725,7 @@ def _exec_dml(spark: SparkSession, res, stmt: str) -> bool:
         def rw(e: str) -> str:
             # user aliases -> the t/s aliases merge_frame joins under
             # (both the quoted and unquoted spellings of each)
+            e = _rewrite_virtual_columns(e)
             for a in {talias, talias.replace("`", "").split(".")[-1],
                       f"`{talias}`"}:
                 if a and a != "``":
@@ -1122,6 +1129,10 @@ def _rewrite_stored_as(stmt: str) -> str:
             "," if "opencsv" in rs.group(0).lower() else "\x01"
         )
         stmt = stmt[: rs.start()] + stmt[rs.end():]
+        # JsonSerDe tables hold one JSON document per line — Spark's
+        # json source IS that serde (LOAD DATA + SELECT both line up)
+        if "jsonserde" in rs.group(0).lower():
+            provider = "json"
         provider = provider or "parquet"
     rf = _ROW_FORMAT.search(stmt)
     if rf:
@@ -1154,7 +1165,9 @@ def _rewrite_stored_as(stmt: str) -> str:
         stmt = stmt[: sa.start()] + stmt[sa.end():]
     was_external = bool(re.search(r"(?i)\bCREATE\s+EXTERNAL\s+TABLE\b", stmt))
     if re.search(r"\bEXTERNAL\b", stmt, re.I) and (
-        not re.search(r"\bLOCATION\b", stmt, re.I)
+        # a LOCATION *clause* takes a quoted path — a mere column named
+        # `location` (nested_json_string.q) must not count
+        not re.search(r"(?i)\bLOCATION\s+'", stmt)
         # Spark's createTableLike grammar has no EXTERNAL token even
         # with a LOCATION (the location alone makes it unmanaged)
         or re.search(r"(?i)^\s*CREATE\s+EXTERNAL\s+TABLE\s+"
@@ -1315,11 +1328,30 @@ def _rewrite_one_window_spec(span: str, before: str = "") -> str:
     # Hive permits rank-family/lead/lag over an UNORDERED window
     # (arbitrary order); Spark requires ORDER BY — a constant keeps the
     # arbitrary-order semantic explicit
-    if (
-        not re.search(r"(?i)\b(ORDER|SORT)\s+BY\b", span)
-        and _NEEDS_ORDER_FNS.search(before)
-    ):
+    has_order = re.search(r"(?i)\b(ORDER|SORT)\s+BY\b", span)
+    if not has_order and _NEEDS_ORDER_FNS.search(before):
         span = span.rstrip() + (" " if span.strip() else "") + "ORDER BY 1"
+    # RANGE frame with NO sort key: every row is a peer, so any RANGE
+    # frame covers the whole partition (Hive ValueBoundaryScanner);
+    # Spark rejects RANGE without ORDER BY outright
+    if not has_order and re.search(r"(?i)\bRANGE\b", span):
+        span = re.sub(
+            r"(?is)\bRANGE\s+(?:BETWEEN\s+.+?\s+AND\s+"
+            r"(?:UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW|\S+\s+\w+)"
+            r"|UNBOUNDED\s+PRECEDING|CURRENT\s+ROW|\d+\s+PRECEDING)"
+            r"\s*$",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+            span,
+        )
+    # rank-family/lead/lag with an explicit whole-partition RANGE frame:
+    # vacuous for row-frame-required functions (Hive accepts, Spark
+    # demands the RowFrame) — drop the frame text
+    if _NEEDS_ORDER_FNS.search(before):
+        span = re.sub(
+            r"(?is)\s*RANGE\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+            r"UNBOUNDED\s+FOLLOWING\s*$",
+            "", span,
+        )
     m = re.search(r"\bCLUSTER\s+BY\b(.*?)(?=\bROWS\b|\bRANGE\b|$)",
                   span, re.I | re.S)
     if m:
@@ -1604,7 +1636,8 @@ _ROW_FORMAT = re.compile(
     re.I,
 )
 _CREATE_NAME = re.compile(
-    r"^\s*CREATE\s+(?:EXTERNAL\s+)?(?:TEMPORARY\s+)?TABLE\s+"
+    r"^\s*CREATE\s+(?:(?:EXTERNAL|TEMPORARY|TRANSACTIONAL|MANAGED)\s+)*"
+    r"TABLE\s+"
     r"(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?",
     re.I,
 )
@@ -2948,6 +2981,279 @@ def _rewrite_transform_using(stmt: str) -> str:
     )
 
 
+def _rewrite_virtual_columns(stmt: str) -> str:
+    """Hive virtual columns -> Spark analogs. Shared by whole-statement
+    rewriting AND the DML expression fragments (UPDATE SET / WHERE
+    clauses reference ROW__ID / INPUT__FILE__NAME too).
+
+    INPUT__FILE__NAME -> input_file_name(); BLOCK__OFFSET__INSIDE__FILE
+    (row byte offset — ref: ql/.../metadata/VirtualColumn.java) ->
+    monotonically_increasing_id (partition-ordered like file offsets);
+    ROW__ID -> the ACID struct<writeid,bucketid,rowid> shape from
+    AcidInputFormat (write id 1 / bucket 536870912 = the canonical
+    single-statement bucket-0 encoding in OrcRecordUpdater.java:73-92).
+    A table qualifier (t1.ROW__ID) is dropped — scan-scoped in Hive too.
+    """
+    if not re.search(
+        r"(?i)\b(?:INPUT__FILE__NAME|BLOCK__OFFSET__INSIDE__FILE"
+        r"|ROW__OFFSET__INSIDE__BLOCK|ROW__IS__DELETED|ROW__ID)\b",
+        stmt,
+    ):
+        return stmt
+    stmt = re.sub(
+        r"(?i)(?:`?\w+`?\.)?`?\bINPUT__FILE__NAME\b`?",
+        "input_file_name()", stmt,
+    )
+    # aggregates over the file-name virtual column: Spark rejects
+    # nondeterministic inputs to aggregates; COUNT of a never-null
+    # virtual column is COUNT(*)
+    stmt = re.sub(
+        r"(?i)\bcount\s*\(\s*input_file_name\(\)\s*\)", "count(*)", stmt
+    )
+    # other aggregates over file names: _metadata.file_path is the
+    # deterministic analog of input_file_name()
+    stmt = re.sub(
+        r"(?i)\b(count|min|max|collect_set)\s*\(\s*(DISTINCT\s*)?"
+        r"\(?\s*input_file_name\(\)\s*\)?\s*\)",
+        lambda m: (
+            f"{m.group(1)}({'DISTINCT ' if m.group(2) else ''}"
+            "_metadata.file_path)"
+        ),
+        stmt,
+    )
+    if re.search(r"(?i)\bBLOCK__OFFSET__INSIDE__FILE\b", stmt):
+        stmt = re.sub(
+            r"(?i)(?:`?\w+`?\.)?`?\bBLOCK__OFFSET__INSIDE__FILE\b`?",
+            "monotonically_increasing_id()",
+            stmt,
+        )
+    if re.search(r"(?i)\bROW__OFFSET__INSIDE__BLOCK\b", stmt):
+        stmt = re.sub(  # Hive returns 0 unless row-offsets are enabled
+            r"(?i)(?:`?\w+`?\.)?`?\bROW__OFFSET__INSIDE__BLOCK\b`?",
+            "CAST(0 AS BIGINT)",
+            stmt,
+        )
+    if re.search(r"(?i)\bROW__IS__DELETED\b", stmt):
+        # visible rows are by definition not deleted (the ACID reader
+        # surfaces true only under 'fetch deleted rows' mode)
+        stmt = re.sub(
+            r"(?i)(?:`?\w+`?\.)?`?\bROW__IS__DELETED\b`?",
+            "CAST(false AS BOOLEAN)",
+            stmt,
+        )
+    if re.search(r"(?i)\bROW__ID\b", stmt):
+        stmt = re.sub(
+            r"(?i)(?:`?\w+`?\.)?`?\bROW__ID\b`?",
+            "named_struct('writeid', CAST(1 AS BIGINT), 'bucketid', 536870912,"
+            " 'rowid', monotonically_increasing_id())",
+            stmt,
+        )
+    return stmt
+
+
+def _rewrite_distinct_windows(stmt: str) -> str:
+    """COUNT/SUM/AVG(DISTINCT x) OVER (spec): Hive supports DISTINCT in
+    windowing (WindowingSpec), Spark refuses. Rewrite over the window's
+    distinct set: COUNT -> size(collect_set(x) OVER spec); SUM/AVG fold
+    the set with a DOUBLE accumulator (Hive's sum(distinct) coercion for
+    non-decimal inputs). collect_set accepts any frame, so the spec
+    passes through verbatim."""
+    pos = 0
+    while True:
+        m = re.search(r"(?i)\b(count|sum|avg)\s*\(\s*distinct\b", stmt[pos:])
+        if m is None:
+            return stmt
+        fn = m.group(1).lower()
+        s = pos + m.start()
+        open_i = stmt.index("(", s)
+        close_i = _matching_paren(stmt, open_i)
+        if close_i < 0:
+            return stmt
+        om = re.match(r"(?is)\s*OVER\s*\(", stmt[close_i + 1 :])
+        if om is None:
+            pos = close_i + 1
+            continue
+        ospan_open = close_i + 1 + om.end() - 1
+        ospan_close = _matching_paren(stmt, ospan_open)
+        if ospan_close < 0:
+            return stmt
+        arg = re.sub(
+            r"(?is)^\s*distinct\b", "", stmt[open_i + 1 : close_i]
+        ).strip()
+        over = stmt[close_i + 1 : ospan_close + 1]
+        cset = f"collect_set({arg}) {over.strip()}"
+        if fn == "count":
+            rep = f"size({cset})"
+        elif fn == "sum":
+            rep = (
+                f"aggregate({cset}, CAST(0 AS DOUBLE),"
+                " (_a, _v) -> _a + CAST(_v AS DOUBLE))"
+            )
+        else:  # avg
+            rep = (
+                f"(aggregate({cset}, CAST(0 AS DOUBLE),"
+                " (_a, _v) -> _a + CAST(_v AS DOUBLE))"
+                f" / size({cset}))"
+            )
+        stmt = stmt[:s] + rep + stmt[ospan_close + 1 :]
+        pos = s + len(rep)
+
+
+def _orderby_window_to_ordinal(stmt: str) -> str:
+    """Hive lets ORDER BY repeat a windowed select expression; Spark
+    rejects window functions in ORDER BY (UNSUPPORTED_EXPR_FOR_OPERATOR).
+    Replace each ORDER BY item that textually matches a select item
+    with that item's 1-based ordinal."""
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s).strip().lower()
+
+    sm = re.match(r"(?is)^(\s*(?:explain\s+(?:\w+\s+)?)?select\s+)", stmt)
+    if sm is None:
+        return stmt
+    # depth-0 scan: select items end at FROM; find the LAST depth-0
+    # ORDER BY (the statement-level sort)
+    i, depth, n = sm.end(), 0, len(stmt)
+    items, buf_start = [], sm.end()
+    from_at = order_at = None
+    while i < n:
+        c = stmt[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n and stmt[i] != q:
+                i += 2 if (stmt[i] == "\\" and q != "`") else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            word_start = i == 0 or not (stmt[i - 1].isalnum()
+                                        or stmt[i - 1] in "_`")
+            if c == "," and from_at is None:
+                items.append(stmt[buf_start:i])
+                buf_start = i + 1
+            elif (word_start and from_at is None
+                    and re.match(r"(?i)FROM\b", stmt[i:])):
+                items.append(stmt[buf_start:i])
+                from_at = i
+            elif word_start and re.match(r"(?i)ORDER\s+BY\b", stmt[i:]):
+                order_at = i
+        i += 1
+    if from_at is None or order_at is None:
+        return stmt
+    sel = {norm(re.sub(r"(?is)\s+as\s+\w+\s*$", "", it)): k + 1
+           for k, it in enumerate(items)}
+    ob = re.match(r"(?is)(ORDER\s+BY\s+)(.*?)(\s+LIMIT\b.*|\s*)$",
+                  stmt[order_at:])
+    if ob is None:
+        return stmt
+    changed = False
+    out_items = []
+    for it in _split_args(ob.group(2)):
+        dm = re.match(r"(?is)^(.*?)(\s+(?:ASC|DESC))?(\s+NULLS\s+\w+)?\s*$",
+                      it)
+        body, direction, nulls = dm.group(1), dm.group(2) or "", dm.group(3) or ""
+        if re.search(r"(?i)\bover\b", body) and norm(body) in sel:
+            out_items.append(f"{sel[norm(body)]}{direction}{nulls}")
+            changed = True
+        else:
+            out_items.append(it.strip())
+    if not changed:
+        return stmt
+    return (stmt[:order_at] + ob.group(1) + ", ".join(out_items)
+            + ob.group(3))
+
+
+def _rewrite_uniquejoin(stmt: str) -> str:
+    """FROM UNIQUEJOIN [PRESERVE] t a (keys...), ... SELECT ... (ref:
+    ql/.../parse/HiveParser.g uniqueJoinToken; runtime semantics
+    CommonJoinOperator): one output row group per key tuple, cartesian
+    within duplicate keys; a group is emitted iff ANY PRESERVE table has
+    the key, or ALL tables have it (golden-verified on uniquejoin.q).
+    Rewritten to a FULL OUTER JOIN chain on the key expressions with
+    presence markers."""
+    m = re.search(r"(?is)\bFROM\s+UNIQUEJOIN\s+", stmt)
+    if m is None:
+        return stmt
+    prefix = stmt[: m.start()]  # FROM-first: EXPLAIN?; else SELECT ...
+    # scan [PRESERVE] tbl alias (keys) items; subsequent items REQUIRE a
+    # comma, so a trailing SELECT/WHERE clause never parses as an item
+    items, pos = [], m.end()
+    first = True
+    while True:
+        im = re.match(
+            r"(?is)" + ("" if first else r"\s*,") +
+            r"\s*(PRESERVE\s+)?([\w.`]+)\s+(\w+)\s*\(",
+            stmt[pos:],
+        )
+        if im is None:
+            break
+        open_i = pos + im.end() - 1
+        close_i = _matching_paren(stmt, open_i)
+        if close_i < 0:
+            return stmt
+        items.append((
+            bool(im.group(1)), im.group(2), im.group(3),
+            [k.strip()
+             for k in _split_args(stmt[open_i + 1 : close_i])],
+        ))
+        pos = close_i + 1
+        first = False
+    rest = stmt[pos:].strip()
+    if len(items) < 2 or len({len(it[3]) for it in items}) != 1:
+        return stmt
+    if re.match(r"(?is)^SELECT\b", rest):
+        select_text = rest  # Hive FROM-first form
+    elif re.match(r"(?is)^\s*(?:EXPLAIN\s+(?:\w+\s+)?)?SELECT\b", prefix):
+        # SELECT-first form: the select list is the prefix; any trailing
+        # clauses (WHERE/ORDER BY/...) follow the items
+        select_text = prefix.strip() + (" " if rest else "")
+        prefix = ""
+        em = re.match(r"(?is)^(\s*EXPLAIN\s+(?:\w+\s+)?)(SELECT\b.*)$",
+                      select_text)
+        if em:
+            prefix, select_text = em.group(1), em.group(2)
+        select_text = select_text.rstrip()
+    else:
+        return stmt
+    nk = len(items[0][3])
+    derived = []
+    for preserve, tbl, alias, keys in items:
+        cols = ", ".join(
+            [f"{alias}.*"]
+            + [f"({k}) AS _uj_k{i}" for i, k in enumerate(keys)]
+            + ["TRUE AS _uj_p"]
+        )
+        derived.append(f"(SELECT {cols} FROM {tbl} {alias}) {alias}")
+    sql = [f"FROM {derived[0]}"]
+    aliases = [items[0][2]]
+    for d, (preserve, tbl, alias, keys) in zip(derived[1:], items[1:]):
+        on = " AND ".join(
+            "coalesce({}) = {}._uj_k{}".format(
+                ", ".join(f"{a}._uj_k{i}" for a in aliases), alias, i
+            )
+            for i in range(nk)
+        )
+        sql.append(f"FULL OUTER JOIN {d} ON {on}")
+        aliases.append(alias)
+    pres = [a for (p, _, a, _), _ in zip(items, aliases) if p]
+    conds = [f"{a}._uj_p IS NOT NULL" for a in pres]
+    conds.append(
+        "(" + " AND ".join(f"{a}._uj_p IS NOT NULL" for a in aliases) + ")"
+    )
+    where = " OR ".join(conds)
+    tail = "" if select_text is rest else rest
+    wm = re.match(r"(?is)^WHERE\s+(.*)$", tail)
+    if wm:
+        # merge a user WHERE with the presence filter
+        return (f"{prefix}{select_text}\n" + "\n".join(sql)
+                + f"\nWHERE ({wm.group(1)}) AND ({where})")
+    return (
+        f"{prefix}{select_text}\n" + "\n".join(sql) + f"\nWHERE {where}"
+        + (f"\n{tail}" if tail else "")
+    )
+
+
 def _wrap_xor_for_concat(stmt: str) -> str:
     """Hive binds `^` tighter than `||` (IdentifiersParser.g precedence:
     bitwiseXor above concatenate); Spark parses `||` tighter, turning
@@ -3008,6 +3314,8 @@ def _paren_in_boolean_test(stmt: str) -> str:
 
 def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     """All HiveQL-text rewrites this engine applies before spark.sql."""
+    if re.search(r"(?i)\bUNIQUEJOIN\b", stmt):
+        stmt = _rewrite_uniquejoin(stmt)
     if re.search(r"(?i)\bUNIONTYPE\s*<", stmt):
         stmt = _rewrite_uniontype(stmt)
     if re.search(r"(?i)\b(?:create_union|extract_union)\s*\(", stmt):
@@ -3037,6 +3345,13 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         stmt = _rewrite_distinct_orderby_alias(stmt)
     if re.search(r"(?i)\bQUALIFY\b", stmt):
         stmt = _desugar_qualify(stmt)
+    if re.search(r"(?i)\b(count|sum|avg)\s*\(\s*distinct\b", stmt) and \
+            re.search(r"(?i)\bover\s*\(", stmt):
+        stmt = _rewrite_distinct_windows(stmt)
+    if re.search(r"(?i)\border\s+by\b", stmt) and re.search(
+        r"(?i)\bover\s*\(", stmt
+    ):
+        stmt = _orderby_window_to_ordinal(stmt)
     # Hive FLOOR(<ts> TO <unit>) (HiveParser floorExpression) ->
     # date_trunc
     stmt = re.sub(
@@ -3087,6 +3402,26 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
                    f"'{m.group(2).lower()}', 'hive.owner'='{m.group(3)}')"),
         stmt,
     )
+    # CREATE VIEW with unaliased expression items: name them _c<pos>
+    # EAGERLY (SemanticAnalyzer's autogenerated aliases) — Spark would
+    # otherwise either refuse the view (WITHOUT_ALIAS) or keep its own
+    # names (`count(1)`, a literal's text), and later statements
+    # reference the Hive spellings (view_alias.q: order by `_c2`)
+    cvm = _CREATE_VIEW.match(stmt)
+    if cvm and re.match(r"(?is)^\s*SELECT\b", cvm.group(2)):
+        vbody = cvm.group(2).rstrip().rstrip(";")
+        # an explicit `AS `_c<i>`` on a bare column: Hive's analyzer
+        # treats the _c spelling as an internal name and re-derives the
+        # column's own name (view_alias.q golden: key AS `_c1` -> key)
+        vbody = re.sub(
+            r"(?i)(^|[\s,(])(`?\w+`?)\s+AS\s+`_c\d+`(?=\s*[,\n]|\s+FROM\b)",
+            r"\1\2", vbody,
+        )
+        vfixed = _autoalias_select_lists(
+            vbody, top_positions=_select_item_positions(spark, vbody)
+        )
+        if vfixed != vbody:
+            stmt = cvm.group(1) + "AS " + vfixed
     # TRUNCATE ... PARTITION with VALUELESS keys (Hive wildcard spec,
     # ref: ql/.../ddl/table/misc/truncate): drop the wildcard keys —
     # Spark's partial spec then truncates every matching partition
@@ -3375,63 +3710,7 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         # unvalued spec, or partition-level COLUMN stats (Spark keeps
         # column stats table-level) -> analyze at table level
         stmt = m.group(1) + m.group(3).lstrip()
-    # Hive virtual column INPUT__FILE__NAME -> Spark's function form
-    stmt = re.sub(
-        r"(?i)(?:`?\w+`?\.)?`?\bINPUT__FILE__NAME\b`?",
-        "input_file_name()", stmt,
-    )
-    # aggregates over the file-name virtual column: Spark rejects
-    # nondeterministic inputs to aggregates; COUNT of a never-null
-    # virtual column is COUNT(*)
-    stmt = re.sub(
-        r"(?i)\bcount\s*\(\s*input_file_name\(\)\s*\)", "count(*)", stmt
-    )
-    # other aggregates over file names: _metadata.file_path is the
-    # deterministic analog of input_file_name()
-    stmt = re.sub(
-        r"(?i)\b(count|min|max|collect_set)\s*\(\s*(DISTINCT\s*)?"
-        r"\(?\s*input_file_name\(\)\s*\)?\s*\)",
-        lambda m: (
-            f"{m.group(1)}({'DISTINCT ' if m.group(2) else ''}"
-            "_metadata.file_path)"
-        ),
-        stmt,
-    )
-    # Hive virtual columns BLOCK__OFFSET__INSIDE__FILE (the row's byte
-    # offset — ref: ql/.../metadata/VirtualColumn.java), ROW__ID (the
-    # ACID struct<writeid,bucketid,rowid> from AcidInputFormat) and
-    # ROW__IS__DELETED. Spark exposes none of them; the analogs keep the
-    # per-row-unique / monotonic-within-a-file contract queries rely on,
-    # via monotonically_increasing_id (partition-ordered like file
-    # offsets). A table qualifier (t1.ROW__ID) is dropped — the virtual
-    # column is scan-scoped in Hive too.
-    if re.search(r"(?i)\bBLOCK__OFFSET__INSIDE__FILE\b", stmt):
-        stmt = re.sub(
-            r"(?i)(?:`?\w+`?\.)?`?\bBLOCK__OFFSET__INSIDE__FILE\b`?",
-            "monotonically_increasing_id()",
-            stmt,
-        )
-    if re.search(r"(?i)\bROW__OFFSET__INSIDE__BLOCK\b", stmt):
-        stmt = re.sub(  # Hive returns 0 unless row-offsets are enabled
-            r"(?i)(?:`?\w+`?\.)?`?\bROW__OFFSET__INSIDE__BLOCK\b`?",
-            "CAST(0 AS BIGINT)",
-            stmt,
-        )
-    if re.search(r"(?i)\bROW__IS__DELETED\b", stmt):
-        # visible rows are by definition not deleted (the ACID reader
-        # surfaces true only under 'fetch deleted rows' mode)
-        stmt = re.sub(
-            r"(?i)(?:`?\w+`?\.)?`?\bROW__IS__DELETED\b`?",
-            "CAST(false AS BOOLEAN)",
-            stmt,
-        )
-    if re.search(r"(?i)\bROW__ID\b", stmt):
-        stmt = re.sub(
-            r"(?i)(?:`?\w+`?\.)?`?\bROW__ID\b`?",
-            "named_struct('writeid', CAST(1 AS BIGINT), 'bucketid', 536870912,"
-            " 'rowid', monotonically_increasing_id())",
-            stmt,
-        )
+    stmt = _rewrite_virtual_columns(stmt)
     # FROM t('k'='v', ...): Hive's per-scan table property overrides
     # (ql/.../parse/ — tableName LPAREN tableProperties RPAREN); Spark
     # would resolve it as a table-valued function. The properties tune
@@ -3484,7 +3763,8 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     # TEMPORARY TABLE without a provider is rejected outright). The
     # session-end auto-drop is the one divergence (COVERAGE.md §2.14).
     stmt = re.sub(
-        r"^(\s*(?:EXPLAIN\s+(?:\w+\s+)?)?CREATE\s+)TEMPORARY\s+(TABLE\b)",
+        r"^(\s*(?:EXPLAIN\s+(?:\w+\s+)?)?CREATE\s+)TEMPORARY\s+"
+        r"(?:EXTERNAL\s+)?(TABLE\b)",
         r"\1\2", stmt,
         flags=re.I,
     )
@@ -3572,16 +3852,28 @@ def _needs_autoalias(item: str) -> bool:
     s = item.strip()
     if not s or s.endswith("*"):
         return False
-    if re.fullmatch(r"`?[\w]+`?(?:\s*\.\s*`?\w+`?)*", s):
+    if re.fullmatch(r"`?[A-Za-z_]\w*`?(?:\s*\.\s*`?\w+`?)*", s):
         return False  # bare (possibly qualified) column
+    if re.fullmatch(r"\d+(?:\.\d+)?", s):
+        return True  # bare numeric literal (`select *, 121` -> _c<i>)
     if re.search(r"(\)|\bEND|'|\")\s*$", s, re.I):
         return True
+    # item ends in an identifier: an implicit alias (`expr name`) keeps
+    # it, but an identifier that is PART of the expression (struct field
+    # access `f(..).key`, operator operand `10 - key`) still needs one
+    m2 = re.search(r"[`\w]+\s*$", s)
+    if m2:
+        k = m2.start()
+        while k > 0 and s[k - 1].isspace():
+            k -= 1
+        if k and s[k - 1] in ".+-*/%(,<>=|&^!":
+            return True
     # a trailing NUMBER literal needs an alias, but an identifier that
     # merely ENDS in digits (`... as c00`) is already aliased
     return bool(re.search(r"(?:^|[\s(,+\-*/%])\.?\d+(?:\.\d+)?\s*$", s))
 
 
-def _autoalias_select_lists(body: str) -> str:
+def _autoalias_select_lists(body: str, top_positions=None) -> str:
     """Append ` AS _c<i>` to every unaliased expression item in every
     SELECT list of `body` (quote/comment/paren-aware scan). Spark's
     CREATE VIEW rejects auto-generated aliases ANYWHERE in the view
@@ -3647,8 +3939,19 @@ def _autoalias_select_lists(body: str) -> str:
         items = [
             body[bounds[k] : bounds[k + 1] - 1] for k in range(len(bounds) - 1)
         ]
+        # star expansion shifts Hive's _c numbering: the TOP-level list
+        # may carry caller-computed output positions (view_alias.q's
+        # `select *, '12'` names the literal _c2, not _c1)
+        pos_map = (
+            top_positions
+            if top_positions and spans and (start, d0) == spans[0]
+            and len(top_positions) == len(items)
+            else None
+        )
         new_items = [
-            it.rstrip() + f" AS _c{k} " if _needs_autoalias(it) else it
+            it.rstrip()
+            + f" AS _c{pos_map[k] if pos_map else k} "
+            if _needs_autoalias(it) else it
             for k, it in enumerate(items)
         ]
         body = body[:list_start] + ",".join(new_items) + body[end:]
@@ -4091,6 +4394,104 @@ def _retry_inline_values(spark, stmt: str, err: Exception):
     return spark.sql(head + " UNION ALL ".join(selects))
 
 
+def _retry_common_category(spark, stmt: str, err: Exception):
+    """greatest/least/array/coalesce over mixed type categories: Hive
+    falls back to the STRING common category (FunctionRegistry
+    .getCommonCategory / common class for comparison); Spark raises
+    DATA_DIFF_TYPES. Cast every argument of the offending function."""
+    m = re.search(r'"(greatest|least|array|coalesce)\(', str(err))
+    if m is None:
+        raise err
+    fn = m.group(1)
+    # a star call (array(*)) carries no arg text to cast — the analyzer
+    # error message shows the expanded column list; borrow it
+    em = re.search(rf'"{fn}\((.*?)\)"', str(err), re.S)
+    expanded = (
+        [c.strip() for c in em.group(1).split(",") if c.strip()]
+        if em and re.fullmatch(r"[\w.,\s`]+", em.group(1) or "")
+        else None
+    )
+
+    def _casts(args):
+        return (f"{fn}("
+                + ", ".join(f"CAST(({x}) AS STRING)" for x in args) + ")")
+
+    fixed = _rewrite_calls(
+        stmt, fn,
+        lambda a: (
+            _casts(a) if len(a) > 1
+            else (_casts(expanded) if a == ["*"] and expanded else None)
+        ),
+    )
+    if fixed == stmt:
+        raise err
+    return spark.sql(fixed)
+
+
+_TS_NUMERIC_AGGS = {
+    "variance", "var_pop", "var_samp", "stddev", "stddev_pop",
+    "stddev_samp", "std", "avg", "sum", "skewness", "kurtosis",
+}
+
+
+def _retry_ts_numeric_agg(spark, stmt: str, err: Exception):
+    """Numeric aggregates over a TIMESTAMP column: Hive converts the
+    value to fractional epoch seconds (PrimitiveObjectInspectorUtils
+    getDouble); Spark requires DOUBLE input. Cast the argument."""
+    m = re.search(r'"(\w+)\(', str(err))
+    if m is None or m.group(1).lower() not in _TS_NUMERIC_AGGS:
+        raise err
+    # the analyzer reports the RESOLVED name (variance -> var_samp), so
+    # rewrite every statistical aggregate spelled in the statement
+    fixed = stmt
+    for fn in _TS_NUMERIC_AGGS:
+        if not re.search(rf"(?i)\b{fn}\s*\(", fixed):
+            continue
+        fixed = _rewrite_calls(
+            fixed, fn,
+            lambda a, fn=fn: (
+                f"{fn}(CAST(({a[0]}) AS DOUBLE))"
+                if len(a) == 1
+                and not re.match(r"(?i)\s*CAST\s*\(", a[0]) else None
+            ),
+        )
+    if fixed == stmt:
+        raise err
+    return spark.sql(fixed)
+
+
+def _retry_unorderable_orderby(spark, stmt: str, err: Exception):
+    """ORDER BY over a MAP column: Hive sorts complex types by their
+    serialized form (ObjectInspectorUtils.compare); Spark's sortorder
+    refuses maps. Sort on the JSON rendering instead — a deterministic
+    total order with the same grouping of equal values."""
+    for _ in range(8):
+        msg = str(err)
+        if "INVALID_ORDERING_TYPE" not in msg or "sortorder" not in msg:
+            raise err
+        m = re.search(r'Cannot resolve "(.+?)(?:\s+(?:ASC|DESC))?'
+                      r'(?:\s+NULLS\s+\w+)?" due to', msg)
+        if m is None:
+            raise err
+        item = m.group(1).strip()
+        om = None
+        for om2 in re.finditer(r"(?i)\bORDER\s+BY\b", stmt):
+            om = om2  # last ORDER BY = the statement-level sort
+        if om is None:
+            raise err
+        head, tail = stmt[: om.end()], stmt[om.end():]
+        pat = re.compile(rf"(^|[\s,(]){re.escape(item)}(?=$|[\s,)])")
+        fixed_tail, n = pat.subn(rf"\1to_json({item})", tail, count=1)
+        if n == 0:
+            raise err
+        stmt = head + fixed_tail
+        try:
+            return spark.sql(stmt)
+        except Exception as e2:
+            err = e2
+    raise err
+
+
 def _retry_string_range_frame(spark, stmt: str, err: Exception):
     """RANGE frame with a numeric offset over a STRING sort key: Hive's
     StringValueBoundaryScanner (ref: ql/.../PTFRowContainer /
@@ -4181,16 +4582,85 @@ def _retry_view_autoalias(spark, stmt: str, err: Exception):
     (SemanticAnalyzer's autogenerated column aliases); Spark refuses the
     CREATE VIEW outright. On that specific failure, rewrite every
     unaliased select-list expression in place and re-issue."""
-    if "WITHOUT_ALIAS" not in str(err):
+    if "WITHOUT_ALIAS" not in str(err) and \
+            "COLUMN_ALREADY_EXISTS" not in str(err):
         raise err
     m = _CREATE_VIEW.match(stmt)
     if m is None:
         raise err
     body = m.group(2).rstrip().rstrip(";")
-    fixed = _autoalias_select_lists(body)
+    fixed = _autoalias_select_lists(
+        body, top_positions=_select_item_positions(spark, body)
+    )
     if fixed == body:
         raise err
     return spark.sql(f"{m.group(1)}AS {fixed}")
+
+
+def _select_item_positions(spark, body: str):
+    """Output-column position of each TOP-level select item, accounting
+    for `*` / `t.*` expansion (Hive's _c<pos> numbering counts expanded
+    star columns). None when positions are just item indices or can't
+    be resolved."""
+    sm = re.match(r"(?is)^\s*SELECT\s+(?:DISTINCT\s+|ALL\s+)?", body)
+    if sm is None:
+        return None
+    i, depth, n = sm.end(), 0, len(body)
+    items, start = [], sm.end()
+    while i < n:
+        c = body[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n and body[i] != q:
+                i += 2 if (body[i] == "\\" and q != "`") else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c == ",":
+                items.append(body[start:i])
+                start = i + 1
+            elif (
+                re.match(r"(?i)FROM\b", body[i:])
+                and not (body[i - 1].isalnum() or body[i - 1] in "_`")
+            ):
+                items.append(body[start:i])
+                break
+        i += 1
+    else:
+        return None
+    if not any(it.strip().endswith("*") for it in items):
+        return None
+    widths: list = []
+    for it in items:
+        s = it.strip()
+        if s == "*":
+            widths.append(None)
+        elif re.fullmatch(r"`?\w+`?\s*\.\s*\*", s):
+            try:
+                widths.append(len(spark.table(s[:-1].strip()
+                                              .rstrip(".").strip("`")
+                                              ).columns))
+            except Exception:
+                widths.append(None)
+        else:
+            widths.append(1)
+    unknown = [k for k, w in enumerate(widths) if w is None]
+    if unknown:
+        try:
+            total = len(spark.sql(body).columns)
+        except Exception:
+            return None
+        if len(unknown) != 1:
+            return None
+        widths[unknown[0]] = total - sum(w for w in widths if w)
+    pos, out = 0, []
+    for w in widths:
+        out.append(pos)
+        pos += w
+    return out
 
 
 # ALTER TABLE ... CHANGE/REPLACE COLUMNS (ref: ql/.../parse/
@@ -4202,7 +4672,7 @@ def _retry_view_autoalias(spark, stmt: str, err: Exception):
 _ALTER_CHANGE = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+CHANGE\s+(?:COLUMN\s+)?"
     r"`?(\w+)`?\s+`?(\w+)`?\s+([\w]+(?:\s*\([\d,\s]*\)|\s*<.*?>)?)"
-    r"(?:\s+COMMENT\s+'([^']*)')?"
+    r"(?:\s+COMMENT\s+(?:'([^']*)'|\"([^\"]*)\"))?"
     r"(?:\s+(FIRST|AFTER\s+`?\w+`?))?"
     # inline column constraints (metadata-only here, like CREATE's)
     r"(?:\s+(?:CONSTRAINT\s+`?\w+`?\s+)?"
@@ -4228,7 +4698,7 @@ _ALTER_PART_CHANGE = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+PARTITION\s*\(([^)]*)\)\s+"
     r"CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+"
     r"([\w]+(?:\s*\([\d,\s]*\)|\s*<.*?>)?)"
-    r"(?:\s+COMMENT\s+'([^']*)')?"
+    r"(?:\s+COMMENT\s+(?:'[^']*'|\"[^\"]*\"))?"
     r"(?:\s+(FIRST|AFTER\s+`?\w+`?))?\s*$",
     re.I | re.S,
 )
@@ -4570,10 +5040,11 @@ def _exec_alter_columns(spark: SparkSession, stmt: str) -> bool:
         return True
     m = _ALTER_CHANGE.match(stmt)
     if m:
-        table, old, new, typ, comment, pos = (
+        table, old, new, typ = (
             m.group(1), m.group(2), m.group(3), m.group(4).strip(),
-            m.group(5), m.group(6),
         )
+        comment = m.group(5) or m.group(6)
+        pos = m.group(7)
         df = spark.table(table)
         if old.lower() not in [c.lower() for c in df.columns]:
             raise ValueError(f"CHANGE COLUMN: no column {old!r} in {table}")
@@ -6272,7 +6743,13 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
             except Exception as e:
                 # Hive-legal shapes Spark initially refuses: unaliased
                 # view expression columns, and self-read INSERT OVERWRITE
-                if "WITHOUT_ALIAS" in str(e):
+                if "WITHOUT_ALIAS" in str(e) or (
+                    "COLUMN_ALREADY_EXISTS" in str(e)
+                    and _CREATE_VIEW.match(rewritten)
+                ):
+                    # duplicate unaliased literals ('12', '12', ...)
+                    # surface as COLUMN_ALREADY_EXISTS before the
+                    # without-alias check — same _c<i> fix applies
                     df = _retry_view_autoalias(spark, rewritten, e)
                 elif "INVALID_TEMP_OBJ_REFERENCE" in str(e) and re.match(
                     r"(?i)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\b", rewritten
@@ -6291,6 +6768,65 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     and _rewrite_tuple_in(rewritten) != rewritten
                 ):
                     df = spark.sql(_rewrite_tuple_in(rewritten))
+                elif "DATA_DIFF_TYPES" in str(e) and re.search(
+                    r'"(greatest|least|array|coalesce)\(', str(e)
+                ):
+                    # Hive coerces mixed-category args to the STRING
+                    # common category (FunctionRegistry
+                    # getCommonCategory); Spark refuses — cast every arg
+                    df = _retry_common_category(spark, rewritten, e)
+                elif (
+                    "UNEXPECTED_INPUT_TYPE" in str(e)
+                    and '"DOUBLE"' in str(e)
+                    and re.search(r'"TIMESTAMP[^"]*"', str(e))
+                ):
+                    # variance/stddev over timestamps: Hive casts the
+                    # key to fractional epoch seconds (PrimitiveObject
+                    # InspectorUtils double conversion)
+                    df = _retry_ts_numeric_agg(spark, rewritten, e)
+                elif "GROUP_BY_POS_AGGREGATE" in str(e) or (
+                    "GROUP_BY_POS_OUT_OF_RANGE" in str(e)
+                ):
+                    # Hive defaults hive.groupby.position.alias=false:
+                    # GROUP BY 1 is the LITERAL 1, not an ordinal
+                    prev_ord = spark.conf.get(
+                        "spark.sql.groupByOrdinal", "true"
+                    )
+                    spark.conf.set("spark.sql.groupByOrdinal", "false")
+                    try:
+                        df = spark.sql(rewritten)
+                    finally:
+                        spark.conf.set("spark.sql.groupByOrdinal", prev_ord)
+                elif "GROUPING_ID_COLUMN_MISMATCH" in str(e):
+                    # Hive permits grouping__id args in ANY order; fold
+                    # to the standard bit expression over grouping()
+                    fixed = _rewrite_calls(
+                        rewritten, "grouping_id",
+                        lambda a: (
+                            "CAST(("
+                            + " + ".join(
+                                f"grouping({x}) * {1 << (len(a) - 1 - i)}"
+                                for i, x in enumerate(a)
+                            )
+                            + ") AS BIGINT)"
+                        ) if a else None,
+                    )
+                    if fixed == rewritten:
+                        raise
+                    df = spark.sql(fixed)
+                elif "INVALID_ORDERING_TYPE" in str(e) and "sortorder" in \
+                        str(e):
+                    df = _retry_unorderable_orderby(spark, rewritten, e)
+                elif "UNSUPPORTED_GROUPING_EXPRESSION" in str(e):
+                    # grouping()/grouping_id() under a PLAIN group by:
+                    # every group is a base group, so Hive returns 0
+                    fixed = _rewrite_calls(
+                        stmt=rewritten, name="grouping(?:_id|__id)?",
+                        build=lambda a: "0",
+                    )
+                    if fixed == rewritten:
+                        raise
+                    df = spark.sql(fixed)
                 elif "EXCEED_LIMIT_LENGTH" in str(e):
                     df = _retry_insert_truncate_charvarchar(
                         spark, rewritten, e
@@ -6335,6 +6871,37 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                         lambda m2: (
                             "RANGE BETWEEN CURRENT ROW AND INTERVAL"
                             f" '{m2.group(1)}' {unit} {m2.group(2).upper()}"
+                        ),
+                        fixed,
+                    )
+                    fixed = re.sub(
+                        r"(?i)\brange\s+between\s+unbounded\s+preceding"
+                        r"\s+and\s+(\d+)\s+(preceding|following)",
+                        lambda m2: (
+                            "RANGE BETWEEN UNBOUNDED PRECEDING AND "
+                            f"INTERVAL '{m2.group(1)}' {unit} "
+                            f"{m2.group(2).upper()}"
+                        ),
+                        fixed,
+                    )
+                    fixed = re.sub(
+                        r"(?i)\brange\s+between\s+(\d+)\s+"
+                        r"(preceding|following)\s+and\s+unbounded"
+                        r"\s+following",
+                        lambda m2: (
+                            f"RANGE BETWEEN INTERVAL '{m2.group(1)}' "
+                            f"{unit} {m2.group(2).upper()} AND "
+                            "UNBOUNDED FOLLOWING"
+                        ),
+                        fixed,
+                    )
+                    # Hive frame shorthand: `range N preceding` =
+                    # BETWEEN N PRECEDING AND CURRENT ROW
+                    fixed = re.sub(
+                        r"(?i)\brange\s+(\d+)\s+preceding(?!\s+and\b)",
+                        lambda m2: (
+                            f"RANGE BETWEEN INTERVAL '{m2.group(1)}' "
+                            f"{unit} PRECEDING AND CURRENT ROW"
                         ),
                         fixed,
                     )

@@ -42,6 +42,8 @@ _RUNTIME_CONFS = {
     "spark.sql.storeAssignmentPolicy": "LEGACY",
     # Hive date functions speak Java SimpleDateFormat patterns
     "spark.sql.legacy.timeParserPolicy": "LEGACY",
+    # Hive map construction keeps the LAST value for duplicate keys
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -72,6 +72,12 @@ def get_session(
         # Spark >= 3 errors on those patterns unless the parser runs in
         # the LEGACY (SimpleDateFormat) mode Hive uses
         .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
+        # Hive builds maps with HashMap.put — duplicate keys keep the
+        # LAST value (str_to_map, map()); Spark 3+ errors by default
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # deep LATERAL VIEW chains exceed the default 100 analyzer
+        # iterations (lateral_view_multi.q)
+        .config("spark.sql.analyzer.maxIterations", "500")
         # -- optimizer: everything Hive's Optimizer.java does, built in --
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
