@@ -301,6 +301,19 @@ def main() -> None:
             "queries": sf1_timings,
         }
 
+    # Cold star-ETL measurement (VERDICT r8 #2): the fingerprint cache
+    # survives across rounds, so `star_build_sec` reads 0.0 on hits and
+    # the one-time materialization cost vanishes from the record. Force
+    # ONE cache-miss rebuild per bench run — AFTER the query timings, so
+    # steady-state numbers are unperturbed — and report it separately.
+    # Disable with SPARK_GRAFT_STAR_COLD=0 (e.g. quick local iterations).
+    star_cold = 0.0
+    if os.environ.get("SPARK_GRAFT_STAR_COLD", "1") != "0":
+        from hive_spark.operators import tpcds as _tpcds_cold
+
+        cold_dir = sf1_dir if SF1_FACTOR > 1 else SF_DIR
+        star_cold = _tpcds_cold.measure_cold_star_build(spark, cold_dir)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     from hive_spark.operators import tpcds as _tpcds
 
@@ -321,6 +334,9 @@ def main() -> None:
         # process triggered (0.0 = disk-cache hit) — reported so the
         # per-query numbers can't silently hide the setup work
         "star_build_sec": _tpcds.TOTAL_BUILD_SEC,
+        # forced cache-miss rebuild at the gate tier, measured after the
+        # query pass (VERDICT r8 #2) — the honest one-time ETL figure
+        "star_build_cold_sec": star_cold,
         "sf1": sf1,
     }
     # full detail to a file: the r7 stdout line outgrew the driver's
@@ -339,6 +355,7 @@ def main() -> None:
         "fixed_overhead_sec": overhead,
         "extra_queries": extra,
         "star_build_sec": full["star_build_sec"],
+        "star_build_cold_sec": full["star_build_cold_sec"],
         "sf1": {k: sf1[k] for k in ("factor", "total_sec") if k in sf1},
         "details_file": out_path,
     }

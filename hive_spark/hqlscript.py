@@ -243,19 +243,29 @@ def _part_spec_to_name(spec: str) -> str:
 _SHELL = re.compile(r"^\s*(!|dfs\b)", re.I)
 _DFS = re.compile(r"^\s*dfs\s+(.*)$", re.I | re.S)
 
+# qtest scratch root. Durable, NOT /tmp: this host's tmpfiles purger
+# deletes /tmp entries mid-run, which yanked script-created inputs out
+# from under long sweeps (r8/r9: FAILED_READ_FILE on files a script
+# wrote minutes earlier). Old literal /tmp/hive_spark_qtest_tmp paths
+# keep working — scripts and tests that name /tmp explicitly still may.
+QTEST_TMP = os.environ.get(
+    "HIVE_SPARK_QTEST_TMP",
+    os.path.join(os.path.expanduser("~"), ".hive_spark_scratch", "qtest_tmp"),
+)
+
 # Hive CLI variable substitution defaults for the qtest-harness system
 # properties (QTestUtil sets these before running a script)
 _VAR_DEFAULTS = {
-    "system:test.tmp.dir": "/tmp/hive_spark_qtest_tmp",
+    "system:test.tmp.dir": QTEST_TMP,
     "system:test.dfs.mkdir": "-mkdir -p",
-    "system:build.dir": "/tmp/hive_spark_qtest_tmp",
+    "system:build.dir": QTEST_TMP,
     "system:hive.root": "/root/reference/",
     # QTestUtil: conf.set("test.data.dir", <the data/files dataset dir>)
     "system:test.data.dir": "/root/reference/data/files",
     # QTestUtil points this at the test warehouse; relative INSERT
     # OVERWRITE DIRECTORY targets resolve under the same scratch root,
     # so LOAD DATA INPATH '${system:test.warehouse.dir}/x' round-trips
-    "system:test.warehouse.dir": "/tmp/hive_spark_qtest_tmp/target/warehouse",
+    "system:test.warehouse.dir": QTEST_TMP + "/target/warehouse",
 }
 
 
@@ -310,9 +320,7 @@ def _exec_dfs(stmt: str, res) -> None:
             if os.path.exists(cand):
                 return cand
         return os.path.normpath(
-            os.path.join(
-                "/tmp/hive_spark_qtest_tmp", re.sub(r"^(\.\./)+", "", p)
-            )
+            os.path.join(QTEST_TMP, re.sub(r"^(\.\./)+", "", p))
         )
 
     paths = [_resolve(p) for p in paths]
@@ -327,12 +335,14 @@ def _exec_dfs(stmt: str, res) -> None:
     def _inside_tmp(p: str) -> bool:
         # realpath collapses ../ tricks and symlink escapes BEFORE the
         # containment check; require a strict descendant of /tmp proper
-        # (so /tmp itself and /tmpfoo both fail).
+        # (so /tmp itself and /tmpfoo both fail) or of the durable
+        # qtest scratch root.
         rp = os.path.realpath(p)
         try:
-            return (
-                os.path.commonpath([rp, "/tmp"]) == "/tmp" and rp != "/tmp"
-            )
+            for root in ("/tmp", os.path.realpath(QTEST_TMP)):
+                if os.path.commonpath([rp, root]) == root and rp != root:
+                    return True
+            return False
         except ValueError:
             return False
 
@@ -3529,8 +3539,8 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         )
         stmt = re.sub(r"(?i)\s+MANAGEDLOCATION\s+'[^']*'", " ", stmt)
         stmt = re.sub(
-            r"(?i)(\bLOCATION\s+')(?!/tmp/|file:)/",
-            r"\g<1>/tmp/hive_spark_qtest_tmp/",
+            r"(?i)(\bLOCATION\s+')(?!/tmp/|file:|" + re.escape(QTEST_TMP) + r"/)/",
+            "\\g<1>" + QTEST_TMP + "/",
             stmt,
         )
     # DESCRIBE [FORMATTED] tbl PARTITION(...) col: Spark refuses the
@@ -5307,8 +5317,8 @@ def _exim_path(p: str) -> str:
     them under its test warehouse the same way)."""
     p = re.sub(r"^(?:pfile|file|hdfs):/+", "/", p)
     if not os.path.isabs(p):
-        p = os.path.join("/tmp/hive_spark_qtest_tmp", p)
-    if not os.path.abspath(p).startswith("/tmp/"):
+        p = os.path.join(QTEST_TMP, p)
+    if not os.path.abspath(p).startswith(("/tmp/", QTEST_TMP + "/")):
         raise ValueError(f"EXPORT/IMPORT confined to /tmp scratch: {p!r}")
     return p
 
@@ -5574,11 +5584,9 @@ def _exec_insert_directory(spark: SparkSession, m: re.Match):
         # the qtest harness resolves relative output dirs under its build
         # dir; here scratch plays that role (parent-escapes clamped in)
         path = os.path.normpath(
-            os.path.join(
-                "/tmp/hive_spark_qtest_tmp", re.sub(r"^(\.\./)+", "", path)
-            )
+            os.path.join(QTEST_TMP, re.sub(r"^(\.\./)+", "", path))
         )
-    if not os.path.abspath(path).startswith("/tmp/"):
+    if not os.path.abspath(path).startswith(("/tmp/", QTEST_TMP + "/")):
         raise ValueError(
             f"INSERT OVERWRITE DIRECTORY confined to /tmp scratch: {path!r}"
         )

@@ -434,6 +434,38 @@ def _star_fingerprint(sf_dir: str, sqls: list[tuple[str, str]]) -> str:
     return h.hexdigest()[:16]
 
 
+def _star_plan(spark: SparkSession, sf_dir: str) -> tuple[list, str]:
+    """Fold the dataset-cardinality constants into the star view SQL and
+    return (rendered sqls, fingerprint-keyed materialization dir)."""
+    from hive_spark.scratch import scratch_dir
+
+    ncust = spark.sql(f"SELECT {_NCUST}").collect()[0][0]
+    nstore = spark.sql(f"SELECT {_NSTORE}").collect()[0][0]
+    sqls = [
+        (n, s.replace(_NCUST, str(ncust)).replace(_NSTORE, str(nstore)))
+        for n, s in _star_sql("spark")
+    ]
+    fp = _star_fingerprint(sf_dir, sqls)
+    return sqls, os.path.join(scratch_dir("star"), fp)
+
+
+def measure_cold_star_build(spark: SparkSession, sf_dir: str) -> float:
+    """Force a cache-miss star materialization for sf_dir and return its
+    wall-clock seconds (VERDICT r8 #2: `star_build_sec` reads 0.0 on every
+    disk-cache hit, hiding the one-time ETL — the bench protocol calls this
+    once per round so the cold figure stays committed alongside the
+    steady-state numbers). The rebuild repopulates the cache, so subsequent
+    runs are unaffected."""
+    import shutil
+
+    views(spark, sf_dir)
+    _sqls, dst = _star_plan(spark, sf_dir)
+    shutil.rmtree(dst, ignore_errors=True)
+    _ACTIVE_STAR.pop(id(spark), None)
+    _register_star(spark, sf_dir)
+    return LAST_BUILD_SEC
+
+
 def _register_star(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the derived star schema once per (data, definition)
     and register the views as parquet reads.
@@ -466,17 +498,7 @@ def _register_star(spark: SparkSession, sf_dir: str) -> None:
     if _ACTIVE_STAR.get(id(spark)) == sf_dir:
         return
 
-    ncust = spark.sql(f"SELECT {_NCUST}").collect()[0][0]
-    nstore = spark.sql(f"SELECT {_NSTORE}").collect()[0][0]
-    sqls = [
-        (n, s.replace(_NCUST, str(ncust)).replace(_NSTORE, str(nstore)))
-        for n, s in _star_sql("spark")
-    ]
-
-    from hive_spark.scratch import scratch_dir
-
-    fp = _star_fingerprint(sf_dir, sqls)
-    dst = os.path.join(scratch_dir("star"), fp)
+    sqls, dst = _star_plan(spark, sf_dir)
     marker = os.path.join(dst, "_BUILT")
     LAST_BUILD_SEC = 0.0
     if not os.path.exists(marker):

@@ -103,12 +103,22 @@ def get_session(
     # Shuffle/blockmgr scratch: /tmp is subject to tmpfiles purging on this
     # host (observed mid-run: FAILED_READ_FILE on /tmp/spark-*), so default
     # the local dir somewhere durable unless the caller already chose one.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR", os.path.expanduser("~/.spark_local")
+    )
+    os.makedirs(local_dir, exist_ok=True)
     if "SPARK_LOCAL_DIRS" not in os.environ:
-        local_dir = os.environ.get(
-            "SPARK_GRAFT_LOCAL_DIR", os.path.expanduser("~/.spark_local")
-        )
-        os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
+    # java.io.tmpdir defaults to /tmp, where the JVM keeps its driver
+    # staging dirs (/tmp/spark-<uuid>: py4j secrets, userFiles) — this
+    # host's tmpfiles purger deletes them mid-run and the whole JVM dies
+    # (observed r9: three concurrent sessions killed in one sweep). Keep
+    # the JVM's temp root on durable scratch alongside spark.local.dir.
+    jtmp = os.path.join(local_dir, "jtmp")
+    os.makedirs(jtmp, exist_ok=True)
+    builder = builder.config(
+        "spark.driver.extraJavaOptions", f"-Djava.io.tmpdir={jtmp}"
+    ).config("spark.executor.extraJavaOptions", f"-Djava.io.tmpdir={jtmp}")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

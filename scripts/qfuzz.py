@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -407,12 +408,110 @@ class Gen:
             f" (({lhs}) {op} ({rhs})) u GROUP BY e0, s0"
         )
 
+    def q_window_frames(self) -> str:
+        """Explicit ROWS/RANGE frames (r8 dialect tranche): ROWS over the
+        table's unique total order (tie-free, so any frame is
+        deterministic); RANGE with numeric offsets over a TIED int key
+        (peers enter together — tie-proof by definition)."""
+        t = self.pick(list(TABLES))
+        ints, strs, pk = TABLES[t]
+        part = (self.str_expr(strs) if strs and self.r.random() < 0.5
+                else f"({self.pick(ints)} % {self.r.randint(2, 6)})")
+        v = self.pick(ints)
+        lo, hi = self.r.randint(0, 5), self.r.randint(0, 5)
+        if self.r.random() < 0.5:
+            frame = (f"ROWS BETWEEN {lo} PRECEDING AND "
+                     + self.pick([f"{hi} FOLLOWING", "CURRENT ROW",
+                                  "UNBOUNDED FOLLOWING"]))
+            order = pk
+        else:
+            frame = (f"RANGE BETWEEN {lo} PRECEDING AND "
+                     + self.pick([f"{hi} FOLLOWING", "CURRENT ROW",
+                                  "UNBOUNDED FOLLOWING"]))
+            order = f"({self.pick(ints)} % {self.r.randint(2, 9)})"
+        over = f"OVER (PARTITION BY {part} ORDER BY {order} {frame})"
+        fn = self.pick([f"SUM({v})", "COUNT(*)", f"MIN({v})", f"MAX({v})"])
+        return (
+            f"SELECT e0, w0, COUNT(*) AS cnt_all FROM"
+            f" (SELECT {self.int_expr(ints)} AS e0, {fn} {over} AS w0"
+            f" FROM {t} WHERE {self.pred(ints, strs)}) sub"
+            f" GROUP BY e0, w0"
+        )
+
+    def q_window_named(self) -> str:
+        """WINDOW-clause inheritance (`w2 AS (w1 ROWS ...)`, bare
+        `w3 AS w1` aliases — r8 _expand_window_refs): the Hive text keeps
+        the inheritance chain (our dialect layer must inline it); DuckDB
+        gets the pre-expanded spec, so a mismatch is OUR expansion bug."""
+        t = self.pick(list(TABLES))
+        ints, strs, pk = TABLES[t]
+        part = (self.str_expr(strs) if strs and self.r.random() < 0.5
+                else f"({self.pick(ints)} % {self.r.randint(2, 6)})")
+        v = self.pick(ints)
+        base = f"PARTITION BY {part} ORDER BY {pk}"
+        lo = self.r.randint(1, 6)
+        frame = self.pick([
+            f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND {lo} FOLLOWING",
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        ])
+        fn1 = self.pick([f"SUM({v})", "COUNT(*)", f"MAX({v})"])
+        fn2 = self.pick([f"MIN({v})", "COUNT(*)", f"SUM({v})"])
+        body = f"SELECT {self.int_expr(ints)} AS e0, {{w}} FROM {t} WHERE {self.pred(ints, strs)}"
+        if self.r.random() < 0.5:
+            # w2 inherits w1's partition+order, overrides the frame
+            wins = f" WINDOW w1 AS ({base}), w2 AS (w1 {frame})"
+            hive = body.format(w=f"{fn1} OVER w2 AS w0, {fn2} OVER w1 AS w1v") + wins
+            duck = body.format(
+                w=(f"{fn1} OVER ({base} {frame}) AS w0,"
+                   f" {fn2} OVER ({base}) AS w1v")
+            )
+        else:
+            # bare alias w3 AS w1 plus an inline `OVER (w1 <frame>)` ref
+            wins = f" WINDOW w1 AS ({base}), w3 AS w1"
+            hive = body.format(w=f"{fn1} OVER (w1 {frame}) AS w0, {fn2} OVER w3 AS w1v") + wins
+            duck = body.format(
+                w=(f"{fn1} OVER ({base} {frame}) AS w0,"
+                   f" {fn2} OVER ({base}) AS w1v")
+            )
+        self.duck_sql = (
+            f"SELECT e0, w0, w1v, COUNT(*) AS cnt_all FROM ({duck}) sub"
+            f" GROUP BY e0, w0, w1v"
+        )
+        return (
+            f"SELECT e0, w0, w1v, COUNT(*) AS cnt_all FROM ({hive}) sub"
+            f" GROUP BY e0, w0, w1v"
+        )
+
+    def q_qualify(self) -> str:
+        """QUALIFY desugaring (r7): DuckDB evaluates QUALIFY natively;
+        our dialect layer rewrites it into a subquery filter — shared
+        text, two independent implementations."""
+        t = self.pick(list(TABLES))
+        ints, strs, pk = TABLES[t]
+        part = (self.str_expr(strs) if strs and self.r.random() < 0.5
+                else f"({self.pick(ints)} % {self.r.randint(2, 6)})")
+        rk = self.pick([
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {pk})",
+            f"RANK() OVER (PARTITION BY {part} ORDER BY {pk})",
+        ])
+        n = self.r.randint(1, 4)
+        cols = ", ".join(pk.split(", "))
+        return (
+            f"SELECT {cols}, {self.int_expr(ints)} AS e0 FROM {t}"
+            f" WHERE {self.pred(ints, strs)}"
+            f" QUALIFY {rk} <= {n}"
+        )
+
     SHAPES = ["filter_project", "agg", "agg", "join", "join3", "exists",
               "in_subq", "scalar_subq", "setop", "window",
-              "window_ties", "grouping_sets", "setop_all"]
+              "window_ties", "grouping_sets", "setop_all",
+              "window_frames", "window_frames", "window_named",
+              "window_named", "qualify"]
 
     def query(self) -> tuple[str, str]:
         shape = self.pick(self.SHAPES)
+        self.duck_sql = None
         return shape, getattr(self, f"q_{shape}")()
 
 
@@ -470,6 +569,141 @@ class StarGen(Gen):
         return "tpcds_star", body
 
 
+class MergeGen:
+    """Differential MERGE round-trips (r8 verdict #7): the Spark side
+    runs a REAL `MERGE INTO` through the engine's CoW DML path
+    (hqlscript → dml.py) on a managed table; the DuckDB side never
+    mutates anything — the oracle is a single SELECT computing the
+    post-MERGE state from the same (target, source) definitions, per
+    Hive MergeSemanticAnalyzer semantics (all clauses evaluate against
+    the ORIGINAL target; first matching clause wins). Covers
+    MATCHED AND <cond> UPDATE/DELETE orderings and the r9
+    `WHEN NOT MATCHED AND <cond>` filter."""
+
+    def __init__(self, seed: int):
+        self.r = random.Random(0xC0FFEE ^ (seed * 2654435761 % 2**31))
+
+    def gen(self) -> tuple[str, str, str, str]:
+        r = self.r
+        tmod, tkeep = r.randint(3, 9), r.randint(1, 2)
+        smod, skeep = r.randint(3, 9), r.randint(1, 2)
+        target = (
+            "SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS v,"
+            " o_orderstatus AS s FROM orders"
+            f" WHERE o_orderkey % {tmod} < {tkeep}"
+        )
+        source = (
+            "SELECT o_orderkey AS k,"
+            f" CAST(o_custkey * {r.randint(2, 5)} + {r.randint(0, 99)} AS BIGINT) AS v,"
+            " o_orderpriority AS s FROM orders"
+            f" WHERE o_orderkey % {smod} < {skeep}"
+        )
+        upd = f"t.v + s.v * {r.randint(1, 3)}"
+        c_upd = f"s.v % {r.randint(2, 5)} = 0"   # refs source only
+        c_ins = f"s.k % {r.randint(2, 5)} = 0"
+        shape = r.choice(["upd_ins", "condupd_ins", "del_updrest_ins",
+                          "del_condins"])
+        if shape == "upd_ins":
+            matched = [("", "UPDATE")]
+            ins_cond = ""
+        elif shape == "condupd_ins":
+            matched = [(c_upd, "UPDATE")]
+            ins_cond = ""
+        elif shape == "del_updrest_ins":
+            matched = [(c_upd, "DELETE"), ("", "UPDATE")]
+            ins_cond = ""
+        else:
+            matched = [("", "DELETE")]
+            ins_cond = c_ins
+        clauses = []
+        for cond, act in matched:
+            w = f"WHEN MATCHED{' AND ' + cond if cond else ''} THEN "
+            clauses.append(w + ("DELETE" if act == "DELETE"
+                                else f"UPDATE SET v = {upd}"))
+        clauses.append(
+            f"WHEN NOT MATCHED{' AND ' + ins_cond if ins_cond else ''}"
+            " THEN INSERT VALUES (s.k, s.v, s.s)"
+        )
+        merge = (
+            f"MERGE INTO {self.TBL} t USING ({source}) s ON t.k = s.k\n"
+            + "\n".join(clauses)
+        )
+        # oracle: post-state as one SELECT over the original inputs.
+        # Matched-row semantics (MergeSemanticAnalyzer): clauses evaluate
+        # against the ORIGINAL row, first matching clause wins.
+        def rebind(x: str) -> str:
+            return re.sub(r"\bs\.", "ss.", re.sub(r"\bt\.", "tt.", x))
+
+        surv_pred = "TRUE"      # row survives (not claimed by a DELETE)
+        upd_expr = "tt.v"       # value if the winning clause is UPDATE
+        # build first-match-wins by folding clauses in REVERSE order
+        for cond, act in reversed(matched):
+            c = rebind(cond) if cond else "TRUE"
+            if act == "DELETE":
+                surv_pred = f"CASE WHEN {c} THEN FALSE ELSE {surv_pred} END"
+                upd_expr = f"CASE WHEN {c} THEN NULL ELSE {upd_expr} END"
+            else:
+                surv_pred = f"CASE WHEN {c} THEN TRUE ELSE {surv_pred} END"
+                upd_expr = (
+                    f"CASE WHEN {c} THEN {rebind(upd)} ELSE {upd_expr} END"
+                )
+        mrow = (
+            f"SELECT tt.k, {upd_expr} AS v, tt.s"
+            f" FROM tt JOIN ss ON tt.k = ss.k WHERE {surv_pred}"
+        )
+        ins_where = f" AND ({rebind(ins_cond)})" if ins_cond else ""
+        oracle = (
+            f"WITH tt AS ({target}), ss AS ({source})\n"
+            "SELECT k, v, s FROM (\n"
+            "  SELECT tt.k, tt.v, tt.s FROM tt LEFT JOIN ss ON tt.k = ss.k"
+            "  WHERE ss.k IS NULL\n"
+            f"  UNION ALL {mrow}\n"
+            "  UNION ALL SELECT ss.k, ss.v, ss.s FROM ss LEFT JOIN tt"
+            f" ON tt.k = ss.k WHERE tt.k IS NULL{ins_where}\n"
+            ") u"
+        )
+        return target, merge, oracle, shape
+
+    TBL = "qfuzz_merge_target"
+
+
+def _run_merge_seed(spark, con, seed: int) -> tuple[str, str, str | None]:
+    """Execute one MERGE round-trip; returns (shape, sql, error|None)."""
+    from hive_spark.hqlscript import run_script
+    from tests.oracle_check import _rows
+
+    g = MergeGen(seed)
+    target, merge, oracle, shape = g.gen()
+    tbl = MergeGen.TBL
+    sql_log = f"-- target: {target}\n{merge}"
+    try:
+        run_script(spark, f"DROP TABLE IF EXISTS {tbl}")
+        run_script(
+            spark,
+            f"CREATE TABLE {tbl} AS {target}",
+        )
+        run_script(spark, merge)
+        sdf = spark.sql(f"SELECT k, v, s FROM {tbl}")
+        sp = _rows([tuple(r) for r in sdf.collect()], sdf.columns)
+    except Exception as e:
+        return shape, sql_log, f"SPARK ERROR {type(e).__name__}: {e}"
+    try:
+        cur = con.sql(oracle)
+        du = _rows(cur.fetchall(), cur.columns)
+    except Exception as e:
+        return shape, sql_log, f"DUCK ERROR {type(e).__name__}: {e}"
+    if sp != du:
+        diff = next(
+            (i for i, (a, b) in enumerate(zip(sp, du)) if a != b), None
+        )
+        return shape, sql_log + f"\n-- oracle: {oracle}", (
+            f"MISMATCH rows spark={len(sp)} duck={len(du)}"
+            + (f"; first diff @{diff}: {sp[diff]} vs {du[diff]}"
+               if diff is not None and diff < min(len(sp), len(du)) else "")
+        )
+    return shape, sql_log, None
+
+
 def _known_divergence(sql: str, sp, du) -> str | None:
     """Mismatch patterns triaged to a named, documented engine-level
     divergence (counted separately, not failed). Currently one:
@@ -506,10 +740,20 @@ def run(seed0: int, n: int, sf_dir: str) -> int:
     _register_star(spark, sf_dir)  # star seeds hit the materialized views
     con = duck(sf_dir)
 
+    from hive_spark.hqlscript import rewrite_statement
+
     bad = []
     shapes: dict[str, int] = {}
     divergences: dict[str, int] = {}
     for seed in range(seed0, seed0 + n):
+        # every 10th seed: stateful MERGE round-trip through the CoW
+        # DML path, verified against a pure-SELECT post-state oracle
+        if seed % 10 == 9:
+            shape, msql, err = _run_merge_seed(spark, con, seed)
+            shapes[shape] = shapes.get(shape, 0) + 1
+            if err:
+                bad.append((seed, shape, msql, err))
+            continue
         # every 4th seed fuzzes the derived TPC-DS star schema: Spark
         # reads the r8-materialized parquet views, DuckDB re-derives the
         # same tables from the WITH prelude — one seed, two lanes
@@ -517,11 +761,16 @@ def run(seed0: int, n: int, sf_dir: str) -> int:
             shape, sql = StarGen(seed).query()
             duck_sql = _oracle(sql)
         else:
-            shape, sql = Gen(seed).query()
-            duck_sql = sql
+            gen = Gen(seed)
+            shape, sql = gen.query()
+            duck_sql = gen.duck_sql or sql
         shapes[shape] = shapes.get(shape, 0) + 1
         try:
-            sdf = spark.sql(sql)
+            # the Spark side goes through the engine's dialect layer —
+            # identity on plain ANSI text, load-bearing for the
+            # window-inheritance/QUALIFY lanes, and a no-corruption
+            # fuzz of the rewriter itself on every other seed
+            sdf = spark.sql(rewrite_statement(spark, sql))
             sp = _rows([tuple(r) for r in sdf.collect()], sdf.columns)
         except Exception as e:
             bad.append((seed, shape, sql, f"SPARK ERROR {type(e).__name__}: {e}"))
