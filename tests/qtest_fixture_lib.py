@@ -153,6 +153,17 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
         return out
 
     aints = _jrand_ints(20081215, 10)
+
+    # PropValueUnion (serde/if/test/complex.thrift) in the engine's
+    # tagged-struct emulation: tag + field0..field6 per alternative
+    # order <int,bigint,string,double,boolean,array<string>,
+    # map<string,string>> — matches _rewrite_uniontype's layout
+    def _u(tag, **kw):
+        f = [None] * 7
+        for k, v in kw.items():
+            f[int(k[1:])] = v
+        return (tag, *f)
+
     thrift_rows = [
         (
             aints[i],
@@ -161,14 +172,27 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
             [str(i * 10), str(i * 100), str(i * 1000)],
             [(i * i, str(i ** 3), i)],
             {f"key_{i}": f"value_{i}"},
+            # attributes: key_i -> erVal<i> -> value_i -> double(1.0)
+            {f"key_{i}": {f"erVal{i}": {f"value_{i}": _u(3, f3=1.0)}}},
+            _u(2, f2=f"test{i}"),                       # stringValue
+            _u(6, f6={f"key_{i}": f"value_{i}"}),       # unionMStringString
+            _u(5, f5=[str(i * 10), str(i * 100), str(i * 1000)]),  # lString
         )
         for i in range(10)
-    ] + [(0, None, None, None, None, None)]
+    ] + [(0, None, None, None, None, None, None, None, None, None)]
+    _union_t = (
+        "struct<tag:int,field0:int,field1:bigint,field2:string,"
+        "field3:double,field4:boolean,field5:array<string>,"
+        "field6:map<string,string>>"
+    )
     spark.createDataFrame(
         thrift_rows,
         "aint int, astring string, lint array<int>, lstring array<string>,"
         " lintstring array<struct<myint:int,mystring:string,"
-        "underscore_int:int>>, mstringstring map<string,string>",
+        "underscore_int:int>>, mstringstring map<string,string>,"
+        f" attributes map<string,map<string,map<string,{_union_t}>>>,"
+        f" unionfield1 {_union_t}, unionfield2 {_union_t},"
+        f" unionfield3 {_union_t}",
     ).coalesce(1).write.saveAsTable("src_thrift")
 
     # tpch_0_001 dataset: run the reference's OWN load scripts
@@ -199,6 +223,10 @@ def build_qtest_fixtures(spark, db: str, scratch: str) -> None:
             sql,
         )
         _rs(spark, sql)
+
+    # QTestUtil runs data/scripts/test_init_file.sql as the CLI init
+    # file before every script (init_file.q reads the table it creates)
+    spark.sql("CREATE TABLE IF NOT EXISTS tbl_created_by_init(i int)")
 
     # qtest LOAD DATA paths are relative to ql/src
     if REF_ROOT not in LOAD_DATA_BASES:
