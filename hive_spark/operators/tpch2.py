@@ -330,27 +330,50 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies the rewrite is semantics-preserving row-for-row.
     """
     t = views(spark, sf_dir)
+    # r9 decomposition (VERDICT r8 #4 — q21 was the one flat-ratio
+    # headline query): two changes, measured at sf1 local[16]
+    # best-of-3 1.47-1.58s -> 1.03-1.10s (~30%), A==B row-identical:
+    # 1. o_orderstatus='F' is an ORDER-level predicate, and both EXISTS
+    #    subqueries range over the SAME order — so the status filter
+    #    commutes with them and prunes the window input (~half the
+    #    rows) BEFORE the one l_orderkey exchange instead of after.
+    # 2. the per-row collect_list buffer becomes two stacked max()
+    #    windows on the same partitioning (one exchange + one sort,
+    #    window 2 reuses window 1's order):
+    #      _mx       = max (linenumber, suppkey) of the order
+    #      _cond_max = max linenumber among suppliers != _mx.suppkey
+    #    For a row of _mx's supplier, the "other suppliers" max is
+    #    _cond_max; for any other supplier it is _mx.linenumber itself.
+    #    NULL means sole supplier (EXISTS l2 fails).
+    forders = (
+        t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    )
     w = Window.partitionBy("l_orderkey")
-    l1 = (
+    li = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey", "l_linenumber")
-        .withColumn(
-            "_lines", F.collect_list(F.struct("l_linenumber", "l_suppkey")).over(w)
-        )
-        .withColumn(
-            "_max_other",
-            F.expr(
-                "array_max(transform("
-                "  filter(_lines, x -> x.l_suppkey != l_suppkey),"
-                "  x -> x.l_linenumber))"
-            ),
-        )
-        .filter(
-            F.col("_max_other").isNotNull()
-            & (F.col("l_linenumber") >= F.col("_max_other"))
-        )
-        .select("l_orderkey", "l_suppkey")
+        .join(forders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+        .withColumn("_mx", F.max(F.struct("l_linenumber", "l_suppkey")).over(w))
     )
+    li = li.withColumn(
+        "_cond_max",
+        F.max(
+            F.when(
+                F.col("l_suppkey") != F.col("_mx.l_suppkey"),
+                F.col("l_linenumber"),
+            )
+        ).over(w),
+    ).withColumn(
+        "_max_other",
+        F.when(
+            F.col("l_suppkey") == F.col("_mx.l_suppkey"), F.col("_cond_max")
+        ).otherwise(F.col("_mx.l_linenumber")),
+    )
+    l1 = li.filter(
+        F.col("_max_other").isNotNull()
+        & (F.col("l_linenumber") >= F.col("_max_other"))
+    ).select("l_orderkey", "l_suppkey")
     waiting_supp = (
         t["supplier"]
         .join(
@@ -360,11 +383,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        l1.join(
-            t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
-            l1.l_orderkey == F.col("o_orderkey"),
-        )
-        .join(F.broadcast(waiting_supp), l1.l_suppkey == F.col("s_suppkey"))
+        l1.join(F.broadcast(waiting_supp), l1.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
