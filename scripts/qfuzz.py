@@ -60,7 +60,12 @@ TABLES = {
     "lineitem": (
         ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
         ["l_returnflag", "l_linestatus"],
-        "l_orderkey, l_linenumber",
+        # r9: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # testdata (60,000 rows / 45,832 distinct pairs at sf0.01) and
+        # the dup rows differ in suppkey/partkey — ROWS frames over the
+        # 2-column order flaked (seeds 153/261/432). The 4-column tuple
+        # is verified unique.
+        "l_orderkey, l_linenumber, l_suppkey, l_partkey",
     ),
     "orders": (
         ["o_orderkey", "o_custkey"],
@@ -678,6 +683,14 @@ def _run_merge_seed(spark, con, seed: int) -> tuple[str, str, str | None]:
     sql_log = f"-- target: {target}\n{merge}"
     try:
         run_script(spark, f"DROP TABLE IF EXISTS {tbl}")
+        # sweep an orphaned managed-table location (in-memory catalog +
+        # persistent warehouse: a prior process's dir survives its
+        # catalog entry and LOCATION_ALREADY_EXISTS blocks the CREATE)
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+        if wh:
+            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
         run_script(
             spark,
             f"CREATE TABLE {tbl} AS {target}",
