@@ -1281,6 +1281,13 @@ def _rewrite_stored_as(stmt: str) -> str:
         if not re.match(r"\s+(LIKE\b|AS\b|USING\b)", stmt[nm_at:], re.I):
             stmt = stmt[:nm_at] + f" ({avro_ddl})" + stmt[nm_at:]
             span = col_span()
+    elif avro_ddl:
+        # an explicit column list AND an avro.schema.url/literal: the
+        # avro schema WINS (AvroSerDe ignores declared columns —
+        # avro_extschema_insert.q declares 1 column, schema has 3)
+        o, c = col_span()
+        stmt = stmt[: o + 1] + avro_ddl + stmt[c - 1:]
+        span = col_span()
     if thrift_ddl and not col_span():
         # ThriftDeserializer tables carry NO column list — the schema is
         # the serialization.class (serde/if/test/{complex,megastruct}
@@ -3280,6 +3287,55 @@ def _rewrite_alt_intervals(stmt: str) -> str:
     return _POSTFIX_UNIT.sub(_postfix, stmt)
 
 
+def _rewrite_hypothetical_set(stmt: str) -> str:
+    """rank/dense_rank/percent_rank/cume_dist(v) WITHIN GROUP (ORDER BY
+    c [ASC|DESC]) — hypothetical-set aggregates (HIVE-26185; ref:
+    ql/.../udaf/GenericUDAFRank hypothetical path). Spark has no WITHIN
+    GROUP for these; the standard defines them as count-based
+    aggregates over the hypothetical insertion point:
+
+      rank         = COUNT(c strictly before v) + 1
+      dense_rank   = COUNT(DISTINCT c strictly before v) + 1
+      percent_rank = (rank - 1) / N
+      cume_dist    = (COUNT(c at or before v) + 1) / (N + 1)
+    """
+    pat = re.compile(
+        r"(?i)\b(rank|dense_rank|percent_rank|cume_dist)\s*"
+        r"\(([^()]+)\)\s+WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+"
+        r"([^()]+?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*\)",
+    )
+
+    def repl(m: re.Match) -> str:
+        fn, v, c, direc = m.group(1).lower(), m.group(2).strip(), \
+            m.group(3).strip(), (m.group(4) or "ASC").upper()
+        # Hive sorts NULLs first on ASC (HiveConf default); a NULL key
+        # therefore sits strictly before every non-null hypothetical
+        nulls_first = (m.group(5) or
+                       ("FIRST" if direc == "ASC" else "LAST")).upper() == "FIRST"
+        lt, le = ("<", "<=") if direc == "ASC" else (">", ">=")
+        vs, cs = _split_args(v), _split_args(c)
+        if len(vs) > 1 or len(cs) > 1:
+            # multi-key hypothetical: lexicographic via struct compare
+            v, c = f"struct({v})", f"struct({c})"
+            null_or = ""
+        else:
+            null_or = f"{c} IS NULL OR " if nulls_first else ""
+        before = f"COUNT(CASE WHEN {null_or}{c} {lt} ({v}) THEN 1 END)"
+        at_or_before = f"COUNT(CASE WHEN {null_or}{c} {le} ({v}) THEN 1 END)"
+        if fn == "rank":
+            return f"CAST({before} + 1 AS BIGINT)"
+        if fn == "dense_rank":
+            return (f"CAST(COUNT(DISTINCT CASE WHEN {c} {lt} ({v})"
+                    f" THEN {c} END) + 1 AS BIGINT)")
+        if fn == "percent_rank":
+            return (f"CAST(IF(COUNT(*) = 0, 0.0D,"
+                    f" {before} / COUNT(*)) AS DOUBLE)")
+        return (f"CAST(({at_or_before} + 1) / (COUNT(*) + 1)"
+                f" AS DOUBLE)")
+
+    return pat.sub(repl, stmt)
+
+
 def _rewrite_lateral_table_values(stmt: str) -> str:
     """Calcite-style `LATERAL TABLE(VALUES (..),(..)) AS tf(c1,c2,..)`
     (lateral_view_cbo.q; ref: ql/.../parse/FromClauseParser.g lateral
@@ -3495,6 +3551,11 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
         r"|\bINTERVAL\s*\(", stmt,
     ):
         stmt = _rewrite_alt_intervals(stmt)
+    if re.search(
+        r"(?i)\b(rank|dense_rank|percent_rank|cume_dist)\s*\([^()]*\)\s+"
+        r"WITHIN\s+GROUP\b", stmt,
+    ):
+        stmt = _rewrite_hypothetical_set(stmt)
     if re.search(r"(?i)\bIS\s+(NOT\s+)?DISTINCT\s+FROM\b", stmt):
         # Hive/ANSI IS [NOT] DISTINCT FROM (HiveParser precedenceSimilar)
         # -> Spark's null-safe operator
@@ -4850,6 +4911,165 @@ def _retry_map_comparison(spark, stmt: str, err: Exception):
     return spark.sql(out)
 
 
+def _retry_window_agg_alias(spark, stmt: str, err: Exception):
+    """Hive lets a window spec reference a sibling select-item ALIAS of
+    an aggregate (`max(f) mf, rank() over (order by mf)` —
+    distinct_windowing_no_cbo.q, groupby_grouping_window.q; windows
+    evaluate after GROUP BY, so the alias binds to the aggregate).
+    Spark raises LATERAL_COLUMN_ALIAS_IN_WINDOW / MISSING_AGGREGATION.
+    Inline the aggregate expression into the window spec."""
+    aliases = {}
+    for m in re.finditer(
+        r"(?i)\b((?:max|min|sum|count|avg)\s*\([^()]*\))\s+"
+        r"(?:AS\s+)?`?(\w+)`?\s*(?=,|\bFROM\b)",
+        stmt,
+    ):
+        aliases[m.group(2).lower()] = m.group(1)
+    if not aliases:
+        raise err
+    out, changed = stmt, False
+    for om in list(re.finditer(r"(?i)\bOVER\s*\(", stmt)):
+        close = _matching_paren(stmt, om.end() - 1)
+        if close < 0:
+            continue
+        span = stmt[om.end(): close]
+        new_span = span
+        for al, expr in aliases.items():
+            new_span = re.sub(
+                rf"(?i)\b{al}\b", expr, new_span
+            )
+        if new_span != span:
+            out = out.replace(span, new_span)
+            changed = True
+    if not changed:
+        raise err
+    return spark.sql(out)
+
+
+def _retry_literal_filter(spark, stmt: str, err: Exception):
+    """Hive folds a non-boolean literal in boolean context to a truth
+    value (filter_literals.q: `WHERE 'foo'` scans unfiltered — the CBO
+    plan drops the filter; ref UDFToBoolean): non-empty string / nonzero
+    number -> TRUE, else FALSE. Spark raises FILTER_NOT_BOOLEAN."""
+    def repl(m: re.Match) -> str:
+        lead, lit = m.group(1), m.group(2)
+        if lit.upper() == "NULL":
+            val = False
+        elif lit.startswith("'"):
+            val = lit[1:-1] != ""
+        else:
+            val = float(lit) != 0
+        return lead + ("TRUE" if val else "FALSE")
+
+    fixed = re.sub(
+        r"(?i)(\bWHERE\s+|\bAND\s+|\bOR\s+|\bNOT\s+|\bHAVING\s+)"
+        r"('[^']*'|-?\d+(?:\.\d+)?|NULL)"
+        r"(?=\s*(?:AND\b|OR\b|GROUP\b|ORDER\b|LIMIT\b|UNION\b|\)|;|$))",
+        repl,
+        stmt,
+    )
+    if fixed == stmt:
+        raise err
+    try:
+        return spark.sql(fixed)
+    except Exception as e2:
+        if "FILTER_NOT_BOOLEAN" in str(e2):
+            return _retry_literal_filter(spark, fixed, err)
+        raise
+
+
+def _retry_orderby_hidden_grouping_col(spark, stmt: str, err: Exception):
+    """GROUPING SETS + ORDER BY on a grouping column that is NOT in the
+    select list (groupby_grouping_sets_limit.q): Hive resolves the
+    hidden column; Spark's missing-attribute resolution gives up under
+    grouping sets. Rewrite to an inner query that projects the hidden
+    order columns (keeping ORDER BY + LIMIT inside, where they bind)
+    and an outer projection of the original select list."""
+    if not re.search(r"(?i)\b(GROUPING\s+SETS|CUBE|ROLLUP)\b", stmt):
+        raise err
+    m = re.match(
+        r"(?is)^\s*SELECT\s+(.*?)\s+(FROM\s+.*?)"
+        r"(?:\s+HAVING\s+(.*?))?"
+        r"(?:\s+ORDER\s+BY\s+(.*?))?"
+        r"(\s+LIMIT\s+\d+)?\s*$",
+        stmt,
+    )
+    if not m or (m.group(3) is None and m.group(4) is None):
+        raise err
+    sl, body = m.group(1), m.group(2)
+    hv, ob, lim = m.group(3), m.group(4) or "", m.group(5) or ""
+    items = _split_args(sl)
+    names, inner_items = [], []
+    for i, it in enumerate(items):
+        am = re.search(r"(?is)\s+AS\s+(`?\w+`?)\s*$", it)
+        if am:
+            names.append(am.group(1))
+            inner_items.append(it)
+        elif re.fullmatch(r"\s*[\w.`]+\s*", it):
+            names.append(it.strip().rsplit(".", 1)[-1])
+            inner_items.append(it)
+        else:
+            names.append(f"__hc{i}")
+            inner_items.append(f"{it} AS __hc{i}")
+    # hidden = order keys not already projected: plain identifiers are
+    # added to the inner projection; expression keys that TEXTUALLY
+    # match a projected expression are re-pointed at its alias
+    def norm(x: str) -> str:
+        return re.sub(r"\s+", "", x).strip("`").lower()
+
+    lowset = {n.strip("`").lower() for n in names}
+    expr_alias = {
+        norm(re.sub(r"(?is)\s+AS\s+`?\w+`?\s*$", "", it)): names[i]
+        for i, it in enumerate(inner_items)
+    }
+    extra, ob_parts, changed = [], [], False
+    for ocol in _split_args(ob) if ob else []:
+        tail_m = re.search(
+            r"(?i)\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", ocol
+        )
+        tail = tail_m.group(0) if tail_m else ""
+        base = ocol[: tail_m.start()].strip() if tail_m else ocol.strip()
+        if re.fullmatch(r"[\w.`]+", base):
+            if base.strip("`").rsplit(".", 1)[-1].lower() not in lowset:
+                extra.append(base)
+                changed = True
+            ob_parts.append(ocol)
+        elif norm(base) in expr_alias:
+            ob_parts.append(expr_alias[norm(base)] + tail)
+            changed = True
+        else:
+            ob_parts.append(ocol)
+    # HAVING under grouping sets: move to an outer WHERE with each
+    # select-expression occurrence re-pointed at its inner alias
+    # (Spark re-resolves upper(a)'s `a` instead of matching the
+    # grouping expression — groupby_grouping_sets_pushdown1.q)
+    where = ""
+    if hv:
+        cond = hv
+        for nexpr, alias in sorted(
+            expr_alias.items(), key=lambda kv: -len(kv[0])
+        ):
+            if not re.fullmatch(r"[\w.`]+", nexpr):
+                # textual replace of the expression, whitespace-tolerant
+                pat = re.escape(nexpr).replace(r"\(", r"\s*\(\s*").replace(
+                    r"\)", r"\s*\)").replace(",", r"\s*,\s*")
+                new_cond = re.sub(pat, alias, cond, flags=re.I)
+                if new_cond != cond:
+                    cond, changed = new_cond, True
+        where = f" WHERE {cond}"
+    if not changed:
+        raise err
+    inner = (
+        f"SELECT {', '.join(inner_items + extra)} {body}"
+        + (f" ORDER BY {', '.join(ob_parts)}{lim}" if ob and not hv else "")
+    )
+    outer = (
+        f"SELECT {', '.join(names)} FROM ({inner}) __hsub{where}"
+        + (f" ORDER BY {', '.join(ob_parts)}{lim}" if ob and hv else "")
+    )
+    return spark.sql(outer)
+
+
 def _retry_partial_cte_aliases(spark, stmt: str, err: Exception):
     """Hive permits a PARTIAL column-alias list on a CTE — `with cte1(a)
     as (select x, y ...)` renames only the first k output columns and
@@ -5647,6 +5867,34 @@ def _exec_import(spark: SparkSession, m: re.Match) -> None:
     from hive_spark import ddl
 
     name, src = m.group(1), _exim_path(m.group(2))
+    if not os.path.exists(os.path.join(src, "_metadata.json")) and \
+            os.path.exists(os.path.join(src, "_metadata")):
+        # a dump written by HIVE's own EXPORT (import_exported_table.q;
+        # ref: ql/.../parse/EximUtil.java writeMetaData — the table is a
+        # thrift-JSON blob): recover name/columns/delimiter and load the
+        # text data directory through the csv reader
+        raw = json.load(open(os.path.join(src, "_metadata")))
+        tbl = json.loads(raw["table"])
+        tname = name or tbl["1"]["str"]
+        sd = tbl["7"]["rec"]
+        cols = sd["1"]["lst"][2:]
+        delim = ","
+        try:
+            delim = sd["7"]["rec"]["3"]["map"][3].get("field.delim", "\x01")
+        except Exception:
+            pass
+        ddl_cols = ", ".join(
+            f"`{c['1']['str']}` {c['2']['str']}" for c in cols
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{tname}`")
+        spark.sql(f"CREATE TABLE `{tname}` ({ddl_cols}) USING parquet")
+        df = (
+            spark.read.option("sep", delim)
+            .schema(ddl_cols.replace("`", ""))
+            .csv(os.path.join(src, "data"))
+        )
+        df.write.insertInto(tname, overwrite=True)
+        return
     meta = json.load(open(os.path.join(src, "_metadata.json")))
     if not name:
         name = meta["table"].split(".")[-1]
@@ -7269,6 +7517,21 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                     df = spark.sql(fixed)
                 elif "ASSIGNMENT_ARITY_MISMATCH" in str(e):
                     df = _retry_partial_cte_aliases(spark, rewritten, e)
+                elif "FILTER_NOT_BOOLEAN" in str(e):
+                    df = _retry_literal_filter(spark, rewritten, e)
+                elif ("LATERAL_COLUMN_ALIAS_IN_WINDOW" in str(e)
+                      or ("MISSING_AGGREGATION" in str(e)
+                          and re.search(r"(?i)\bOVER\s*\(", rewritten))):
+                    df = _retry_window_agg_alias(spark, rewritten, e)
+                elif ("UNRESOLVED_COLUMN" in str(e)
+                      and re.search(
+                          r"(?i)\b(ORDER\s+BY|HAVING)\b", rewritten)
+                      and re.search(
+                          r"(?i)\b(GROUPING\s+SETS|CUBE|ROLLUP)\b",
+                          rewritten)):
+                    df = _retry_orderby_hidden_grouping_col(
+                        spark, rewritten, e
+                    )
                 elif "DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION" in str(e):
                     # numeric literal wider than DECIMAL(38): Hive types
                     # it DOUBLE (json_serde3.q 1e39-scale constants);

@@ -153,6 +153,15 @@ def spark_type(schema, names: dict | None = None) -> str:
     schema = _skip_to_named(schema)
     if isinstance(schema, list):
         non_null = [s for s in schema if s != "null"]
+        if len(non_null) > 1:
+            # multi-branch union -> Hive UNIONTYPE (SchemaToTypeInfo
+            # generateUnionTypeInfo), emitted in the engine's
+            # tagged-struct emulation (avro_nullable_union.q)
+            fields = ", ".join(
+                f"field{i}:{spark_type(s, names)}"
+                for i, s in enumerate(non_null)
+            )
+            return f"struct<tag:int, {fields}>"
         return spark_type(non_null[0] if non_null else "string", names)
     if isinstance(schema, str):
         if schema in names:
