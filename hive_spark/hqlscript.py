@@ -179,6 +179,10 @@ _METADATA_NOOP = re.compile(
     r"|ALTER\s+TABLE\s+[\w.`]+\s+PARTITION\s*\([^)]*\)\s+"
     r"UPDATE\s+STATISTICS\b"
     r"|ALTER\s+TABLE\s+[\w.`]+\s+PARTITION\s+COLUMN\s*\("
+    # HBase/LLAP file-metadata cache priming (ref: ql/.../ddl/table/
+    # AnalyzeCacheMetadata) — no cache tier here, a no-op
+    r"|ANALYZE\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
+    r"CACHE\s+METADATA\s*$"
     r"|ALTER\s+MATERIALIZED\s+VIEW\s+[\w.`]+\s+(?:ENABLE|DISABLE)\s+REWRITE\b"
     # HAR archiving moves partition files into an archive but keeps them
     # readable (ql/.../ddl/table/partition/archive) — a layout-only op
@@ -377,6 +381,11 @@ def _exec_dfs(stmt: str, res) -> None:
             shutil.move(s, dst)
     elif op == "-touchz":
         for p in paths:
+            # Hive pre-creates a table's LOCATION dir at CREATE time;
+            # Spark defers until first write — materialize the parent
+            # so touchz into a fresh table dir works (bucket_if_with_
+            # path_filter.q)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
             open(p, "a").close()
     else:
         res.skipped.append(stmt)
@@ -1179,15 +1188,26 @@ def _rewrite_stored_as(stmt: str) -> str:
     # OpenCSVSerde implies and store natively (RegexSerDe's pattern
     # surface is served by the ddl.py API — tests/test_ddl.py)
     rs = _ROW_FORMAT_SERDE.search(stmt)
+    serde_text = False
     if rs:
         _TABLE_DELIMS[name_m.group(1).lower()] = (
             "," if "opencsv" in rs.group(0).lower() else "\x01"
         )
         stmt = stmt[: rs.start()] + stmt[rs.end():]
         # JsonSerDe tables hold one JSON document per line — Spark's
-        # json source IS that serde (LOAD DATA + SELECT both line up)
-        if "jsonserde" in rs.group(0).lower():
+        # json source IS that serde (LOAD DATA + SELECT both line up).
+        # EXCEPT non-string map keys: JSON object keys are strings, and
+        # the json reader ClassCasts writing/reading map<int,...>
+        # (json_serde1.q table 2) — those tables store natively instead
+        if "jsonserde" in rs.group(0).lower() and not re.search(
+            r"(?i)map\s*<\s*(?!string\b)", stmt
+        ):
             provider = "json"
+        # OpenCSV/LazySimple serdes read delimited TEXT: an EXTERNAL
+        # LOCATION table must go through the csv reader like ROW
+        # FORMAT DELIMITED does (compressed_skip_header_footer_aggr.q)
+        if re.search(r"(?i)opencsv|lazysimple", rs.group(0)):
+            serde_text = True
         provider = provider or "parquet"
     rf = _ROW_FORMAT.search(stmt)
     if rf:
@@ -1213,6 +1233,8 @@ def _rewrite_stored_as(stmt: str) -> str:
         text_like = False
     sa = _STORED_AS.search(stmt)
     if sa and sa.group(1).lower() in ("textfile", "csv"):
+        text_like = True
+    if serde_text and (not sa or sa.group(1).lower() == "textfile"):
         text_like = True
     if sa:
         provider = _STORED_AS_USING.get(sa.group(1).lower()) or provider \
@@ -1361,7 +1383,10 @@ def _rewrite_stored_as(stmt: str) -> str:
             )
             if like_m:
                 at += like_m.end()
-        stmt = stmt[:at] + f" USING {provider}{provider_opts}" + stmt[at:]
+        tail = stmt[at:]
+        if tail[:1].isalnum():
+            tail = " " + tail  # `)CLUSTERED BY` — no whitespace in source
+        stmt = stmt[:at] + f" USING {provider}{provider_opts}" + tail
     return stmt
 
 
@@ -1629,7 +1654,13 @@ def _rewrite_window_specs(stmt: str) -> str:
 # PTF partition, irrelevant for identity), so the source relation
 # substitutes directly. Real PTFs (MatchPath) run through
 # operators/extension.py.
-_PTF_NOOP_OPEN = re.compile(r"\b(noop|noopwithmap)\s*\(\s*on\b", re.I)
+_PTF_NOOP_OPEN = re.compile(
+    # the *streaming variants (ptf_streaming.q) are the same identity
+    # PTFs executed through Hive's streaming mode — no result change
+    r"\b(noop|noopwithmap|noopstreaming|noopwithmapstreaming)"
+    r"\s*\(\s*on\b",
+    re.I,
+)
 _PTF_SPEC_KEYWORD = re.compile(
     r"\b(?:partition\s+by|order\s+by|sort\s+by|distribute\s+by|"
     r"cluster\s+by)\b",
@@ -3716,9 +3747,16 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     # SHOW TABLE EXTENDED LIKE <ident>: Hive accepts a bare or backticked
     # identifier pattern; Spark requires a quoted string
     stmt = re.sub(
-        r"(?i)^(\s*SHOW\s+TABLE\s+EXTENDED\s+(?:IN\s+[\w.]+\s+)?LIKE\s+)"
+        r"(?i)^(\s*(?:EXPLAIN\s+)?SHOW\s+TABLE\s+EXTENDED\s+"
+        r"(?:(?:IN|FROM)\s+[\w.]+\s+)?LIKE\s+)"
         r"`?([\w*|]+)`?",
         lambda m: m.group(1) + "'" + m.group(2) + "'",
+        stmt,
+    )
+    # Hive's FROM-db spelling of the same statement
+    stmt = re.sub(
+        r"(?i)^(\s*(?:EXPLAIN\s+)?SHOW\s+TABLE\s+EXTENDED\s+)FROM(\s+)",
+        r"\1IN\2",
         stmt,
     )
     # pfile:// is QTestUtil's ProxyLocalFileSystem — a local FS under a
@@ -3936,7 +3974,15 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
                 if "=" in kv:
                     k, v = kv.split("=", 1)
                     v = v.strip()
-                    if v and v[0] not in "'\"":
+                    # typed literals (dt=date '2000-01-01', ts=timestamp
+                    # '...'): the partition VALUE is the literal's string
+                    # form (partition_date2.q)
+                    tm = re.match(
+                        r"(?i)^(date|timestamp)\s+('[^']*')$", v
+                    )
+                    if tm:
+                        v = tm.group(2)
+                    elif v and v[0] not in "'\"":
                         v = "'" + v + "'"
                     parts.append(f"{k.strip()}={v}")
                 else:
@@ -6200,6 +6246,166 @@ _DROP_MACRO = re.compile(r"^\s*DROP\s+TEMPORARY\s+MACRO\s+(?:IF\s+EXISTS\s+)?(\w
 # session-scoped macro registry (Hive macros live for the session)
 _MACROS: dict[int, dict[str, tuple[list[str], str]]] = {}
 
+# SQL-text MatchPath PTF: `FROM matchpath(on <rel> [distribute by ...]
+# [sort by ...] arg1('<pattern>'), arg2('SYM'), arg3(<pred>), ...,
+# argN('<result list>'))` (ref: ql/.../udf/ptf/MatchPath.java — symbols
+# are named predicates, the pattern is a concatenation of symbols with
+# + / * quantifiers, each row starting a match emits one row whose
+# `tpath` is the matched path as an array of input-row structs).
+_MATCHPATH_FNS: dict[int, set] = {}
+_MP_SEQ = [0]
+
+
+def _exec_matchpath_ptf(spark: SparkSession, stmt: str, names: set) -> str:
+    import pandas as pd  # noqa: F401 (applyInPandas payload)
+
+    for fname in names:
+        while True:
+            m = re.search(rf"(?i)\b{fname}\s*\(\s*on\b", stmt)
+            if not m:
+                break
+            open_i = stmt.index("(", m.start())
+            close_i = _matching_paren(stmt, open_i)
+            body = stmt[open_i + 1: close_i]
+            view = _run_matchpath(spark, body)
+            stmt = (
+                stmt[: m.start()]
+                + f"(SELECT * FROM {view}) {view}_a"
+                + stmt[close_i + 1:]
+            )
+    return stmt
+
+
+def _run_matchpath(spark: SparkSession, body: str) -> str:
+    """Execute one matchpath(ON ...) invocation body; returns the name
+    of a temp view holding the arg-result projection."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # ON <relation>: bare table name or (subquery) alias
+    bm = re.match(r"(?is)\s*on\s+", body)
+    rest = body[bm.end():]
+    if rest.lstrip().startswith("("):
+        o = rest.index("(")
+        c = _matching_paren(rest, o)
+        rel_sql = rest[o + 1: c]
+        rest = re.sub(r"^\s*\w+", "", rest[c + 1:], count=1)  # drop alias
+        rel = spark.sql(rewrite_statement(spark, rel_sql))
+    else:
+        tm = re.match(r"\s*([\w.`]+)", rest)
+        rel = spark.table(tm.group(1))
+        rest = rest[tm.end():]
+    pm = re.search(
+        r"(?is)\b(?:distribute|partition)\s+by\s+(.*?)"
+        r"(?=\bsort\s+by\b|\border\s+by\b|\barg1\b)", rest)
+    om = re.search(r"(?is)\b(?:sort|order)\s+by\s+(.*?)(?=\barg1\b)", rest)
+    part_cols = [c.strip() for c in pm.group(1).split(",")] if pm else []
+    order_cols = []
+    for oc in (om.group(1).split(",") if om else []):
+        oc = oc.strip()
+        if oc:
+            order_cols.append(
+                (re.sub(r"(?i)\s+(asc|desc)\s*$", "", oc).strip(),
+                 not re.search(r"(?i)\bdesc\s*$", oc))
+            )
+    # argN(...) in order
+    args = []
+    for am in re.finditer(r"(?i)\barg\d+\s*\(", rest):
+        c = _matching_paren(rest, am.end() - 1)
+        args.append(rest[am.end(): c].strip())
+    pattern, result_list = args[0].strip("'\""), args[-1].strip("'\"")
+    symbols = {}
+    for i in range(1, len(args) - 1, 2):
+        symbols[args[i].strip("'\"").lower()] = args[i + 1]
+
+    in_cols = rel.columns
+    work = rel
+    sym_cols = []
+    for sname, pred in symbols.items():
+        scol = f"__mp_{sname}"
+        work = work.withColumn(scol, F.expr(pred))
+        sym_cols.append((sname, scol))
+    # compile pattern: tokens NAME / NAME+ / NAME*
+    toks = []
+    for tok in pattern.split("."):
+        tok = tok.strip()
+        q = ""
+        if tok and tok[-1] in "+*":
+            tok, q = tok[:-1], tok[-1]
+        toks.append((tok.lower(), q))
+
+    struct_t = T.StructType([f for f in rel.schema.fields])
+    out_schema = T.StructType(
+        list(rel.schema.fields) + [T.StructField(
+            "tpath", T.ArrayType(struct_t))]
+    )
+    order_names = [c for c, _asc in order_cols]
+    order_asc = [asc for _c, asc in order_cols]
+    tok_list, sym_list = toks, [s for s, _ in sym_cols]
+
+    def match(pdf):
+        import pandas as pd
+
+        if order_names:
+            # SQL resolution is case-insensitive; pandas' is not
+            low = {c.lower(): c for c in pdf.columns}
+            pdf = pdf.sort_values(
+                [low.get(c.lower(), c) for c in order_names],
+                ascending=order_asc,
+            ).reset_index(drop=True)
+        flags = {s: pdf[f"__mp_{s}"].fillna(False).tolist()
+                 for s in sym_list}
+        n = len(pdf)
+        base = pdf[in_cols]
+        rows = base.to_dict("records")
+        out = []
+        for start in range(n):
+            j = start
+            ok = True
+            for sym, q in tok_list:
+                fl = flags[sym]
+                if q == "":
+                    if j < n and fl[j]:
+                        j += 1
+                    else:
+                        ok = False
+                        break
+                else:
+                    cnt = 0
+                    while j < n and fl[j]:
+                        j += 1
+                        cnt += 1
+                    if q == "+" and cnt < 1:
+                        ok = False
+                        break
+            if ok:
+                r = dict(rows[start])
+                r["tpath"] = rows[start:j]
+                out.append(r)
+        return pd.DataFrame(
+            out, columns=in_cols + ["tpath"]
+        ) if out else pd.DataFrame(columns=in_cols + ["tpath"])
+
+    if part_cols:
+        matched = work.groupBy(*part_cols).applyInPandas(match, out_schema)
+    else:
+        # one global partition (a bare int literal in groupBy would be
+        # taken as a group-by ORDINAL)
+        matched = (
+            work.withColumn("__mp_g", F.lit(1))
+            .groupBy("__mp_g")
+            .applyInPandas(match, out_schema)
+        )
+    _MP_SEQ[0] += 1
+    raw = f"__mp_raw_{_MP_SEQ[0]}"
+    view = f"__mp_{_MP_SEQ[0]}"
+    matched.createOrReplaceTempView(raw)
+    spark.sql(
+        f"SELECT {result_list} FROM {raw}"
+    ).createOrReplaceTempView(view)
+    return view
+
+
 # CREATE TEMPORARY FUNCTION <name> AS '<class>' for the reference's own
 # test/example UDF classes (ql/src/test/org/apache/hadoop/hive/ql/udf/*,
 # contrib/src/java/.../udf/example/*): each maps onto the equivalent
@@ -6266,7 +6472,7 @@ _FUNCTION_CLASS_FOLDS: dict[str, object] = {
         lambda a: f"CAST({a[0]} AS BOOLEAN)",
 }
 _CREATE_FUNCTION_CLASS = re.compile(
-    r"^\s*CREATE\s+TEMPORARY\s+FUNCTION\s+(\w+)\s+AS\s+'([\w.]+)'\s*$", re.I
+    r"^\s*CREATE\s+TEMPORARY\s+FUNCTION\s+(\w+)\s+AS\s+'([\w.$]+)'\s*$", re.I
 )
 _DROP_FUNCTION = re.compile(
     r"^\s*DROP\s+TEMPORARY\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I
@@ -7366,6 +7572,13 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 )
                 continue
             m = _CREATE_FUNCTION_CLASS.match(stmt)
+            if m and "MatchPath" in m.group(2):
+                # a user-registered alias of the MatchPath PTF
+                # (ptf_register_tblfn.q)
+                _MATCHPATH_FNS.setdefault(id(spark), {"matchpath"}).add(
+                    m.group(1).lower()
+                )
+                continue
             if m and m.group(2) in _FUNCTION_CLASS_FOLDS:
                 _FUNC_FOLDS.setdefault(id(spark), {})[m.group(1).lower()] = (
                     _FUNCTION_CLASS_FOLDS[m.group(2)]
@@ -7376,6 +7589,11 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 m.group(1).lower(), None
             ) is not None:
                 continue
+            if m and m.group(1).lower() in _MATCHPATH_FNS.get(
+                id(spark), set()
+            ):
+                _MATCHPATH_FNS[id(spark)].discard(m.group(1).lower())
+                continue
             if _exec_dml(spark, res, stmt):
                 continue
             if (
@@ -7385,6 +7603,11 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                 and re.search(r"`[^`]+`", stmt)
             ):
                 stmt = _expand_regex_columns(spark, stmt)
+            _mp_names = _MATCHPATH_FNS.get(id(spark), {"matchpath"})
+            if any(
+                re.search(rf"(?i)\b{n}\s*\(\s*on\b", stmt) for n in _mp_names
+            ):
+                stmt = _exec_matchpath_ptf(spark, stmt, _mp_names)
             rewritten = rewrite_statement(spark, stmt)
             # hive.optimize.cte.materialize.threshold: spool WITH-CTEs
             # referenced >= threshold times (ref: TableScanToSpoolRule;
