@@ -3341,23 +3341,47 @@ def _rewrite_hypothetical_set(stmt: str) -> str:
             m.group(3).strip(), (m.group(4) or "ASC").upper()
         # Hive sorts NULLs first on ASC (HiveConf default); a NULL key
         # therefore sits strictly before every non-null hypothetical
-        nulls_first = (m.group(5) or
-                       ("FIRST" if direc == "ASC" else "LAST")).upper() == "FIRST"
         lt, le = ("<", "<=") if direc == "ASC" else (">", ">=")
         vs, cs = _split_args(v), _split_args(c)
-        if len(vs) > 1 or len(cs) > 1:
-            # multi-key hypothetical: lexicographic via struct compare
-            v, c = f"struct({v})", f"struct({c})"
-            null_or = ""
+        # NULL keys count as "before" the hypothetical row ONLY under an
+        # EXPLICIT `ASC NULLS FIRST` or `DESC NULLS LAST` — matched
+        # empirically against the hypothetical_set_aggregates.q golden
+        # (rank(4) over 4 NULL rows: asc 2, asc nulls first 6, asc nulls
+        # last 2, desc 13, desc nulls first 13, desc nulls LAST 17 —
+        # Hive resolves the spec against the ASC comparator and then
+        # reverses the WHOLE order for DESC, nulls flag included)
+        if m.group(5):
+            count_nulls = (direc == "ASC") == (m.group(5).upper() == "FIRST")
         else:
-            null_or = f"{c} IS NULL OR " if nulls_first else ""
-        before = f"COUNT(CASE WHEN {null_or}{c} {lt} ({v}) THEN 1 END)"
-        at_or_before = f"COUNT(CASE WHEN {null_or}{c} {le} ({v}) THEN 1 END)"
+            count_nulls = False
+        guard = ""
+        null_or = ""
+        if len(vs) > 1 or len(cs) > 1:
+            # multi-key: lexicographic via struct compare; Spark struct
+            # ordering puts NULL fields first, so a NULL leading key
+            # must be excluded explicitly (dense_rank(2,1) golden = 1)
+            guard = f"{cs[0]} IS NOT NULL AND "
+            if count_nulls:
+                null_or = f"{cs[0]} IS NULL OR "
+                guard = ""
+            v, c = f"struct({v})", f"struct({c})"
+        elif count_nulls:
+            null_or = f"{c} IS NULL OR "
+        before = (f"COUNT(CASE WHEN {null_or}{guard}{c} {lt} ({v})"
+                  " THEN 1 END)")
+        at_or_before = (f"COUNT(CASE WHEN {null_or}{guard}{c} {le} ({v})"
+                        " THEN 1 END)")
         if fn == "rank":
             return f"CAST({before} + 1 AS BIGINT)"
         if fn == "dense_rank":
-            return (f"CAST(COUNT(DISTINCT CASE WHEN {c} {lt} ({v})"
-                    f" THEN {c} END) + 1 AS BIGINT)")
+            # NULL keys form one dense group when counted
+            dn = (f"CAST(COUNT(DISTINCT CASE WHEN {guard}{c} {lt} ({v})"
+                  f" THEN {c} END) + 1 AS BIGINT)")
+            if count_nulls:
+                kc = cs[0]
+                dn = (f"CAST({dn} + MAX(CASE WHEN {kc} IS NULL THEN 1"
+                      " ELSE 0 END) AS BIGINT)")
+            return dn
         if fn == "percent_rank":
             return (f"CAST(IF(COUNT(*) = 0, 0.0D,"
                     f" {before} / COUNT(*)) AS DOUBLE)")
@@ -5002,7 +5026,10 @@ def _retry_literal_filter(spark, stmt: str, err: Exception):
         if lit.upper() == "NULL":
             val = False
         elif lit.startswith("'"):
-            val = lit[1:-1] != ""
+            # PrimitiveObjectInspectorUtils.getBoolean(String): empty
+            # and (case-insensitive) "false" are FALSE, anything else
+            # TRUE (golden: WHERE 'foo' scans all, WHERE 'false' -> 0)
+            val = lit[1:-1] != "" and lit[1:-1].lower() != "false"
         else:
             val = float(lit) != 0
         return lead + ("TRUE" if val else "FALSE")
