@@ -841,3 +841,74 @@ def _q74_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["tpcds_q74_yoy_growth"] = QuerySpec(_q74_materialized, _oracle(_Q74))
+
+
+# r9 optimization (guide §2.4 "remove shuffles outright"): _Q75's
+# `FROM agg curr_yr, agg prev_yr` self-join makes Spark evaluate the agg
+# CTE TWICE — 6 fact-scan legs (3 channels x 2 years), two final-agg
+# exchanges, a sort + SortMergeJoin. The year filters push into each
+# copy's date_dim, so neither copy is cheaper than a full channel scan.
+# Rewrite: scan each channel ONCE with d_year IN (1996, 1997), then pair
+# the years by conditional aggregation on (brand, category) — no
+# self-join at all. Equivalence to the inner join:
+#   * a (brand, category) row survives only when prev_cnt > 0 (NULL > 0
+#     is false, covering both a missing 1996 group and an all-NULL sum)
+#     and curr_cnt/prev_cnt < 0.9 (NULL ratio when 1997 is missing);
+#     exactly the rows the join + WHERE keeps;
+#   * the join drops NULL brand/category keys (NULL = NULL is not true);
+#     the WHERE ... IS NOT NULL below replicates that before grouping.
+# Oracle stays the original self-join SQL (_Q75): DuckDB re-verifies
+# value identity every round.
+_Q75_ONEPASS = (
+    "WITH all_sales AS ("
+    + _CHANNEL_NET.format(
+        fact="catalog_sales", item="cs_item_sk", datecol="cs_sold_date_sk",
+        q="cs_quantity", amt="cs_ext_sales_price", ret="catalog_returns",
+        okey="cs_order_number", rokey="cr_order_number",
+        ritem="cr_item_sk", rq="cr_return_quantity", ramt="cr_return_amount")
+    + "\n  UNION ALL"
+    + _CHANNEL_NET.format(
+        fact="store_sales", item="ss_item_sk", datecol="ss_sold_date_sk",
+        q="ss_quantity", amt="ss_ext_sales_price", ret="store_returns",
+        okey="ss_ticket_number", rokey="sr_ticket_number",
+        ritem="sr_item_sk", rq="sr_return_quantity", ramt="sr_return_amt")
+    + "\n  UNION ALL"
+    + _CHANNEL_NET.format(
+        fact="web_sales", item="ws_item_sk", datecol="ws_sold_date_sk",
+        q="ws_quantity", amt="ws_ext_sales_price", ret="web_returns",
+        okey="ws_order_number", rokey="wr_order_number",
+        ritem="wr_item_sk", rq="wr_return_quantity", ramt="wr_return_amt")
+    + """),
+pair AS (
+  SELECT i_brand_id, i_category_id,
+         SUM(CASE WHEN d_year = 1997 THEN sales_cnt END) AS curr_cnt,
+         SUM(CASE WHEN d_year = 1996 THEN sales_cnt END) AS prev_cnt,
+         SUM(CASE WHEN d_year = 1997 THEN sales_amt END) AS curr_amt,
+         SUM(CASE WHEN d_year = 1996 THEN sales_amt END) AS prev_amt
+  FROM all_sales
+  WHERE i_brand_id IS NOT NULL AND i_category_id IS NOT NULL
+  GROUP BY i_brand_id, i_category_id)
+SELECT 1996 AS prev_year, 1997 AS yr, i_brand_id, i_category_id,
+       prev_cnt, curr_cnt,
+       CAST(curr_amt - prev_amt AS DOUBLE) / 100 AS sales_amt_diff
+FROM pair
+WHERE prev_cnt > 0
+  AND CAST(curr_cnt AS DOUBLE) / prev_cnt < 0.9
+ORDER BY sales_amt_diff, i_brand_id, i_category_id
+LIMIT 100"""
+).replace(
+    "WHERE i_category = 'STANDARD'",
+    "WHERE i_category = 'STANDARD' AND d_year IN (1996, 1997)",
+)
+
+
+def _q75_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_star(spark, sf_dir)
+    return spark.sql(_Q75_ONEPASS)
+
+
+REGISTRY["tpcds_q75_prior_year_delta"] = QuerySpec(
+    _q75_onepass, _oracle(_Q75),
+    "year self-join folded into one conditional aggregation (3 fact"
+    " legs instead of 6); oracle keeps the self-join SQL",
+)

@@ -391,6 +391,69 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 rewritten for scale (r9 optimization round, guide §2.3
+    "narrower types" + the q1 fixed-point precedent): the SQL-text plan
+    computes per-row `DECIMAL(32,6) - DECIMAL(32,6)` and feeds
+    SUM(DECIMAL(32,6)) — Spark's decimal Sum accumulates through
+    BigDecimal for results over 18 digits (~3x a codegen'd long sum,
+    measured on q1). Here the whole amount expression moves to exact
+    fixed-point BIGINT at scale 6:
+
+      rev6    = round(price*100) * (10000 - round(disc*10000))
+      cost6   = round(retail*100) * round(qty*100) * 100
+      amount6 = rev6 - cost6            (|amount6| <= ~2.2e11/row)
+
+    summed via `_sum_hi_lo` (exact to ~9e9 rows/partial) and converted
+    to DECIMAL(38,6) only for the final ~175 group rows. Join shape is
+    unchanged from the SQL plan (part/supplier/nation broadcast; orders
+    joins on l_orderkey; one agg exchange + the final sort) — only the
+    per-row arithmetic and the aggregate representation move. Oracle
+    stays the original decimal SQL (_Q9): DuckDB verifies the rewrite
+    is value-identical (round(x*100) == CAST(x AS DECIMAL(18,2))*100 on
+    this data — the q1-pinned equivalence)."""
+    from hive_spark.operators.tpch import _sum_hi_lo
+
+    t = views(spark, sf_dir)
+    part = (
+        t["part"]
+        .filter(F.col("p_name").like("%r%"))
+        .select(
+            "p_partkey",
+            F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("_rpc"),
+        )
+    )
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    nation = t["nation"].select("n_nationkey", "n_name")
+    orders = t["orders"].select(
+        "o_orderkey", F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year")
+    )
+    line = t["lineitem"].select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (10000 - CAST(round(l_discount * 10000) AS BIGINT))"
+        ).alias("_rev6"),
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("_qc"),
+    )
+    joined = (
+        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy(F.col("n_name").alias("nation"), "o_year").agg(
+        _sum_hi_lo("_rev6 - _rpc * _qc * 100", 3e11).alias("_s")
+    )
+    return agg.select(
+        "nation",
+        "o_year",
+        (F.col("_s") / 1000000).cast("decimal(38,6)").alias("sum_profit"),
+    ).orderBy("nation", F.desc("o_year"))
+
+
 def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 rewritten for scale (r4/r6 judge directive: the naive
     plan was the board's worst ratio 3 rounds running). The SQL-text
@@ -443,6 +506,12 @@ REGISTRY["tpch_q21"] = QuerySpec(
     q21_suppliers_kept_waiting,
     _Q21,
     "EXISTS pair rewritten to one per-order window pass; oracle keeps the EXISTS SQL",
+)
+REGISTRY["tpch_q9"] = QuerySpec(
+    q9_product_profit,
+    _Q9,
+    "fixed-point BIGINT profit aggregation (q1 pattern); oracle keeps"
+    " the decimal SQL",
 )
 REGISTRY["tpch_q13"] = QuerySpec(
     q13_custdist,

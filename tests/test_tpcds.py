@@ -115,3 +115,19 @@ def test_star_table_matches_oracle(spark, sf_dir, table):
         tpcds._oracle(f"SELECT * FROM {table}"),
         sf_dir,
     )
+
+
+def test_parallel_star_build_cold(spark, sf_dir):
+    """r9 optimization: the star ETL builds its ~21 views from a thread
+    pool (dependency-ordered). Force a cache-miss rebuild through the
+    parallel path and pin (a) dependents see materialized upstreams —
+    checked via a view that READS other views (mss) — and (b) the
+    rebuilt tables still match the DuckDB derivation."""
+    t = tpcds.measure_cold_star_build(spark, sf_dir)
+    assert t > 0.0  # really rebuilt, not a cache hit
+    for table in ("mss", "store_sales", "date_dim"):
+        compare(
+            spark.table(table),
+            tpcds._oracle(f"SELECT * FROM {table}"),
+            sf_dir,
+        )
