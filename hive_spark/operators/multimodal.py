@@ -109,7 +109,11 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas: byte count,
     head byte, and an order-independent byte checksum per document."""
     views(spark, sf_dir)
-    docs = _binary_docs(spark)
+    # guide §4.1: Spark cannot see which columns an opaque mapInPandas
+    # touches, so without this select the unused `meta` struct (carrying
+    # a SECOND encode(text)) is computed and shipped through Arrow too
+    # (r9 before-plan: MapInPandas Input [3] incl. meta#946)
+    docs = _binary_docs(spark).select("doc_id", "payload")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -154,7 +158,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; explode happens inside the Arrow batch, not as a Spark
     generator, so the blob crosses the JVM<->Python boundary once)."""
     views(spark, sf_dir)
-    docs = _binary_docs(spark)
+    # guide §4.1: ship only the columns the function reads (see
+    # mm_features — drops the meta struct from the Arrow boundary)
+    docs = _binary_docs(spark).select("doc_id", "payload")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -4,6 +4,7 @@ WindowGroupLimit top-k, exchange reuse)."""
 
 import contextlib
 import io
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -46,9 +47,16 @@ def test_tfidf_topk_invariants(spark, sf_dir):
     assert w.filter(F.col("prev") < F.col("score")).count() == 0
 
 
-def test_tfidf_plan_broadcasts_vocab_and_limits_window(spark, sf_dir):
+def test_tfidf_plan_single_tf_derivation(spark, sf_dir):
     plan = explain(text3.text_tfidf_topk(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan  # vocab (df) side broadcast, hinted
+    # r9: df = COUNT(*) OVER (PARTITION BY tok) on the tf aggregate —
+    # the old `GROUP BY tok` CTE re-derived tf (3 documents scans, two
+    # explode+agg passes; ReuseExchange never fired because column
+    # pruning de-canonicalized the copies). Pin the single derivation:
+    # exactly 2 scans (tf + the 1-row n_docs count), no tok join.
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 2, plan
+    assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan  # top-k pushdown, no full sort per doc
 
 
