@@ -76,6 +76,9 @@ def main():
             except Exception:
                 conf_prev[k] = None
         try:
+            from tests.qtest_fixture_lib import ensure_declared_datasets
+
+            ensure_declared_datasets(spark, text)
             res = run_script(spark, text)
             from tests.qtest_fixture_lib import final_rowcount
 
