@@ -5468,7 +5468,22 @@ def _rewrite_table_inplace(spark: SparkSession, table: str, out) -> None:
         if kept_parts:
             from urllib.parse import unquote as _unq
 
+            # only restore partitions that DID go missing (emptied by
+            # DML, so the recreate's file discovery can't see them):
+            # ADD IF NOT EXISTS on a partition saveAsTable already
+            # registered is not a metadata no-op — it re-registers the
+            # spec and WIPES the discovered parameters (numFiles,
+            # totalSize), which DESC FORMATTED surfaces (r9 full-suite
+            # repro: colstats_remove_on_col_replace.q 17 != 18 rows)
+            try:
+                now_parts = {
+                    r[0] for r in spark.sql(f"SHOW PARTITIONS `{tq}`").collect()
+                }
+            except Exception:
+                now_parts = set()
             for p in old_parts:
+                if p in now_parts:
+                    continue
                 kvs = [kv.split("=", 1) for kv in p.split("/")]
                 if any(v == "__HIVE_DEFAULT_PARTITION__" for _, v in kvs):
                     continue  # the null partition only exists with rows
