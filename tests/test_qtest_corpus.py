@@ -28,7 +28,7 @@ from tests.qtest_fixture_lib import (
 )
 
 MANIFEST = os.path.join(os.path.dirname(__file__), "qtest_manifest.txt")
-SCRATCH = "/tmp/hive_spark_qcorpus"
+SCRATCH = os.path.expanduser("~/.hive_spark_scratch/qcorpus")  # /tmp is tmpfiles-purged mid-run on this host (r9)
 DB = "qcorpus"
 
 pytestmark = pytest.mark.skipif(

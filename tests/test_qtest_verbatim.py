@@ -30,7 +30,7 @@ from hive_spark.hqlscript import LOAD_DATA_BASES, run_script
 REF_ROOT = "/root/reference/ql/src"
 
 QDIR = "/root/reference/ql/src/test/queries/clientpositive"
-SCRATCH = "/tmp/hive_spark_qverbatim"
+SCRATCH = os.path.expanduser("~/.hive_spark_scratch/qverbatim")  # /tmp is tmpfiles-purged mid-run on this host (r9)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(QDIR), reason="reference qtest corpus not present"
