@@ -318,7 +318,24 @@ def _exec_dfs(stmt: str, res) -> None:
     paths = [a for a in args if not a.startswith("-")]
 
     def _resolve(p: str) -> str:
+        is_local = bool(re.match(r"(?i)^(?:pfile|file):/", p))
         p = re.sub(r"^(?:pfile|file|hdfs):/+", "/", p)
+        if (
+            not is_local
+            and p.startswith("/")
+            and not p.startswith("/tmp/")
+            and not p.startswith(os.path.realpath(QTEST_TMP))
+            and not os.path.exists(p)
+        ):
+            # `dfs` paths live on the qtest "HDFS" — the harness's
+            # PRIVATE filesystem, not the host root. An absolute
+            # hdfs:/bare path (remote_script.q: `dfs -put ...
+            # /newline.py` + `add file hdfs:///newline.py`) maps under
+            # qtest scratch, where the write-confinement guard below
+            # permits it; explicit file:/pfile: stay host paths, and
+            # /tmp/... keeps its host mapping for consistency with the
+            # SQL-layer hdfs:/tmp rewrite.
+            return os.path.normpath(QTEST_TMP + p)
         if p.startswith("/"):
             return p
         for base in LOAD_DATA_BASES:  # qtest-relative sources
@@ -3824,6 +3841,23 @@ def rewrite_statement(spark: SparkSession, stmt: str) -> str:
     stmt = re.sub(
         r"(?i)\bhdfs:/+(?=target/)", "file://" + QTEST_TMP + "/", stmt
     )
+    # a LOCATION of the BARE host /tmp (dbtxnmgr_ddl1.q: `alter table
+    # ... set location 'file:///tmp'`): Hive's qtest filesystem has a
+    # pristine /tmp, but this host's real /tmp carries other suites'
+    # scratch dirs and Spark's SET LOCATION eagerly re-infers
+    # partitioning over the directory (CONFLICTING_DIRECTORY_STRUCTURES
+    # whenever /tmp is polluted). Confine the bare root to qtest
+    # scratch; subpaths like /tmp/x stay untouched.
+    def _bare_tmp_loc(m: re.Match) -> str:
+        d = os.path.join(QTEST_TMP, "tmp_root")
+        os.makedirs(d, exist_ok=True)
+        return m.group(1) + "file://" + d + m.group(2)
+
+    stmt = re.sub(
+        r"(?i)(\bLOCATION\s+')(?:(?:file|pfile|hdfs):/+)?/?tmp/?(')",
+        _bare_tmp_loc,
+        stmt,
+    )
     # CREATE DATABASE ... MANAGEDLOCATION (Hive 4 managed-vs-external
     # split, ref: ql/.../parse/CreateDatabaseDesc): one location concept
     # here; confine bare root LOCATIONs to qtest scratch like the
@@ -7309,6 +7343,17 @@ def run_script(spark: SparkSession, text: str) -> ScriptResult:
                             files.pop(base, None)
                             continue
                         cand = p
+                        hm = re.match(r"(?i)^hdfs:/+(.*)$", cand)
+                        if hm:
+                            # qtest "HDFS" absolute paths live under
+                            # qtest scratch (same mapping as _exec_dfs),
+                            # except the /tmp/ subtree which stays host
+                            rest = "/" + hm.group(1)
+                            cand = (
+                                rest
+                                if rest.startswith("/tmp/")
+                                else os.path.normpath(QTEST_TMP + rest)
+                            )
                         if not os.path.isabs(cand) or not os.path.exists(cand):
                             for b in LOAD_DATA_BASES:
                                 c2 = os.path.normpath(os.path.join(b, p))

@@ -314,18 +314,29 @@ def test_variable_substitution_and_dfs(spark, tmp_path):
     """Hive CLI variable substitution (${hivevar:}, ${hiveconf:},
     ${system:test.tmp.dir}) and the local-fs dfs command subset;
     destructive dfs paths outside /tmp are recorded-skipped, never run."""
-    out = run_script(
-        spark,
-        "SET hivevar:lo=2; SET hiveconf:hi=4;"
-        " dfs -mkdir -p /tmp/hive_spark_qtest_tmp/vtest;"
-        " dfs -rm -r /root/somewhere;"
-        " SELECT COUNT(*) AS n FROM range(10)"
-        " WHERE id BETWEEN ${lo} AND ${hiveconf:hi};",
-    )
-    assert out.results[-1].collect()[0].n == 3
     import os
-    assert os.path.isdir("/tmp/hive_spark_qtest_tmp/vtest")
-    assert any("dfs -rm" in s for s in out.skipped)
+    import shutil
+    import tempfile
+
+    # an EXISTING host dir outside /tmp: destructive dfs must be
+    # recorded-skipped (a NONEXISTENT absolute path instead maps to the
+    # fake-HDFS qtest scratch — see the guard test below)
+    outside = tempfile.mkdtemp(dir=os.path.dirname(__file__))
+    try:
+        out = run_script(
+            spark,
+            "SET hivevar:lo=2; SET hiveconf:hi=4;"
+            " dfs -mkdir -p /tmp/hive_spark_qtest_tmp/vtest;"
+            f" dfs -rm -r {outside};"
+            " SELECT COUNT(*) AS n FROM range(10)"
+            " WHERE id BETWEEN ${lo} AND ${hiveconf:hi};",
+        )
+        assert out.results[-1].collect()[0].n == 3
+        assert os.path.isdir("/tmp/hive_spark_qtest_tmp/vtest")
+        assert any("dfs -rm" in s for s in out.skipped)
+        assert os.path.isdir(outside)
+    finally:
+        shutil.rmtree(outside, ignore_errors=True)
 
 
 def test_dfs_guard_rejects_traversal_and_prefix_tricks(spark):
@@ -346,9 +357,12 @@ def test_dfs_guard_rejects_traversal_and_prefix_tricks(spark):
         out = run_script(spark, f"dfs -rm {probe};")
         assert any("dfs -rm" in s for s in out.skipped)
         assert os.path.exists(canary)
-        # bare /tmp itself and a /tmpfoo sibling both refused
+        # bare /tmp itself refused; a NONEXISTENT /tmpfoo sibling maps
+        # to the fake-HDFS qtest scratch (r9: `dfs` paths are the
+        # harness's private filesystem), so the HOST /tmpfoo is never
+        # created either way
         out = run_script(spark, "dfs -rm -r /tmp; dfs -mkdir /tmpfoo;")
-        assert len(out.skipped) == 2
+        assert any("dfs -rm -r /tmp" in s for s in out.skipped)
         assert os.path.isdir("/tmp") and not os.path.exists("/tmpfoo")
         # symlink escape: a link under /tmp pointing outside is refused
         link = "/tmp/hive_spark_qtest_tmp/esc_link"
