@@ -795,6 +795,12 @@ def _channel_membership(spark: SparkSession, sf_dir: str, want_mask: int,
     ]
     parts = [
         spark.table(tbl)
+        # r9 opt: d_month_seq 49..60 == calendar 1996 (d_month_seq =
+        # (year-1992)*12 + month; d_date_sk = yyyyMMdd), so the dim
+        # predicate implies this literal fact-key range — pushed to the
+        # scan where the date-clustered layout skips row groups; the
+        # broadcast join still enforces exact membership
+        .filter(F.col(datecol).between(19960101, 19961231))
         .join(F.broadcast(date_f), F.col(datecol) == F.col("d_date_sk"))
         .select(F.col(cust).alias("customer_sk"),
                 F.lit(1 << i).alias("ch_bit"))
@@ -900,6 +906,18 @@ LIMIT 100"""
     "WHERE i_category = 'STANDARD'",
     "WHERE i_category = 'STANDARD' AND d_year IN (1996, 1997)",
 )
+
+# r9 opt: d_year IN (1996, 1997) implies *_sold_date_sk in
+# [19960101, 19971231] (d_date_sk = yyyyMMdd) — injected on each SALES
+# leg so the range reaches the fact scan's PushedFilters (the returns
+# legs join on order/item keys, not dates, so no range is provable
+# there). The oracle keeps the uninjected self-join SQL.
+for _dc in ("cs_sold_date_sk", "ss_sold_date_sk", "ws_sold_date_sk"):
+    _marker = f"JOIN date_dim ON d_date_sk = {_dc}"
+    assert _Q75_ONEPASS.count(_marker) == 1
+    _Q75_ONEPASS = _Q75_ONEPASS.replace(
+        _marker, _marker + f" AND {_dc} BETWEEN 19960101 AND 19971231"
+    )
 
 
 def _q75_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:

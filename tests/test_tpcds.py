@@ -131,3 +131,47 @@ def test_parallel_star_build_cold(spark, sf_dir):
             tpcds._oracle(f"SELECT * FROM {table}"),
             sf_dir,
         )
+
+
+def test_date_clustered_fact_layout(spark, sf_dir):
+    """r9 optimization (guide §6): materialized facts are written
+    repartitionByRange + sortWithinPartitions on their date surrogate,
+    so parquet row-group min/max stats on the date key are selective.
+    Pin (a) every store_sales row group spans a fraction of the
+    1992-1998 date domain and groups are mutually disjoint, and (b) the
+    q19 scan carries the injected closed-form date range in
+    PushedFilters (the dim predicate implied it; the join still
+    enforces exact membership — value parity is test_oracle_match's
+    job)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    tpcds._register_star(spark, sf_dir)
+    _sqls, dst = tpcds._star_plan(spark, sf_dir)
+    spans = []
+    for f in glob.glob(os.path.join(dst, "store_sales", "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i
+            for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ss_sold_date_sk"
+        )
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            spans.append((st.min, st.max))
+    assert len(spans) > 1  # clustering needs >1 group to mean anything
+    spans.sort()
+    # disjoint, ordered row groups — each prunable by a date range
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 < lo2
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tpcds.REGISTRY["tpcds_q19"].fn(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(ss_sold_date_sk,19961101)" in plan
+    assert "LessThanOrEqual(ss_sold_date_sk,19961130)" in plan
