@@ -567,7 +567,11 @@ def _register_star(spark: SparkSession, sf_dir: str) -> None:
             spark.read.parquet(out).createOrReplaceTempView(name)
             return name
 
-        workers = int(os.environ.get("SPARK_GRAFT_STAR_BUILD_WORKERS", "4"))
+        # default 8 measured >= 4 workers at BOTH local[32] (tie within
+        # noise: best 11.5 vs 11.9s) and local[8] (18.1/22.1 vs
+        # 22.8/41.1s — the small build jobs underfill even 8 cores, so
+        # deeper overlap still backfills); env-tunable for clusters
+        workers = int(os.environ.get("SPARK_GRAFT_STAR_BUILD_WORKERS", "8"))
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = set()
             while pending or futures:

@@ -15,6 +15,13 @@ scan, where a date-clustered file layout can skip row groups wholesale.
 Usage: python scripts/perf_lab_r9b.py <experiment> [sf_dir] [reps]
 Experiments: q19 | q25 | q98 | q38 | q75 | q68 | q4 |
              events_repart | events_localmerge
+
+NOTE (post-decision): the q19/q25/q98/q38/q75 injections were SHIPPED
+into the registry after these A/Bs (operators/tpcds.py
+_DATE_RANGE_INJECTIONS, tpcds2.py), so re-running those experiments now
+compares injected vs injected — the historical numbers live in
+OPTIMIZATION_r09.md and bench_artifacts/datesort_probe_r9.md. The
+events_* variants were rejected on measurement and remain variants.
 """
 import os
 import sys
