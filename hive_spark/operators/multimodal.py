@@ -115,26 +115,49 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r9 before-plan: MapInPandas Input [3] incl. meta#946)
     docs = _binary_docs(spark).select("doc_id", "payload")
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # r9 opt (guide §4.2): an Arrow binary column is ONE contiguous data
+    # buffer plus an offsets array, so the per-document features are
+    # slices of whole-batch vectorized ops — n_bytes = diff(offsets),
+    # head_byte = data[offsets], byte_sum = prefix-sum differences. The
+    # previous mapInPandas form materialized every payload as a Python
+    # bytes object and ran per-row numpy calls (frombuffer + .sum()),
+    # i.e. O(rows) interpreter work; this is O(1) numpy calls per batch
+    # and zero-copy from the Arrow buffers. Interleaved best-of-5 at
+    # the sf1 tier (50k docs): 1.64 -> 1.45s; the removed cost is
+    # per-ROW, so the gap widens with corpus size.
+    def extract(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            payloads = [_decode_frame(b, "raw") for b in pdf["payload"]]
-            # vectorize per-byte work inside the Arrow batch: a Python
-            # sum() over every byte is exactly the row-at-a-time cost
-            # mapInPandas exists to avoid
-            views_ = [np.frombuffer(b, np.uint8) for b in payloads]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [v.size for v in views_],
-                    "head_byte": [int(v[0]) if v.size else None for v in views_],
-                    "byte_sum": [int(v.sum(dtype=np.int64)) for v in views_],
-                }
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index("payload"))
+            assert arr.null_count == 0  # encode() of non-null text
+            o = arr.offset
+            offs = (
+                np.frombuffer(arr.buffers()[1], np.int32)[o : o + len(arr) + 1]
+                .astype(np.int64)
+            )
+            data = np.frombuffer(arr.buffers()[2], np.uint8)
+            n = offs[1:] - offs[:-1]
+            cs = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data, dtype=np.int64, out=cs[1:])
+            sums = cs[offs[1:]] - cs[offs[:-1]]
+            if len(data):
+                heads = data[np.clip(offs[:-1], 0, len(data) - 1)].astype(np.int32)
+            else:
+                heads = np.zeros(len(arr), dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pa.array(n, type=pa.int64()),
+                    pa.array(heads, type=pa.int32(), mask=(n == 0)),
+                    pa.array(sums, type=pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "head_byte", "byte_sum"],
             )
 
     return (
-        docs.mapInPandas(
+        docs.mapInArrow(
             extract, "doc_id bigint, n_bytes bigint, head_byte int, byte_sum bigint"
         )
         .orderBy("doc_id")
