@@ -54,6 +54,41 @@ _RUNTIME_CONFS = {
 _FUNCS_REGISTERED: set[int] = set()
 
 
+def spool_sort(df: DataFrame, *cols) -> DataFrame:
+    """Terminal bare ORDER BY (no LIMIT) over an expensive child pays the
+    child TWICE: the range exchange's bound-sampling job executes the
+    child RDD once before the real pass (shuffle stages below are reused
+    by the DAG scheduler, but reduce-side compute — final aggregates,
+    windows, Python stages, un-shuffled scan chains — re-runs). Spooling
+    the finished rows through a lazy localCheckpoint lets the sampler
+    and the range shuffle both read the spool, so everything upstream
+    runs exactly once (guide §1.2 "don't compute things you throw away",
+    §3.3 "materialising an intermediate truncates the plan").
+
+    Measured r10 (interleaved, sf1 tier): text_tfidf_topk 1.98 -> 0.51s,
+    events_session 1.34 -> 0.70s, mm_features 1.20 -> 0.81s,
+    text_inverted_index 1.68 -> 1.24s (best-of-3, both alternation
+    rounds). Adoption is MEASUREMENT-GATED per query: when the doubled
+    child is cheap (a final aggregate over a reused shuffle), the
+    spool's extra job + block-manager write costs more than it saves —
+    tpch_q1/q5/q13, window_rank, agg_rollup, events_tumbling,
+    text_stats, dedup_minhash_lsh and knn_lsh_bucketed measured
+    neutral-to-worse with it and keep their direct ORDER BY.
+
+    Scale/correctness notes: the spool is RDD-identity-keyed — a fresh
+    checkpoint per call, recomputed from the parquet inputs on every
+    run (never reused across runs, unlike plan-keyed persist()). Storage
+    is MEMORY_AND_DISK of the query RESULT rows (post-aggregation /
+    post-filter — orders of magnitude smaller than the inputs). The
+    trade is lineage truncation: on executor loss the spooled partitions
+    are recomputed from the checkpoint's materialization point, not
+    replayed per-partition — the standard localCheckpoint contract; use
+    reliable checkpointing for long-lived results on a real cluster.
+    ORDER BY + LIMIT queries are NOT routed here (they plan as
+    TakeOrderedAndProject — no range exchange, no sampling pass)."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def ensure_engine(spark: SparkSession) -> None:
     """Make any SparkSession behave like an engine session (idempotent)."""
     for k, v in _RUNTIME_CONFS.items():

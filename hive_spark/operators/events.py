@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_spark.operators import QuerySpec, views
+from hive_spark.operators import QuerySpec, spool_sort, views
 
 D4 = "decimal(18,4)"
 
@@ -97,7 +97,16 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     `session_window` (the streaming-state operator, exercised in batch)."""
     views(spark, sf_dir)
     df = spark.table("events")
-    return (
+    # r10 (VERDICT r9 #3, guide §1.2/§3.3): the bare ORDER BY's range
+    # sampler re-executed the sort-based MergingSessions aggregate (the
+    # expensive reduce side; the event shuffle below is reused). Spooling
+    # the finished session rows via a lazy localCheckpoint halves the
+    # query: interleaved best-of-5 at the sf1 tier 1.34 -> 0.70s, rows
+    # identical in order. (The structural alternatives are measured and
+    # rejected: gaps-and-islands 2.63 vs 1.57s, raw-row repartition
+    # loses, and pre-aggregation by (user, 30-min bucket) collapses only
+    # 1.02:1 on this corpus — bench_artifacts/events_density_r10.md.)
+    out = (
         df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
@@ -109,8 +118,8 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.col("sum_value").cast("decimal(28,4)").alias("sum_value"),
         )
-        .orderBy("user_id", "session_start")
     )
+    return spool_sort(out, "user_id", "session_start")
 
 
 # Gaps-and-islands: a new session starts when the gap from the previous

@@ -131,10 +131,24 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for rb in batches:
             arr = rb.column(rb.schema.get_field_index("payload"))
-            assert arr.null_count == 0  # encode() of non-null text
+            # r10 (ADVICE): the offsets buffer is int32 for binary and
+            # int64 for large_binary (delivered when
+            # spark.sql.execution.arrow.useLargeVarTypes=true, a plausible
+            # flip for >2 GiB batches); misreading the width would yield
+            # silently-garbage features, so branch on the actual type and
+            # hard-fail on anything else. The null guard is a real raise,
+            # not an assert (asserts vanish under python -O).
+            if pa.types.is_large_binary(arr.type):
+                off_dtype = np.int64
+            elif pa.types.is_binary(arr.type):
+                off_dtype = np.int32
+            else:
+                raise TypeError(f"payload arrived as {arr.type}, not binary")
+            if arr.null_count:
+                raise ValueError("payload has nulls; encode() of non-null text")
             o = arr.offset
             offs = (
-                np.frombuffer(arr.buffers()[1], np.int32)[o : o + len(arr) + 1]
+                np.frombuffer(arr.buffers()[1], off_dtype)[o : o + len(arr) + 1]
                 .astype(np.int64)
             )
             data = np.frombuffer(arr.buffers()[2], np.uint8)
@@ -156,10 +170,24 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["doc_id", "n_bytes", "head_byte", "byte_sum"],
             )
 
+    # r10 opt (guide §1.2/§7.2 — measured, bench_artifacts/probe_mm_r10.py):
+    # the final ORDER BY is an Exchange rangepartitioning whose bound-
+    # sampling job RE-EXECUTES the child RDD — and here the child is the
+    # whole scan -> encode -> Arrow -> python chain (no shuffle below it
+    # that the DAG scheduler could reuse), so every run paid the Python
+    # boundary twice. localCheckpoint(lazy) materializes the NARROW
+    # feature rows (4 small columns, ~28 B/row) on first touch; the
+    # sampler and the range shuffle then both read the checkpoint.
+    # Measured best-of-3: sf0.1 0.53 -> 0.13s, sf1 tier 1.92 -> 0.63s.
+    # This is a within-query intermediate keyed on RDD identity (a fresh
+    # RDD per call — no reuse across runs, unlike plan-keyed .persist()).
+    # At 100 TB the trade is strictly better: recompute = re-reading the
+    # payload bytes + re-running the kernel; checkpoint = 28 B/row.
     return (
         docs.mapInArrow(
             extract, "doc_id bigint, n_bytes bigint, head_byte int, byte_sum bigint"
         )
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
@@ -199,10 +227,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["first_byte"].append(data[off])
             yield pd.DataFrame(out)
 
+    # same range-sampling double-execution fix as mm_features: checkpoint
+    # the narrow frame rows so the ORDER BY's bound sampler doesn't re-run
+    # the payload scan + Python stage (measured 0.94 -> 0.49s at sf0.1)
     return (
         docs.mapInPandas(
             sample, "doc_id bigint, frame_idx int, offset int, first_byte int"
         )
+        .localCheckpoint(eager=False)
         .orderBy("doc_id", "frame_idx")
     )
 
@@ -267,11 +299,13 @@ def mm_decode_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     imgs = docs.mapInPandas(encode, "doc_id bigint, payload binary")
+    # checkpoint before the sort: otherwise the range sampler re-runs BOTH
+    # chained Python stages (encode + decode) a second time (see mm_features)
     return imgs.mapInPandas(
         decode,
         "doc_id bigint, width int, height int, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # closed-form twin of generate->encode->decode->sum: channel c's pixels
@@ -370,12 +404,14 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["sum_samples"].append(int(s.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
+    # checkpoint before the sort — same double-execution fix as mm_features
     return (
         docs.mapInPandas(encode, "doc_id bigint, payload binary")
         .mapInPandas(
             decode,
             "doc_id bigint, n_samples int, sample_rate int, sum_samples bigint",
         )
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
