@@ -370,9 +370,19 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB the broadcast side stays ~0.006% of orders (~hundreds of
     # MB at SF100k) — inside the guide's broadcast envelope, and far
     # smaller than shipping orders itself.
+    #
+    # r10 (VERDICT r9 #4 / ADVICE): the hint is SIZE-GUARDED like q3's.
+    # The build side is selectivity-bound, not fixed: ~6e-5 of orders
+    # rows survive HAVING > 300 under the TPC-H quantity distribution,
+    # so 64 TiB of lineitem (~SF 60k) still builds only ~5M rows
+    # (~150 MB hashed) — comfortably inside the guide's envelope and
+    # far under the 8 GB broadcast cap. Past the guard (or when input
+    # sizes are unknowable) the planner chooses with its own stats
+    # rather than an unconditional driver-side collect.
+    big_join = F.broadcast(big) if _input_bytes(t["lineitem"]) < (64 << 40) else big
     return (
         t["orders"]
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("bk"))
+        .join(big_join, F.col("o_orderkey") == F.col("bk"))
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
