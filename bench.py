@@ -356,7 +356,13 @@ def main() -> None:
         "extra_queries": extra,
         "star_build_sec": full["star_build_sec"],
         "star_build_cold_sec": full["star_build_cold_sec"],
-        "sf1": {k: sf1[k] for k in ("factor", "total_sec") if k in sf1},
+        # r10 (VERDICT r9 #6): per-query sf1 timings in the compact line
+        # too (additions-only; headline keys untouched) so round-over-round
+        # comparison can read the data-dominated tier, not just the
+        # session-constant-dominated sf0.1 one
+        "sf1": {
+            k: sf1[k] for k in ("factor", "total_sec", "queries") if k in sf1
+        },
         "details_file": out_path,
     }
     print(json.dumps(compact))
