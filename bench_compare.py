@@ -98,6 +98,18 @@ def _run_pair(spark, con, registry, names, sf_dir):
         # min is the CONSERVATIVE (least Spark-favorable) oracle time.
         if max(duck_runs) > 1.25 * min(duck_runs):
             duck_runs.append(_duck_once())
+        # VERDICT r9 #9: the duck-knn reading still swung 10.9-19.2s and
+        # decided ~0.3x of the gate ratio by itself. The variance is
+        # execution noise (the UNNEST-heavy list-distance plan is memory-
+        # pressure-sensitive next to a warmed 32-core JVM), not corpus
+        # nondeterminism — the scaled corpus is seed-free/deterministic.
+        # Pin it down with repetition where it matters: any oracle
+        # reading slow enough to move the gate total (>3s) gets two more
+        # readings, and min-of-5 is reported. More readings can only
+        # LOWER the oracle time — the anti-gaming (least Spark-favorable)
+        # direction.
+        while min(duck_runs) > 3.0 and len(duck_runs) < 5:
+            duck_runs.append(_duck_once())
         t_duck = min(duck_runs)
         per_query[name] = {
             "spark": round(t_spark, 3),

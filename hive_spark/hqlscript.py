@@ -319,12 +319,25 @@ def _exec_dfs(stmt: str, res) -> None:
 
     def _resolve(p: str) -> str:
         is_local = bool(re.match(r"(?i)^(?:pfile|file):/", p))
+        is_hdfs = bool(re.match(r"(?i)^hdfs:/", p))
         p = re.sub(r"^(?:pfile|file|hdfs):/+", "/", p)
+        # r10 (ADVICE): the QTEST_TMP containment check needs the
+        # trailing separator (a sibling dir like <QTEST_TMP>_x must not
+        # count as already-confined), and an explicit hdfs: scheme maps
+        # to qtest scratch UNCONDITIONALLY — gating it on host-path
+        # non-existence made the same script resolve differently
+        # depending on unrelated host filesystem state (run_script's
+        # `add file hdfs:` branch already maps unconditionally).
+        qtmp = os.path.realpath(QTEST_TMP)
+        in_qtmp = p == qtmp or p.startswith(qtmp + os.sep)
+        if is_hdfs and not p.startswith("/tmp/") and not in_qtmp:
+            return os.path.normpath(QTEST_TMP + p)
         if (
             not is_local
+            and not is_hdfs
             and p.startswith("/")
             and not p.startswith("/tmp/")
-            and not p.startswith(os.path.realpath(QTEST_TMP))
+            and not in_qtmp
             and not os.path.exists(p)
         ):
             # `dfs` paths live on the qtest "HDFS" — the harness's

@@ -67,8 +67,15 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-of-5 at the sf1 tier 1.98 -> 0.51s, 5/5 reps faster, rows
     identical in order. RDD-identity-keyed — a fresh spool per run, no
     cross-run reuse."""
+    return spool_sort(_tfidf_topk_unsorted(spark, sf_dir), "doc_id", "rk")
+
+
+def _tfidf_topk_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_tfidf_topk before the terminal spooled sort — split out so the
+    plan-shape tests can assert the scan/join invariants that the spool's
+    localCheckpoint hides behind a Scan ExistingRDD stub."""
     views(spark, sf_dir)
-    unsorted = spark.sql(
+    return spark.sql(
         f"""
         WITH toks AS ({_TOKS_SPARK}),
         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
@@ -91,7 +98,6 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM topk WHERE rk <= 5
         """
     )
-    return spool_sort(unsorted, "doc_id", "rk")
 
 
 _TFIDF_SQL = f"""
@@ -121,10 +127,16 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     list per term is unbounded at corpus scale, so the operator ranks
     postings inside the term partition and keeps a fixed-size head —
     the groupBy then rides the window's exchange (one shuffle total)."""
-    views(spark, sf_dir)
     # r10: spool before the terminal sort — the range sampler otherwise
     # re-runs the postings window + aggregate (see operators.spool_sort)
-    unsorted = spark.sql(
+    return spool_sort(_inverted_index_unsorted(spark, sf_dir), "tok")
+
+
+def _inverted_index_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_inverted_index before the terminal spooled sort (see
+    _tfidf_topk_unsorted for why this is split out)."""
+    views(spark, sf_dir)
+    return spark.sql(
         f"""
         WITH toks AS ({_TOKS_SPARK}),
         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
@@ -142,7 +154,6 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tok
         """
     )
-    return spool_sort(unsorted, "tok")
 
 
 _INVIDX_SQL = f"""
