@@ -264,6 +264,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure — matches how large-scale training-data dedup is actually run;
     iterate the pass for closure if needed). Uses Spark murmur3 (F.hash)
     -> no DuckDB oracle (driver records rows-only check).
+
+    r10 opt (guide §2.4, the r9 tfidf precedent): the bucket
+    representative used to be a `GROUP BY (band, sig)` CTE self-joined
+    back onto the band rows — and the self-join de-canonicalized the
+    shared minhash subtree, so the scan -> explode -> 8-minhash agg ->
+    band explode derivation executed TWICE (2 scans in the committed
+    plan, ReusedExchange never fired). Rewritten as
+    `MIN(doc_id) OVER (PARTITION BY band, sig)` on the single
+    derivation: one scan, no join. The window's partition sizes equal
+    the old groupBy's bucket sizes (same key, same skew profile; MIN is
+    a cheap bounded aggregate). Interleaved best-of-5, rows identical:
+    sf0.1 0.75 -> 0.57s, sf1 tier 1.06 -> 0.99s (all reps faster;
+    bench_artifacts/dedup_ab_r10.py).
     """
     views(spark, sf_dir)
     mins = ", ".join(
@@ -273,29 +286,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"named_struct('band', {b}, 'sig', hash(h{2 * b}, h{2 * b + 1}))"
         for b in range(_N_BANDS)
     )
-    spark.sql(
-        f"""
-        CREATE OR REPLACE TEMPORARY VIEW _mh_bands AS
-        SELECT doc_id, b.band, b.sig
-        FROM (
-            SELECT doc_id, {mins}
-            FROM (SELECT doc_id, explode(array_distinct({_TOKS})) AS tok
-                  FROM documents)
-            GROUP BY doc_id
-        ) LATERAL VIEW explode(array({bands})) t AS b
-        """
-    )
     return spark.sql(
-        """
-        WITH buckets AS (
-            SELECT band, sig, MIN(doc_id) AS rep
-            FROM _mh_bands GROUP BY band, sig
+        f"""
+        WITH mh AS (
+            SELECT doc_id, b.band, b.sig
+            FROM (
+                SELECT doc_id, {mins}
+                FROM (SELECT doc_id, explode(array_distinct({_TOKS})) AS tok
+                      FROM documents)
+                GROUP BY doc_id
+            ) LATERAL VIEW explode(array({bands})) t AS b
+        ),
+        with_rep AS (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, sig) AS rep
+            FROM mh
         )
-        SELECT m.doc_id,
-               MIN(b.rep) AS cluster_id,
-               CAST(m.doc_id = MIN(b.rep) AS BOOLEAN) AS kept
-        FROM _mh_bands m JOIN buckets b ON m.band = b.band AND m.sig = b.sig
-        GROUP BY m.doc_id
+        SELECT doc_id,
+               MIN(rep) AS cluster_id,
+               CAST(doc_id = MIN(rep) AS BOOLEAN) AS kept
+        FROM with_rep
+        GROUP BY doc_id
         ORDER BY doc_id
         """
     )

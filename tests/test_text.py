@@ -26,6 +26,27 @@ def test_minhash_lsh_sane(spark, sf_dir):
     assert 0 < kept <= n_docs  # clustering collapses at least nothing, keeps reps
 
 
+def test_minhash_lsh_single_derivation(spark, sf_dir):
+    """r10 opt: the bucket-representative self-join used to run the
+    minhash derivation twice (2 documents scans, no ReusedExchange).
+    The window rewrite derives once — pin 1 scan and no join in the
+    physical plan so a regression back to the double-derivation shape
+    fails loudly."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = text.REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # one scan node = two mentions (tree line + operator-detail line);
+    # the old self-join plan had two scan nodes = four mentions
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_simhash_sane(spark, sf_dir):
     df = text.REGISTRY["dedup_simhash"].fn(spark, sf_dir)
     rows = df.collect()
